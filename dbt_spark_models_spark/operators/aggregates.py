@@ -1,0 +1,337 @@
+"""Aggregation coverage (SURVEY.md §2.4).
+
+Reference usage: SUM ×823, MAX ×771, MIN ×590, COUNT ×262, COUNT(DISTINCT)
+×149, AVG ×115, MAX_BY ×51, COLLECT_LIST ×39, PERCENTILE_APPROX ×27,
+MIN_BY ×26, PERCENTILE ×19, COUNT_IF ×15, GROUPING SETS
+(``models/spark/search/success_by_relevance/search_success_aggregated.sql:51-59``),
+CUBE (``models/spark/onfy/onfy_unique_querying_devices.sql:38``), HAVING ×13,
+Wilson confidence interval computed inline
+(``search_success_aggregated.sql:101-144``).
+
+Scale notes: all are single-shuffle hash aggregates with map-side partial
+aggregation; COUNT(DISTINCT x) expands to a two-phase aggregate planned by
+Catalyst; GROUPING SETS evaluates all sets in one shuffle via Expand.
+Array-building aggs are normalized to sorted joined strings so results are
+deterministic under any partial-agg ordering (and comparable cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.sources.testdata import load_tables, register_views
+
+
+@query(
+    "agg_distinct_and_conditional",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT_IF(value > 100) AS n_big,
+       ROUND(SUM(CASE WHEN value > 100 THEN value ELSE 0 END), 2) AS big_value,
+       ROUND(AVG(value), 4) AS avg_value,
+       ROUND(MIN(value), 2) AS min_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_distinct_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT + conditional counting/summing (reference
+    ``search_success_aggregated.sql:25-26,47-48``)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.round(
+            F.sum(F.when(F.col("value") > 100, F.col("value")).otherwise(0.0)), 2
+        ).alias("big_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+@query(
+    "agg_argmax_argmin",
+    oracle="""
+SELECT o_custkey,
+       ARG_MAX(o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey)
+           AS biggest_order,
+       ARG_MIN(o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey)
+           AS smallest_order,
+       ARG_MAX(o_orderstatus,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               * 10000000000 + o_orderkey) AS latest_status,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY / MIN_BY (reference ×51/×26,
+    ``models/spark/onfy/onfy_source_campaign_funnels.sql:1331,175``).
+
+    Argmax keys are made unique by folding the row key (o_orderkey) into a
+    scalar bigint — MAX_BY on a tied key is otherwise nondeterministic on
+    both engines."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    price_key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(100000000)
+        + F.col("o_orderkey")
+    )
+    date_key = (
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+        * F.lit(10000000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", price_key).alias("biggest_order"),
+        F.min_by("o_orderkey", price_key).alias("smallest_order"),
+        F.max_by("o_orderstatus", date_key).alias("latest_status"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_price,
+       ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90_price,
+       ROUND(CAST(QUANTILE_CONT(l_quantity, 0.25) AS DOUBLE), 4) AS p25_qty,
+       ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + stddev (reference
+    ``models/spark/platform/ftu_end_stats.sql:45-47``)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_COUNT_DISTINCT + PERCENTILE_APPROX (reference
+    ``models/spark/onfy/onfy_unique_querying_devices.sql:36``; sketch results
+    are engine-specific, so no SQL oracle — driver records rows-only)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_p50_price"
+        ),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS total_price,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: slice + totals in one pass (reference
+    ``search_success_aggregated.sql:51-59``). One Expand + one shuffle."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS total_price,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (reference ``models/spark/onfy/onfy_unique_querying_devices.sql:38``)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "agg_rollup_time_hierarchy",
+    oracle="""
+SELECT COALESCE(CAST(year AS VARCHAR), 'ALL') AS year,
+       COALESCE(CAST(month AS VARCHAR), 'ALL') AS month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM (
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS year,
+           EXTRACT(MONTH FROM o_orderdate) AS month,
+           o_totalprice
+    FROM orders
+)
+GROUP BY ROLLUP (year, month)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a time hierarchy (year → month → grand total)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_totalprice",
+    )
+    return (
+        base.rollup("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("year"),
+            F.coalesce(F.col("mo").cast("string"), F.lit("ALL")).alias("month"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+SELECT l_orderkey,
+       ARRAY_TO_STRING(LIST_SORT(LIST(l_linenumber)), ',') AS linenumbers,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_returnflag)), ',') AS flags,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+HAVING COUNT(*) > 2
+""",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLECT_LIST / COLLECT_SET + HAVING (reference ×39/×8,
+    ``models/spark/onfy/onfy_product_analogues.sql:41,68``), normalized to
+    sorted strings for deterministic comparison."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("linenumbers"),
+            F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias(
+                "flags"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter(F.col("n_lines") > 2)
+    )
+
+
+@query(
+    "agg_first_any_value",
+    oracle="""
+SELECT c_nationkey,
+       MIN(n_name) AS nation_name,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_nationkey
+""",
+)
+def agg_first_value_as_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE-as-plain-aggregate (reference
+    ``models/spark/base/active_devices.sql:24-43``). n_name is constant per
+    group so first() is deterministic; the oracle uses MIN for the same
+    value."""
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.first("n_name").alias("nation_name"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("balance"),
+        )
+    )
+
+
+@query(
+    "agg_wilson_interval",
+    oracle="""
+WITH s AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT_IF(value > 100) AS pos
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n, pos,
+       ROUND((pos / n + 1.96 * 1.96 / (2 * n)
+              - 1.96 * SQRT((pos / n) * (1 - pos / n) / n
+                            + 1.96 * 1.96 / (4 * n * n)))
+             / (1 + 1.96 * 1.96 / n), 6) AS wilson_lower
+FROM s
+""",
+)
+def agg_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline Wilson confidence interval (reference
+    ``search_success_aggregated.sql:101-144``): agg then scalar math."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") > 100).alias("pos"),
+    )
+    z = 1.96
+    p = F.col("pos") / F.col("n")
+    n = F.col("n")
+    wilson = (
+        p
+        + F.lit(z * z) / (2 * n)
+        - F.lit(z) * F.sqrt(p * (1 - p) / n + F.lit(z * z) / (4 * n * n))
+    ) / (1 + F.lit(z * z) / n)
+    return s.select(
+        "event_type", "n", "pos", F.round(wilson, 6).alias("wilson_lower")
+    )

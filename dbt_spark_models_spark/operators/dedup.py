@@ -1,0 +1,382 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star). All variants avoid
+driver-side loops and all-pairs comparison:
+
+- exact:     hash-groupBy on a content signature (reference pattern
+             ``models/spark/onfy/onfy_product_analogues.sql:50-57``).
+- jaccard:   inverted-index join on tokens (posting lists), never N².
+- minhash:   shingle → 16 hash permutations → 4 LSH bands → bucket join;
+             only same-bucket candidates are verified. This is the 100 TB
+             path: cost scales with bucket collisions, not pairs.
+- simhash:   bitwise majority fingerprint; equal fingerprints cluster.
+
+Cross-engine determinism: token/shingle ids use a polynomial rolling hash
+(mod 1e9+7) computed with the same fold in Spark and the DuckDB oracle —
+engine-native hashes (xxhash64 etc.) differ across engines and are only
+used in non-oracle paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.sources.testdata import load_tables
+
+_MOD = 1_000_000_007
+# 16 fixed (a, b) affine permutation constants for MinHash
+_PERMS = [
+    (2971, 433494437), (4423, 370248451), (5851, 275604541), (6007, 102334155),
+    (7919, 39088169), (9311, 14930352), (10957, 5702887), (12823, 2178309),
+    (15101, 832040), (17389, 317811),
+    (19427, 121393), (21841, 46368), (24473, 17711), (27449, 6765),
+    (30757, 2584), (34513, 987),
+]
+
+_N_BANDS = 4
+_ROWS_PER_BAND = 4
+
+
+def _polyhash_spark(col_expr: str) -> str:
+    """Spark SQL text: polynomial rolling hash of a string, mod 1e9+7."""
+    return f"""aggregate(
+        transform(sequence(1, length({col_expr})),
+                  i -> CAST(ascii(substring({col_expr}, i, 1)) AS BIGINT)),
+        CAST(0 AS BIGINT),
+        (acc, x) -> (acc * 31 + x) % {_MOD})"""
+
+
+def _polyhash_duck(col_expr: str) -> str:
+    """DuckDB SQL text for the same polynomial rolling hash."""
+    return f"""list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, len({col_expr})),
+                           i -> CAST(ascii(substring({col_expr}, i, 1)) AS BIGINT))),
+        (acc, x) -> (acc * 31 + x) % {_MOD})"""
+
+
+def _tokens():
+    return F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: F.length(x) > 0)
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+SELECT MD5(LOWER(TRIM(text))) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY content_hash
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize → MD5 content signature → hash groupBy.
+    One shuffle on the hash; at 100 TB, partial aggregation collapses
+    duplicates map-side first."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.withColumn("content_hash", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_keep_first_survivors",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+    SELECT lang, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(text)))
+                              ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn = 1
+GROUP BY lang
+""",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-keep-first via ROW_NUMBER over the content hash (the
+    reference's dedup idiom, ``models/spark/gold/gold_orders.sql:24``),
+    then corpus stats over survivors."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "dedup_token_jaccard_pairs",
+    oracle="""
+WITH tok AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS token
+    FROM documents
+    WHERE doc_id < 100
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.6
+""",
+)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs via inverted-index join: explode
+    distinct (doc, token), self-join postings on token, count intersections,
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|). Restricted to a doc_id slice here to
+    bound the demo; the unrestricted scale path is dedup_minhash_lsh, which
+    prunes candidates by banding instead of a full posting join."""
+    d = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 100)
+    )
+    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _perm_values_sql() -> str:
+    rows = ", ".join(
+        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for i, (a, b) in enumerate(_PERMS)
+    )
+    return f"(VALUES {rows}) AS perms(i, a, b)"
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), shingle AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(tokens) - 2),
+                  i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+               AS shingle
+    FROM tok
+    WHERE len(tokens) >= 3
+), hashed AS (
+    SELECT doc_id, { _polyhash_duck('shingle') } AS tid FROM shingle
+), minh AS (
+    SELECT doc_id, perms.i AS i, MIN((perms.a * tid + perms.b) % {_MOD}) AS mh
+    FROM hashed CROSS JOIN {_perm_values_sql()}
+    GROUP BY doc_id, perms.i
+), bands AS (
+    SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
+           STRING_AGG(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+    FROM minh GROUP BY doc_id, band
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM shingle GROUP BY doc_id
+), verified AS (
+    SELECT c.doc_a, c.doc_b, COUNT(s2.shingle) AS n_common
+    FROM cand c
+    JOIN shingle s1 ON s1.doc_id = c.doc_a
+    LEFT JOIN shingle s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT v.doc_a, v.doc_b,
+       ROUND(v.n_common / (sa.sz + sb.sz - v.n_common), 4) AS jaccard
+FROM verified v
+JOIN sizes sa ON sa.doc_id = v.doc_a
+JOIN sizes sb ON sb.doc_id = v.doc_b
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, the 100 TB dedup path:
+    3-token shingles → deterministic shingle ids (polynomial hash) →
+    16 affine min-hash permutations → 4 bands of 4 → bucket self-join on
+    (band, signature) → Jaccard verification of candidates only.
+
+    No all-pairs stage exists anywhere: candidate generation is a shuffle
+    on band signatures, verification joins only surviving candidate pairs.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = d.select("doc_id", _tokens().alias("tokens")).filter(
+        F.size("tokens") >= 3
+    )
+    shingle = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 2),"
+                " i -> concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1]))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    hashed = shingle.select(
+        "doc_id", F.expr(_polyhash_spark("shingle")).alias("tid")
+    )
+    perm_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(a).cast("long").alias("a"),
+                F.lit(b).cast("long").alias("b"),
+            )
+            for i, (a, b) in enumerate(_PERMS)
+        ]
+    )
+    minh = (
+        hashed.select("doc_id", "tid", F.explode(perm_arr).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.i").alias("i"),
+            ((F.col("p.a") * F.col("tid") + F.col("p.b")) % _MOD).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        minh.withColumn("band", (F.col("i") / _ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda x: x.getField("mh").cast("string"),
+                ),
+                "-",
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = shingle.alias("s1")
+    s2 = shingle.alias("s2")
+    verified = (
+        cand.join(s1, F.col("s1.doc_id") == F.col("doc_a"))
+        .join(
+            s2,
+            (F.col("s2.doc_id") == F.col("doc_b"))
+            & (F.col("s2.shingle") == F.col("s1.shingle")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.col("s2.shingle")).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    return (
+        verified.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_simhash_fingerprints",
+    oracle=f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS token
+    FROM documents
+), hashed AS (
+    SELECT doc_id, { _polyhash_duck('token') } AS th FROM tok
+), bits AS (
+    SELECT doc_id, b.bit AS bit,
+           SUM(CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
+    GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash16
+FROM bits GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit here; 64-bit in production) — bitwise majority vote
+    over token hashes. Equal/near fingerprints cluster near-duplicates;
+    computing it is two hash aggregates, no pairwise stage at all."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    )
+    hashed = tok.select("doc_id", F.expr(_polyhash_spark("token")).alias("th"))
+    bits = (
+        hashed.select(
+            "doc_id",
+            "th",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+        )
+        .withColumn(
+            "contrib",
+            F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("v"))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("simhash16")
+        )
+    )

@@ -1,0 +1,120 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Beyond-reference surface (BASELINE.json north star). Images/audio/video are
+carried as ``binary`` columns with a typed metadata struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched Pandas UDFs
+over ``mapInPandas`` (the real decode libs — PIL/ffmpeg — are not in this
+container, so the decode step is STUBBED with a deterministic fake; the
+Spark-side plumbing — schema, batching, partitioning — is real and tested).
+
+Scale notes: ``mapInPandas`` streams Arrow batches through Python with
+bounded memory per batch; binary payloads never hit the driver. At 100 TB,
+partition by content-size buckets so batches stay balanced.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.sources.testdata import load_tables
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_checksum", T.LongType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires PIL, not present in this container."""
+    raise NotImplementedError(
+        "image decode requires PIL/libjpeg; install pillow and replace the "
+        "deterministic fake in _extract_features_batch"
+    )
+
+
+def _extract_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction. The decode is a deterministic fake
+    (byte stats standing in for pixel stats); the batch plumbing is real."""
+    import hashlib
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int64"),
+                "byte_checksum": payloads.map(lambda b: sum(b) % 997).astype("int64"),
+                "fake_width": (n_bytes % 640).astype("int32"),
+                "fake_height": (n_bytes % 480).astype("int32"),
+                "content_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+            }
+        )
+
+
+@query(
+    "multimodal_binary_features",
+    oracle="""
+WITH bytes AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS n_bytes,
+           list_sum(list_transform(generate_series(1, len(text)),
+                    i -> ascii(substring(text, i, 1)))) % 997 AS byte_checksum
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(byte_checksum AS BIGINT) AS byte_checksum,
+       CAST(n_bytes % 640 AS INT) AS fake_width,
+       CAST(n_bytes % 480 AS INT) AS fake_height,
+       MD5(text) AS content_md5
+FROM bytes
+""",
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: build a ``binary`` payload column (here from
+    text — documents are ASCII so byte stats equal char stats, which is what
+    lets the DuckDB oracle verify the Pandas-UDF plumbing end-to-end), then
+    extract features via ``mapInPandas``."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return with_payload.mapInPandas(_extract_features_batch, _FEATURE_SCHEMA)
+
+
+@query("multimodal_metadata_partition_plan", oracle=None)
+def multimodal_metadata_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata layer: size-bucket partitioning plan for balanced
+    Arrow batches (what you'd ``repartitionByRange`` on before heavy decode
+    at 100 TB). Rows-only check: the plan is engine-internal."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    meta = d.select(
+        "doc_id",
+        F.struct(
+            F.col("n_chars").alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+            F.lit("utf-8").alias("encoding"),
+        ).alias("media_meta"),
+    )
+    w = Window.orderBy(F.col("media_meta.n_bytes"), F.col("doc_id"))
+    return (
+        meta.withColumn("size_bucket", F.ntile(8).over(w))
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("media_meta.n_bytes").alias("bucket_bytes"),
+        )
+    )

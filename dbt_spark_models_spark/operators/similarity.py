@@ -1,0 +1,255 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface (BASELINE.json north star). Three tiers:
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  corpus — the exact baseline; linear in corpus size, no N² blowup.
+- sign-LSH bucketing: 8 fixed integer hyperplanes → 8 sign bits → bucket;
+  at 100 TB, candidate search touches one bucket instead of the corpus.
+- IVF cells: per-label centroids as a coarse quantizer; vectors are
+  assigned to the nearest centroid (the inverted-file cell).
+
+All vector math is JVM-side (``zip_with`` + ``aggregate`` fold) — no Python
+UDFs in the hot path. Hyperplanes are integer-valued so the float math is
+bit-identical across engines (float×small-int is exact in float64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.sources.testdata import load_tables
+
+_DIM = 64
+_N_PLANES = 8
+
+
+def _plane(j: int) -> list[int]:
+    """Deterministic pseudo-random integer hyperplane (Knuth multiplicative)."""
+    return [(((j * _DIM + d) * 2654435761) % 2001) - 1000 for d in range(_DIM)]
+
+
+def _dot_spark(a: str, b: str):
+    """sum_i a[i]*b[i] in float64, sequential fold — JVM-side."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_spark(a: str):
+    return F.sqrt(
+        F.aggregate(
+            F.col(a),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+@query(
+    "similarity_bruteforce_topk",
+    oracle="""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb,
+           SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+               AS q_norm
+    FROM embeddings WHERE vec_id < 5
+), scored AS (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.q_emb, e.embedding::DOUBLE[])
+                 / (q.q_norm *
+                    SQRT(list_sum(list_transform(e.embedding,
+                                                 x -> CAST(x AS DOUBLE) * x)))), 4)
+               AS cosine
+    FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, cosine, rnk
+FROM (
+    SELECT q_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+) WHERE rnk <= 3
+""",
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 neighbors for a query set: broadcast queries ⋈
+    corpus, fold-based dot product, windowed top-k. Ranking is on the
+    *rounded* cosine with vec_id tie-break so it is reproducible."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .withColumn("q_norm", _norm_spark("q_emb"))
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+    ).withColumn("n_norm", _norm_spark("n_emb"))
+    scored = (
+        F.broadcast(q)
+        .join(corpus, F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                _dot_spark("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _planes_duck() -> str:
+    """DuckDB literal: list of 8 hyperplane double lists."""
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{v}.0" for v in _plane(j)) + "]" for j in range(_N_PLANES)
+        )
+        + "]"
+    )
+
+
+@query(
+    "similarity_lsh_sign_buckets",
+    oracle=f"""
+WITH planes AS (
+    SELECT {_planes_duck()} AS ps
+), sigs AS (
+    SELECT vec_id, label,
+           array_to_string(
+               list_transform(planes.ps,
+                   h -> CASE WHEN list_dot_product(embedding::DOUBLE[], h) > 0
+                             THEN '1' ELSE '0' END), '') AS bucket
+    FROM embeddings CROSS JOIN planes
+)
+SELECT bucket,
+       COUNT(*) AS n_vecs,
+       COUNT(DISTINCT label) AS n_labels,
+       MIN(vec_id) AS min_vec_id
+FROM sigs GROUP BY bucket
+""",
+)
+def similarity_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucketing — the scale path for ANN:
+    8 sign bits put similar vectors in the same bucket, so search probes
+    one bucket (plus neighbors) instead of scanning the corpus. Output is
+    the bucket histogram."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    bits = []
+    for j in range(_N_PLANES):
+        h = F.array(*[F.lit(float(v)) for v in _plane(j)])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), h, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, "1").otherwise("0"))
+    sig = F.concat(*bits).alias("bucket")
+    return (
+        e.select(sig, "vec_id", "label")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@query(
+    "similarity_ivf_assign",
+    oracle="""
+WITH pos AS (
+    SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c
+    FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i
+), centroids AS (
+    SELECT label AS c_label, LIST(c ORDER BY i) AS c_emb FROM pos GROUP BY label
+), scored AS (
+    SELECT e.vec_id, e.label, c.c_label,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], c.c_emb)
+                 / (SQRT(list_sum(list_transform(e.embedding,
+                                                 x -> CAST(x AS DOUBLE) * x)))
+                    * SQRT(list_sum(list_transform(c.c_emb, x -> x * x)))), 6)
+               AS cosine
+    FROM embeddings e CROSS JOIN centroids c
+), assigned AS (
+    SELECT vec_id, label, c_label, cosine,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, c_label) AS rn
+    FROM scored
+)
+SELECT label, c_label AS assigned_cell,
+       COUNT(*) AS n_vecs
+FROM assigned WHERE rn = 1
+GROUP BY label, assigned_cell
+""",
+)
+def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: per-label centroids (train) → assign every
+    vector to its nearest centroid cell (cosine). At scale the corpus is
+    *partitioned by cell id* on write, so a query reads only its probe
+    cells. Output: confusion counts label × assigned cell.
+
+    The centroid averages are order-sensitive in the last float ulp, so
+    cosines are rounded to 6dp before the argmax to stay deterministic.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # per-position averages: explode once, aggregate by (label, pos)
+    pos = (
+        e.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+    )
+    centroids = pos.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("c_emb")
+    )
+    c_norm = F.sqrt(
+        F.aggregate(F.col("c_emb"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        e.withColumn("e_norm", _norm_spark("embedding"))
+        .crossJoin(F.broadcast(centroids.withColumn("c_norm", c_norm)))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.col("c_emb"),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("e_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").alias("assigned_cell"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )

@@ -1,0 +1,200 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language-ID heuristic,
+quality scoring, token counting, document fingerprinting — all pure JVM-side
+column expressions (no Python UDFs), designed to stream over 100 TB of
+documents with zero shuffles (per-row transforms) until the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.sources.testdata import load_tables
+
+# tiny per-language marker lexicons for the heuristic language ID
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
+
+_MOD = 1_000_000_007
+
+
+def _tokens(col="text"):
+    return F.filter(F.split(F.lower(F.col(col)), "[^a-z0-9]+"), lambda x: F.length(x) > 0)
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, n_chars,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+)
+SELECT doc_id, lang,
+       len(tokens) AS n_tokens,
+       ROUND(n_chars / len(tokens), 4) AS chars_per_token,
+       ROUND(len(list_filter(tokens, x -> len(x) >= 6)) / len(tokens), 4)
+           AS long_token_ratio,
+       ROUND(len(list_filter(tokens,
+                 x -> list_contains({list(_STOPWORDS)!r}, x))) / len(tokens), 4)
+           AS stopword_ratio,
+       ROUND(len(list_distinct(tokens)) / len(tokens), 4) AS distinct_ratio,
+       CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM toks
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features: token counts, stopword ratio, lexical
+    diversity, BPE-ish token estimate. Row-local → no shuffle at any scale."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(F.col("n_chars") / n_tokens, 4).alias("chars_per_token"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.length(x) >= 6)) / n_tokens, 4
+        ).alias("long_token_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+            / n_tokens,
+            4,
+        ).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n_tokens, 4).alias(
+            "distinct_ratio"
+        ),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    return f"len(list_filter(tokens, x -> list_contains({list(markers)!r}, x)))"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang,
+           {_lang_score_sql(_LANG_MARKERS['en'])} AS s_en,
+           {_lang_score_sql(_LANG_MARKERS['de'])} AS s_de,
+           {_lang_score_sql(_LANG_MARKERS['es'])} AS s_es,
+           {_lang_score_sql(_LANG_MARKERS['fr'])} AS s_fr,
+           {_lang_score_sql(_LANG_MARKERS['zh'])} AS s_zh
+    FROM toks
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE GREATEST(s_en, s_de, s_es, s_fr, s_zh)
+            WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+            WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang,
+       GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS best_score
+FROM scored
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (n-gram-heuristic family). Deterministic
+    argmax with alphabetical tie-break (de < en < es < fr < zh)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = _tokens()
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in _LANG_MARKERS],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _LANG_MARKERS])
+    # tie-break follows the oracle's CASE order: de, en, es, fr, zh
+    pred = (
+        F.when(best == F.col("s_de"), "de")
+        .when(best == F.col("s_en"), "en")
+        .when(best == F.col("s_es"), "es")
+        .when(best == F.col("s_fr"), "fr")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        best.alias("best_score"),
+    )
+
+
+@query(
+    "text_fingerprint_rolling_hash",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, least(len(text), 64)),
+                              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % {_MOD}) AS fingerprint,
+       len(text) AS text_len
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint over the first 64 chars
+    (content-signature family, reference
+    ``models/spark/onfy/onfy_product_analogues.sql:50-57``). Pure fold —
+    JVM-side ``aggregate`` HOF, no UDF."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = F.expr(
+        f"""aggregate(
+                transform(sequence(1, least(length(text), 64)),
+                          i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                CAST(0 AS BIGINT),
+                (acc, x) -> (acc * 31 + x) % {_MOD})"""
+    )
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.length("text").alias("text_len"),
+    )
+
+
+@query(
+    "text_corpus_stats_by_lang",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup — the bookkeeping agg every data pipeline
+    runs before/after filtering."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

@@ -1,0 +1,323 @@
+"""Window-function coverage (SURVEY.md §2.5).
+
+Reference usage: FIRST_VALUE ×192, ROW_NUMBER ×160, LEAD ×92, LAG ×71,
+RANK ×17, LAST_VALUE ×13, DENSE_RANK ×6; ROWS BETWEEN ×50, RANGE BETWEEN ×14;
+sessionization via gaps-and-islands
+(``models/spark/b2b_mart/ss/ss_events_by_session.sql:95-134``); retention
+flags via RANGE + FOLLOWING buckets over UNIX_DATE
+(``macros/gold_active_users_and_devices_with_ephemeral.sql:256-315``);
+nested aggregate-in-window SUM(SUM(x)) OVER ()
+(``macros/gold_active_users_and_devices_with_ephemeral.sql:81-82``).
+
+Scale notes: every window here partitions by a high-cardinality key
+(user_id / customer) so per-partition state is bounded; one shuffle per
+distinct partitioning, and consecutive windows sharing a partitioning
+reuse the same exchange (Catalyst collapses them into one sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.sources.testdata import load_tables, register_views
+
+
+@query(
+    "window_topk_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ROW_NUMBER (reference dedup-keep-first pattern,
+    ``models/spark/gold/gold_orders.sql:24``)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "window_running_total_per_user",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_value
+FROM events
+""",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with ROWS frame (reference rolling-sum pattern,
+    ``models/spark/category_management/joom_select_v2/js2_1688_price_index.sql:138``)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@query(
+    "window_lag_lead_gaps",
+    oracle="""
+SELECT event_id, user_id,
+       epoch_ms(ts) - epoch_ms(LAG(ts) OVER w  ) AS ms_since_prev,
+       epoch_ms(LEAD(ts) OVER w) - epoch_ms(ts) AS ms_until_next,
+       LAG(event_type, 2) OVER w AS type_2_back
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD with offsets (reference:
+    ``models/spark/engagement/user_segments.sql:123-126`` uses LAG(col, 3))."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (ms - F.unix_millis(F.lag("ts").over(w))).alias("ms_since_prev"),
+        (F.unix_millis(F.lead("ts").over(w)) - ms).alias("ms_until_next"),
+        F.lag("event_type", 2).over(w).alias("type_2_back"),
+    )
+
+
+@query(
+    "window_rank_parts_by_price",
+    oracle="""
+SELECT p_partkey, p_type,
+       RANK()       OVER (PARTITION BY p_type ORDER BY p_retailprice DESC) AS price_rank,
+       DENSE_RANK() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC) AS price_dense_rank,
+       NTILE(4)     OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS price_quartile
+FROM part
+""",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE within groups."""
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    w = Window.partitionBy("p_type").orderBy(F.col("p_retailprice").desc())
+    wt = Window.partitionBy("p_type").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return p.select(
+        "p_partkey",
+        "p_type",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(wt).alias("price_quartile"),
+    )
+
+
+@query(
+    "window_first_last_event",
+    oracle="""
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type)  OVER w AS last_type,
+       FIRST_VALUE(ts) OVER w AS first_ts
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE over an unbounded frame + DISTINCT (reference
+    dominant-attribute pattern,
+    ``macros/gold_active_users_and_devices_with_ephemeral.sql:114-115``)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.first("ts").over(w).alias("first_ts"),
+    ).distinct()
+
+
+@query(
+    "window_range_interval_7d",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                                        AND CURRENT ROW), 2) AS value_7d,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                                AND CURRENT ROW) AS n_events_7d
+FROM events
+""",
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a time interval (reference:
+    ``models/spark/search/success_by_relevance/search_success_aggregated.sql:81-90``,
+    RANGE BETWEEN INTERVAL 27 DAYS PRECEDING). The DataFrame API can't express
+    interval ranges, so this stays in SQL-text form (SURVEY.md §7)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                                                AND CURRENT ROW), 2) AS value_7d,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                                        AND CURRENT ROW) AS n_events_7d
+        FROM events
+        """
+    )
+
+
+@query(
+    "window_retention_flags",
+    oracle="""
+WITH daily AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), numbered AS (
+    SELECT user_id, day,
+           CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num
+    FROM daily
+)
+SELECT user_id, day,
+       CASE WHEN COUNT(*) OVER (PARTITION BY user_id ORDER BY day_num
+                                RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING) > 0
+            THEN 1 ELSE 0 END AS rd1,
+       CASE WHEN COUNT(*) OVER (PARTITION BY user_id ORDER BY day_num
+                                RANGE BETWEEN 1 FOLLOWING AND 7 FOLLOWING) > 0
+            THEN 1 ELSE 0 END AS rw1,
+       CASE WHEN COUNT(*) OVER (PARTITION BY user_id ORDER BY day_num
+                                RANGE BETWEEN 8 FOLLOWING AND 14 FOLLOWING) > 0
+            THEN 1 ELSE 0 END AS rw2
+FROM numbered
+""",
+)
+def window_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention flags via RANGE + FOLLOWING buckets over UNIX_DATE
+    (reference rd1/rw1/rw2 flags,
+    ``macros/gold_active_users_and_devices_with_ephemeral.sql:256-315``)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    numbered = daily.withColumn("day_num", F.unix_date(F.col("day")).cast("long"))
+    base = Window.partitionBy("user_id").orderBy("day_num")
+
+    def active_in(lo: int, hi: int):
+        return (
+            F.when(F.count(F.lit(1)).over(base.rangeBetween(lo, hi)) > 0, 1)
+            .otherwise(0)
+        )
+
+    return numbered.select(
+        "user_id",
+        "day",
+        active_in(1, 1).alias("rd1"),
+        active_in(1, 7).alias("rw1"),
+        active_in(8, 14).alias("rw2"),
+    )
+
+
+@query(
+    "window_sessionization",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER (PARTITION BY user_id
+                                                           ORDER BY ts, event_id))
+                     > 3600000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+), sessions AS (
+    SELECT user_id, ts, event_id, value,
+           SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def window_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: LAG → new-session flag → running SUM
+    → session aggregate (reference
+    ``models/spark/b2b_mart/ss/ss_events_by_session.sql:95-134``). 1h gap."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    flagged = ev.withColumn(
+        "is_new_session",
+        F.when(
+            prev_ts.isNull()
+            | ((F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts)) > 3600000),
+            1,
+        ).otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("is_new_session").over(run)
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@query(
+    "window_nested_agg_share",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       ROUND(SUM(o_totalprice) / SUM(SUM(o_totalprice)) OVER (), 6) AS revenue_share
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def window_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aggregate-in-window SUM(SUM(x)) OVER () (reference
+    ``macros/gold_active_users_and_devices_with_ephemeral.sql:81-82``).
+    Kept in SQL form — Spark SQL supports the nesting directly."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               ROUND(SUM(o_totalprice) / SUM(SUM(o_totalprice)) OVER (), 6)
+                   AS revenue_share
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
