@@ -44,6 +44,7 @@ def load_all() -> dict[str, Query]:
         aggregates,
         arrays,
         dedup,
+        engine_gate,
         joins,
         multimodal,
         relational,

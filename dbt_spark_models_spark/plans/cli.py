@@ -1,0 +1,77 @@
+"""CLI: the in-process equivalent of the reference's dbt invocations
+(``run_production.sh:36``, ``snapshot_production.sh:68``, ``test.sh:13``).
+
+    python -m dbt_spark_models_spark.plans.cli run --project examples/mini_mart \\
+        --vars '{"sf_dir": "/root/testdata/sf0.001"}' --select tag:mart
+    python -m dbt_spark_models_spark.plans.cli build --project ... --database mart
+    python -m dbt_spark_models_spark.plans.cli compile --project ...  # render only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="spark-models-engine")
+    ap.add_argument(
+        "command", choices=["run", "seed", "snapshot", "test", "build", "compile"]
+    )
+    ap.add_argument("--project", required=True)
+    ap.add_argument("--database", default=None)
+    ap.add_argument("--select", nargs="*", default=None)
+    ap.add_argument("--exclude", nargs="*", default=None)
+    ap.add_argument("--vars", default="{}", help="JSON dict")
+    ap.add_argument("--full-refresh", action="store_true")
+    args = ap.parse_args(argv)
+
+    from dbt_spark_models_spark.plans import Project, Runner
+    from dbt_spark_models_spark.session import get_spark
+
+    project = Project.load(args.project)
+    spark = get_spark(f"engine:{project.name}")
+    runner = Runner(
+        spark=spark,
+        project=project,
+        database=args.database,
+        vars=json.loads(args.vars),
+    )
+
+    if args.command == "compile":
+        from dbt_spark_models_spark.plans import graph
+
+        for name in graph.select_nodes(project, args.select, args.exclude):
+            node = project.models[name]
+            print(f"-- model: {name} {node.config}")
+            print(runner._compile(node, is_incremental=False))
+            print()
+        return 0
+
+    if args.command == "run":
+        results = runner.run(args.select, args.exclude, args.full_refresh)
+    elif args.command == "seed":
+        results = runner.seed()
+    elif args.command == "snapshot":
+        results = runner.snapshot()
+    elif args.command == "test":
+        results = runner.test()
+    else:
+        results = runner.build(
+            select=args.select, exclude=args.exclude, full_refresh=args.full_refresh
+        )
+
+    worst = 0
+    for r in results:
+        line = f"{r.status.upper():8} {r.kind:8} {r.node} ({r.action}) {r.seconds:.2f}s"
+        if r.message:
+            line += f" — {r.message}"
+        print(line)
+        if r.status in ("error", "fail"):
+            worst = 1
+    return worst
+
+
+if __name__ == "__main__":
+    sys.exit(main())

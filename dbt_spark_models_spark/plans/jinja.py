@@ -1,0 +1,111 @@
+"""Jinja rendering layer (SURVEY.md §3.1 stages 2+4).
+
+Two passes, like dbt:
+
+1. **parse pass** — render with capturing stubs to extract ``config()``
+   kwargs and ``ref()``/``source()`` dependency edges (manifest building,
+   ``infra/dbtjoom/load.py:33-58`` models the result).
+2. **compile pass** — render with resolving implementations so the output
+   is executable Spark SQL text: ``ref('m')`` → target identifier,
+   ``var('start_date_ymd')`` → literal, ``is_incremental()`` → bool branch
+   (the reference's compile-time control flow, SURVEY.md §7 "What's hard" —
+   predicates must become literals *before* submission so Catalyst can
+   prune partitions statically, SURVEY.md §4).
+
+Supports project macros: ``macros/*.sql`` files containing
+``{% macro name(args) %}...{% endmacro %}`` are preloaded into the
+environment (reference: ``macros/format_time.sql:1-5`` and the 405-line
+model generator ``macros/gold_active_users_and_devices_with_ephemeral.sql``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jinja2
+
+from dbt_spark_models_spark.plans.project import ModelNode, Project
+
+
+def _macro_source(project: Project) -> str:
+    mdir = os.path.join(project.root, "macros")
+    chunks = []
+    if os.path.isdir(mdir):
+        for fn in sorted(os.listdir(mdir)):
+            if fn.endswith(".sql"):
+                with open(os.path.join(mdir, fn)) as f:
+                    chunks.append(f.read())
+    return "\n".join(chunks)
+
+
+def _env(project: Project) -> jinja2.Environment:
+    env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+    macros = _macro_source(project)
+    if macros:
+        module = env.from_string(macros).module
+        for attr in dir(module):
+            if not attr.startswith("_"):
+                env.globals[attr] = getattr(module, attr)
+    return env
+
+
+def parse_node(project: Project, node: ModelNode) -> None:
+    """Parse pass: capture config + deps into the node (in place)."""
+    captured_cfg: dict[str, Any] = {}
+    deps: list[str] = []
+    srcs: list[tuple[str, str]] = []
+
+    def config(**kw: Any) -> str:
+        captured_cfg.update(kw)
+        return ""
+
+    def ref(name: str) -> str:
+        deps.append(name)
+        return name
+
+    def source(schema: str, table: str) -> str:
+        srcs.append((schema, table))
+        return f"{schema}.{table}"
+
+    env = _env(project)
+    tmpl = env.from_string(node.raw_sql)
+    tmpl.render(
+        config=config,
+        ref=ref,
+        source=source,
+        var=lambda k, default=None: project.vars.get(k, default),
+        is_incremental=lambda: False,
+        this=node.name,
+    )
+    node.config = {**project.model_defaults, **captured_cfg}
+    node.depends_on = deps
+    node.sources = srcs
+
+
+def compile_node(
+    project: Project,
+    node: ModelNode,
+    resolve_ref,
+    resolve_source,
+    vars: dict[str, Any],
+    is_incremental: bool,
+    this: str,
+) -> str:
+    """Compile pass: produce executable Spark SQL text."""
+    env = _env(project)
+    tmpl = env.from_string(node.raw_sql)
+    merged_vars = {**project.vars, **vars}
+
+    def var(k: str, default: Any = None) -> Any:
+        return merged_vars.get(k, default)
+
+    sql = tmpl.render(
+        config=lambda **kw: "",
+        ref=resolve_ref,
+        source=resolve_source,
+        var=var,
+        is_incremental=lambda: is_incremental,
+        this=this,
+    )
+    return sql.strip().rstrip(";")

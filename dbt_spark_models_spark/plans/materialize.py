@@ -1,0 +1,149 @@
+"""Materializations (SURVEY.md §2.1 sinks; §3.1 stage 5).
+
+Reference semantics reproduced Spark-first:
+
+- **view**: CREATE OR REPLACE VIEW (``creater_view.sql:1-7``).
+- **table**: CTAS, partitioned, parquet by default
+  (``create_table.sql:20-38``).
+- **incremental / insert_overwrite**: with ``partition_by`` only touched
+  partitions are replaced (dynamic partitionOverwriteMode — set in
+  session.py); without it the whole table is overwritten — matching
+  dbt-spark exactly (SURVEY.md §7 "What's hard").
+- **incremental / append**: pure append (``fact_table_update.sql:8-16``).
+- **on_schema_change**: ignore | append_new_columns | sync_all_columns
+  (schema diff + ALTER TABLE ADD COLUMNS, SURVEY.md §4 custom-touch (c)).
+- **seed**: CSV → table with inferred schema (``seeds/properties.yml``).
+
+Scale notes: insert_overwrite writes shuffle-free when the upstream plan
+already partitions by the partition keys; the engine honors model-level
+DISTRIBUTE BY in the SQL text (SURVEY.md §2.6) rather than injecting its
+own repartition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class MaterializeResult:
+    identifier: str
+    action: str  # created | replaced | overwritten_partitions | appended | view
+    rows: int | None = None
+
+
+def _qualify(database: str | None, name: str) -> str:
+    return f"{database}.{name}" if database else name
+
+
+def table_exists(spark: SparkSession, database: str | None, name: str) -> bool:
+    return spark.catalog.tableExists(_qualify(database, name))
+
+
+def _align_columns(
+    spark: SparkSession, df: DataFrame, target: str, on_schema_change: str
+) -> DataFrame:
+    """Reconcile df schema with the target table before insertInto
+    (positional). Implements on_schema_change."""
+    from pyspark.sql import functions as F
+
+    tgt_fields = spark.table(target).schema.fields
+    tgt_names = [f.name for f in tgt_fields]
+    src_names = set(df.columns)
+    new_cols = [c for c in df.columns if c not in tgt_names]
+
+    if new_cols and on_schema_change in ("append_new_columns", "sync_all_columns"):
+        ddl = ", ".join(
+            f"`{c}` {df.schema[c].dataType.simpleString()}" for c in new_cols
+        )
+        spark.sql(f"ALTER TABLE {target} ADD COLUMNS ({ddl})")
+        tgt_fields = spark.table(target).schema.fields
+        tgt_names = [f.name for f in tgt_fields]
+
+    cols = []
+    for f in tgt_fields:
+        if f.name in src_names:
+            cols.append(F.col(f.name).cast(f.dataType))
+        else:
+            # column exists in target but not increment → NULL-fill
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def materialize(
+    spark: SparkSession,
+    name: str,
+    sql: str,
+    config: dict[str, Any],
+    database: str | None = None,
+    full_refresh: bool = False,
+    first_run_sql: str | None = None,
+) -> MaterializeResult:
+    """Execute one model's compiled SQL under its materialization.
+
+    ``sql`` is the incremental-rendered text; ``first_run_sql`` the
+    non-incremental render (used when the target doesn't exist yet).
+    """
+    mat = config.get("materialized", "view")
+    ident = _qualify(database, name)
+
+    if mat == "view":
+        spark.sql(f"CREATE OR REPLACE VIEW {ident} AS {sql}")
+        return MaterializeResult(ident, "view")
+
+    if mat == "ephemeral":
+        # inlined by ref resolution; nothing to execute
+        return MaterializeResult(ident, "ephemeral")
+
+    file_format = config.get("file_format", "parquet")
+    partition_by = config.get("partition_by")
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+
+    def create_as(select_sql: str, action: str) -> MaterializeResult:
+        df = spark.sql(select_sql)
+        writer = df.write.mode("overwrite").format(file_format)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.saveAsTable(ident)
+        return MaterializeResult(ident, action)
+
+    if mat == "table":
+        return create_as(sql, "replaced" if table_exists(spark, database, name) else "created")
+
+    if mat == "incremental":
+        exists = table_exists(spark, database, name)
+        if not exists or full_refresh:
+            return create_as(first_run_sql or sql, "created")
+        strategy = config.get("incremental_strategy", "insert_overwrite")
+        osc = config.get("on_schema_change", "ignore")
+        df = _align_columns(spark, spark.sql(sql), ident, osc)
+        if strategy == "append":
+            df.write.mode("append").insertInto(ident)
+            return MaterializeResult(ident, "appended")
+        # insert_overwrite: dynamic mode replaces only partitions present
+        # in the increment; without partition_by this overwrites the table
+        # (dbt-spark parity, SURVEY.md §7)
+        df.write.mode("overwrite").insertInto(ident)
+        return MaterializeResult(
+            ident, "overwritten_partitions" if partition_by else "overwritten"
+        )
+
+    raise ValueError(f"unknown materialization {mat!r} for {name}")
+
+
+def load_seed(
+    spark: SparkSession, name: str, csv_path: str, database: str | None = None
+) -> MaterializeResult:
+    """CSV seed → table (header + schema inference, like dbt agate typing)."""
+    ident = _qualify(database, name)
+    df = (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .csv(csv_path)
+    )
+    df.write.mode("overwrite").format("parquet").saveAsTable(ident)
+    return MaterializeResult(ident, "seeded", rows=df.count())

@@ -1,0 +1,235 @@
+"""Project runner: seeds → models (topo order) → snapshots → tests.
+
+The in-process equivalent of the reference's ``dbt run`` lifecycle
+(SURVEY.md §3.1): parse → select → render → materialize → execute →
+run_results. The Thrift hop is gone; compiled SQL goes straight to the
+session's Catalyst. Serial execution mirrors the reference's ``threads: 1``
+(its parallelism came from Airflow fan-out, §3.4 — at cluster scale each
+model is one Spark job and the cluster parallelizes *within* the job).
+
+Failed-run hygiene (reference ``cleanup.py:100-125``): a model that fails
+mid-CTAS leaves no committed table because saveAsTable is atomic-ish per
+table; the runner records the error and continues with nodes that don't
+depend on it (downstream dependents are skipped).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from dbt_spark_models_spark.plans import graph, jinja
+from dbt_spark_models_spark.plans.materialize import load_seed, materialize
+from dbt_spark_models_spark.plans.project import Project
+from dbt_spark_models_spark.plans.snapshots import snapshot
+
+
+@dataclass
+class RunResult:
+    node: str
+    kind: str
+    status: str  # success | error | skipped | fail(test)
+    action: str = ""
+    seconds: float = 0.0
+    message: str = ""
+
+
+@dataclass
+class Runner:
+    spark: SparkSession
+    project: Project
+    database: str | None = None
+    vars: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.database:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.database}")
+        for node in list(self.project.models.values()) + list(
+            self.project.snapshots.values()
+        ):
+            jinja.parse_node(self.project, node)
+        self._ephemeral_sql: dict[str, str] = {}
+
+    # --- name resolution -------------------------------------------------
+    def _resolve_ref(self, name: str) -> str:
+        node = self.project.models.get(name)
+        if node and node.config.get("materialized") == "ephemeral":
+            return f"({self._ephemeral_sql[name]})"
+        if name in self.project.seeds or node is not None or name in self.project.snapshots:
+            return f"{self.database}.{name}" if self.database else name
+        raise KeyError(f"ref() to unknown node {name!r}")
+
+    def _resolve_source(self, schema: str, table: str) -> str:
+        mapping = self.project.sources.get(schema, {})
+        target = mapping.get(table)
+        if target is None:
+            raise KeyError(f"source({schema!r}, {table!r}) not declared in project.yml")
+        if str(target).endswith(".parquet") or "/" in str(target):
+            from dbt_spark_models_spark.sources.testdata import (
+                _ns_timestamp_columns,
+            )
+
+            path = str(target).format(**{**self.project.vars, **self.vars})
+            # persistent view over the file (temp views can't back
+            # persistent model views), with TIMESTAMP(NANOS) columns
+            # converted SQL-side
+            name = f"src_{schema}_{table}"
+            view = f"{self.database}.{name}" if self.database else name
+            ns_cols = set(_ns_timestamp_columns(path))
+            fields = self.spark.read.parquet(path).schema.fieldNames()
+            proj = ", ".join(
+                f"timestamp_micros(`{c}` div 1000) AS `{c}`"
+                if c in ns_cols
+                else f"`{c}`"
+                for c in fields
+            )
+            if self.database:
+                self.spark.sql(
+                    f"CREATE OR REPLACE VIEW {view} AS"
+                    f" SELECT {proj} FROM parquet.`{path}`"
+                )
+            else:
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {name} AS"
+                    f" SELECT {proj} FROM parquet.`{path}`"
+                )
+            return view
+        return str(target)
+
+    def _compile(self, node, is_incremental: bool) -> str:
+        ident = f"{self.database}.{node.name}" if self.database else node.name
+        return jinja.compile_node(
+            self.project,
+            node,
+            self._resolve_ref,
+            self._resolve_source,
+            self.vars,
+            is_incremental,
+            ident,
+        )
+
+    # --- lifecycle -------------------------------------------------------
+    def seed(self) -> list[RunResult]:
+        out = []
+        for name, path in self.project.seeds.items():
+            t0 = time.time()
+            try:
+                res = load_seed(self.spark, name, path, self.database)
+                out.append(
+                    RunResult(name, "seed", "success", res.action, time.time() - t0)
+                )
+            except Exception as e:  # noqa: BLE001
+                out.append(
+                    RunResult(name, "seed", "error", "", time.time() - t0, str(e))
+                )
+        return out
+
+    def run(
+        self,
+        select: list[str] | None = None,
+        exclude: list[str] | None = None,
+        full_refresh: bool = False,
+    ) -> list[RunResult]:
+        order = graph.select_nodes(self.project, select, exclude)
+        failed: set[str] = set()
+        out: list[RunResult] = []
+        for name in order:
+            node = self.project.models[name]
+            if any(d in failed for d in node.depends_on):
+                out.append(RunResult(name, "model", "skipped", message="upstream failed"))
+                failed.add(name)
+                continue
+            t0 = time.time()
+            try:
+                if node.config.get("materialized") == "ephemeral":
+                    self._ephemeral_sql[name] = self._compile(node, False)
+                    out.append(RunResult(name, "model", "success", "ephemeral"))
+                    continue
+                from dbt_spark_models_spark.plans.materialize import table_exists
+
+                exists = table_exists(self.spark, self.database, name)
+                inc_sql = self._compile(
+                    node, is_incremental=exists and not full_refresh
+                )
+                first_sql = (
+                    inc_sql
+                    if (exists and not full_refresh)
+                    else self._compile(node, is_incremental=False)
+                )
+                res = materialize(
+                    self.spark,
+                    name,
+                    inc_sql,
+                    node.config,
+                    self.database,
+                    full_refresh=full_refresh,
+                    first_run_sql=first_sql,
+                )
+                out.append(
+                    RunResult(name, "model", "success", res.action, time.time() - t0)
+                )
+            except Exception as e:  # noqa: BLE001
+                failed.add(name)
+                out.append(
+                    RunResult(name, "model", "error", "", time.time() - t0, str(e))
+                )
+        return out
+
+    def snapshot(self, run_ts: str | None = None) -> list[RunResult]:
+        out = []
+        for name, node in self.project.snapshots.items():
+            t0 = time.time()
+            try:
+                sql = self._compile(node, is_incremental=False)
+                res = snapshot(
+                    self.spark,
+                    name,
+                    self.spark.sql(sql),
+                    node.config,
+                    self.database,
+                    run_ts=run_ts,
+                )
+                out.append(
+                    RunResult(name, "snapshot", "success", res.action, time.time() - t0)
+                )
+            except Exception as e:  # noqa: BLE001
+                out.append(
+                    RunResult(name, "snapshot", "error", "", time.time() - t0, str(e))
+                )
+        return out
+
+    def test(self) -> list[RunResult]:
+        """Singular data tests: a test passes when its query returns 0 rows
+        (reference ``tests/spark/pulse/*``, SURVEY.md §5)."""
+        out = []
+        for name, node in self.project.tests.items():
+            t0 = time.time()
+            try:
+                sql = self._compile(node, is_incremental=False)
+                n = self.spark.sql(sql).count()
+                out.append(
+                    RunResult(
+                        name,
+                        "test",
+                        "success" if n == 0 else "fail",
+                        seconds=time.time() - t0,
+                        message="" if n == 0 else f"{n} failing rows",
+                    )
+                )
+            except Exception as e:  # noqa: BLE001
+                out.append(
+                    RunResult(name, "test", "error", "", time.time() - t0, str(e))
+                )
+        return out
+
+    def build(self, run_ts: str | None = None, **kw) -> list[RunResult]:
+        """seeds → models → snapshots → tests (dbt build ordering)."""
+        return [
+            *self.seed(),
+            *self.run(**kw),
+            *self.snapshot(run_ts=run_ts),
+            *self.test(),
+        ]

@@ -36,6 +36,40 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ns_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (pyarrow inspection)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        target = path
+        if os.path.isdir(path):
+            inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not inner:
+                return []
+            target = os.path.join(path, inner[0])
+        schema = pq.read_schema(target)
+        return [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:  # noqa: BLE001
+        return []
+
+
+def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with TIMESTAMP(NANOS) columns converted to µs
+    timestamps (Spark rejects ns natively; with
+    spark.sql.legacy.parquet.nanosAsLong they surface as long — we floor-
+    divide to µs, matching DuckDB's ns→µs cast)."""
+    df = spark.read.parquet(path)
+    for col in _ns_timestamp_columns(path):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
 ) -> dict[str, DataFrame]:
@@ -44,17 +78,7 @@ def load_tables(
     for name in names or TABLES:
         p = table_path(sf_dir, name)
         if os.path.exists(p):
-            df = spark.read.parquet(p)
-            # TIMESTAMP(NANOS) columns surface as long under
-            # spark.sql.legacy.parquet.nanosAsLong — convert to µs
-            # timestamps (floor, identical to DuckDB's ns→µs cast)
-            if name == "events" and isinstance(
-                df.schema["ts"].dataType, T.LongType
-            ):
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
-            out[name] = df
+            out[name] = read_parquet_normalized(spark, p)
     return out
 
 

@@ -1,5 +1,6 @@
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -12,7 +13,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from dbt_spark_models_spark.session import get_spark
 
-    s = get_spark("tests", shuffle_partitions=8)
+    # fresh warehouse per test session: DROP DATABASE CASCADE can't clean
+    # locations left by a previous JVM, so never reuse one
+    s = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-")},
+    )
     yield s
 
 
