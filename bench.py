@@ -44,8 +44,10 @@ def main() -> None:
     spark = get_spark("bench")
     registry = load_all()
 
-    # warm up the JVM + parquet footer caches
+    # warm up the JVM, Hadoop FS, and parquet reader paths so the first
+    # measured query doesn't pay one-time class-init costs
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

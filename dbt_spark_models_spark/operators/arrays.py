@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_spark_models_spark.operators import query
-from dbt_spark_models_spark.sources.testdata import load_tables
+from dbt_spark_models_spark.sources.testdata import load_tables, spread
 
 
 def _tokens(col="text"):
@@ -236,7 +236,7 @@ def array_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     for embedding math (no Python UDF). Both engines compute in float64 on
     exactly the same float32 inputs, so results match bit-for-bit before
     rounding."""
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     sq_sum = F.aggregate(
         "embedding",
         F.lit(0.0),

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_spark_models_spark.operators import query
-from dbt_spark_models_spark.sources.testdata import load_tables
+from dbt_spark_models_spark.sources.testdata import load_tables, spread
 
 _MOD = 1_000_000_007
 # 16 fixed (a, b) affine permutation constants for MinHash
@@ -149,7 +149,7 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound the demo; the unrestricted scale path is dedup_minhash_lsh, which
     prunes candidates by banding instead of a full posting join."""
     d = (
-        load_tables(spark, sf_dir, ("documents",))["documents"]
+        spread(load_tables(spark, sf_dir, ("documents",))["documents"])
         .filter(F.col("doc_id") < 100)
     )
     tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
@@ -194,15 +194,19 @@ WITH tok AS (
            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                        x -> len(x) > 0) AS tokens
     FROM documents
-), shingle AS (
-    SELECT DISTINCT doc_id,
-           unnest(list_transform(generate_series(1, len(tokens) - 2),
-                  i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
-               AS shingle
+), th AS (
+    SELECT doc_id,
+           list_transform(tokens, t -> { _polyhash_duck('t') }) AS hts
     FROM tok
     WHERE len(tokens) >= 3
+), shingle AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(generate_series(1, len(hts) - 2),
+                  i -> (hts[i] * 1000003 + hts[i+1] * 31 + hts[i+2]) % {_MOD})))
+               AS tid
+    FROM th
 ), hashed AS (
-    SELECT doc_id, { _polyhash_duck('shingle') } AS tid FROM shingle
+    SELECT doc_id, tid FROM shingle
 ), minh AS (
     SELECT doc_id, perms.i AS i, MIN((perms.a * tid + perms.b) % {_MOD}) AS mh
     FROM hashed CROSS JOIN {_perm_values_sql()}
@@ -218,10 +222,10 @@ WITH tok AS (
 ), sizes AS (
     SELECT doc_id, COUNT(*) AS sz FROM shingle GROUP BY doc_id
 ), verified AS (
-    SELECT c.doc_a, c.doc_b, COUNT(s2.shingle) AS n_common
+    SELECT c.doc_a, c.doc_b, COUNT(s2.tid) AS n_common
     FROM cand c
     JOIN shingle s1 ON s1.doc_id = c.doc_a
-    LEFT JOIN shingle s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+    LEFT JOIN shingle s2 ON s2.doc_id = c.doc_b AND s2.tid = s1.tid
     GROUP BY c.doc_a, c.doc_b
 )
 SELECT v.doc_a, v.doc_b,
@@ -240,54 +244,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     No all-pairs stage exists anywhere: candidate generation is a shuffle
     on band signatures, verification joins only surviving candidate pairs.
     """
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     tok = d.select("doc_id", _tokens().alias("tokens")).filter(
         F.size("tokens") >= 3
     )
-    shingle = tok.select(
+    # hash each TOKEN once (each char read once, not 3× per overlapping
+    # shingle), combine token hashes per shingle arithmetically, and
+    # dedupe row-locally with array_distinct — no shuffle until the
+    # minhash aggregate
+    th = tok.select(
+        "doc_id",
+        F.expr(f"transform(tokens, t -> { _polyhash_spark('t') })").alias("hts"),
+    )
+    shingle = th.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(tokens) - 2),"
-                " i -> concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1]))"
+                "array_distinct(transform(sequence(1, size(hts) - 2),"
+                f" i -> (hts[i-1] * 1000003 + hts[i] * 31 + hts[i+1]) % {_MOD}))"
             )
-        ).alias("shingle"),
-    ).distinct()
-    hashed = shingle.select(
-        "doc_id", F.expr(_polyhash_spark("shingle")).alias("tid")
+        ).alias("tid"),
     )
-    perm_arr = F.array(
+    hashed = shingle
+    # all 16 minhashes in ONE aggregate pass (no 16× row expansion, no
+    # second shuffle): min((a_i*tid + b_i) % p) as 16 parallel agg columns
+    minh = hashed.groupBy("doc_id").agg(
         *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(a).cast("long").alias("a"),
-                F.lit(b).cast("long").alias("b"),
-            )
+            F.min((F.lit(a) * F.col("tid") + F.lit(b)) % _MOD).alias(f"mh{i}")
             for i, (a, b) in enumerate(_PERMS)
         ]
     )
-    minh = (
-        hashed.select("doc_id", "tid", F.explode(perm_arr).alias("p"))
-        .select(
-            "doc_id",
-            F.col("p.i").alias("i"),
-            ((F.col("p.a") * F.col("tid") + F.col("p.b")) % _MOD).alias("h"),
+    # bands as row-local concat + posexplode (no shuffle)
+    band_cols = [
+        F.concat_ws(
+            "-",
+            *[
+                F.col(f"mh{i}").cast("string")
+                for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+            ],
         )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
-    )
-    bands = (
-        minh.withColumn("band", (F.col("i") / _ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda x: x.getField("mh").cast("string"),
-                ),
-                "-",
-            ).alias("band_sig")
-        )
+        for b in range(_N_BANDS)
+    ]
+    bands = minh.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_sig")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -309,11 +308,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             s2,
             (F.col("s2.doc_id") == F.col("doc_b"))
-            & (F.col("s2.shingle") == F.col("s1.shingle")),
+            & (F.col("s2.tid") == F.col("s1.tid")),
             "left",
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.col("s2.shingle")).alias("n_common"))
+        .agg(F.count(F.col("s2.tid")).alias("n_common"))
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
@@ -350,7 +349,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit here; 64-bit in production) — bitwise majority vote
     over token hashes. Equal/near fingerprints cluster near-duplicates;
     computing it is two hash aggregates, no pairwise stage at all."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
     )

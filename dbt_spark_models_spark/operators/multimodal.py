@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dbt_spark_models_spark.operators import query
-from dbt_spark_models_spark.sources.testdata import load_tables
+from dbt_spark_models_spark.sources.testdata import load_tables, spread
 
 _FEATURE_SCHEMA = T.StructType(
     [
@@ -88,7 +88,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     text — documents are ASCII so byte stats equal char stats, which is what
     lets the DuckDB oracle verify the Pandas-UDF plumbing end-to-end), then
     extract features via ``mapInPandas``."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     with_payload = d.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
@@ -100,7 +100,7 @@ def multimodal_metadata_partition_plan(spark: SparkSession, sf_dir: str) -> Data
     """Typed-metadata layer: size-bucket partitioning plan for balanced
     Arrow batches (what you'd ``repartitionByRange`` on before heavy decode
     at 100 TB). Rows-only check: the plan is engine-internal."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     meta = d.select(
         "doc_id",
         F.struct(

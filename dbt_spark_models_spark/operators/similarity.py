@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_spark_models_spark.operators import query
-from dbt_spark_models_spark.sources.testdata import load_tables
+from dbt_spark_models_spark.sources.testdata import load_tables, spread
 
 _DIM = 64
 _N_PLANES = 8
@@ -148,7 +148,7 @@ def similarity_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 sign bits put similar vectors in the same bucket, so search probes
     one bucket (plus neighbors) instead of scanning the corpus. Output is
     the bucket histogram."""
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     bits = []
     for j in range(_N_PLANES):
         h = F.array(*[F.lit(float(v)) for v in _plane(j)])
@@ -208,7 +208,7 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     The centroid averages are order-sensitive in the last float ulp, so
     cosines are rounded to 6dp before the argmax to stay deterministic.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     # per-position averages: explode once, aggregate by (label, pos)
     pos = (
         e.select("label", F.posexplode("embedding").alias("i", "x"))

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_spark_models_spark.operators import query
-from dbt_spark_models_spark.sources.testdata import load_tables
+from dbt_spark_models_spark.sources.testdata import load_tables, spread
 
 # tiny per-language marker lexicons for the heuristic language ID
 _LANG_MARKERS = {
@@ -159,7 +159,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (content-signature family, reference
     ``models/spark/onfy/onfy_product_analogues.sql:50-57``). Pure fold —
     JVM-side ``aggregate`` HOF, no UDF."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     fp = F.expr(
         f"""aggregate(
                 transform(sequence(1, least(length(text), 64)),

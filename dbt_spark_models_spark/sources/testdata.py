@@ -82,6 +82,20 @@ def load_tables(
     return out
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    Small single-file inputs arrive as ONE partition, serializing every
+    downstream per-row computation; CPU-heavy stages (hashing, shingling,
+    vector math) must spread first. At 100 TB inputs are already thousands
+    of splits and this becomes a cheap no-op-ish rebalance; AQE coalesces
+    any excess. Never changes results — only physical layout."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
 ) -> dict[str, DataFrame]:
