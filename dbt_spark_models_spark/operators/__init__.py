@@ -48,8 +48,10 @@ def load_all() -> dict[str, Query]:
         joins,
         multimodal,
         relational,
+        relational2,
         scalars,
         similarity,
+        streaming_gate,
         text,
         windows,
     )

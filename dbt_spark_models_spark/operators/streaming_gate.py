@@ -1,0 +1,66 @@
+"""Correctness-gate wrappers for the Structured Streaming pipelines.
+
+Each runs a real streaming query (readStream → watermark → windowed /
+session aggregation → memory sink, driven to completion) and is verified
+against a DuckDB batch oracle computing the same semantics — proving the
+streaming and batch paths agree, which is what lets the engine swap the
+reference's nightly-batch event handling (SURVEY.md §2.10) for continuous
+ingest without changing results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbt_spark_models_spark.operators import query
+
+
+@query(
+    "streaming_daily_type_counts",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY day, event_type
+""",
+)
+def streaming_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day streaming windows ≡ batch daily group-by."""
+    from dbt_spark_models_spark.streaming import stream_daily_type_counts
+
+    return stream_daily_type_counts(spark, sf_dir)
+
+
+@query(
+    "streaming_session_counts",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-min gap) ≡ batch
+    gaps-and-islands with session_end = last event + gap."""
+    from dbt_spark_models_spark.streaming import stream_session_counts
+
+    return stream_session_counts(spark, sf_dir)

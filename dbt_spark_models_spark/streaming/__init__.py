@@ -1,0 +1,6 @@
+from dbt_spark_models_spark.streaming.pipelines import (
+    stream_daily_type_counts,
+    stream_session_counts,
+)
+
+__all__ = ["stream_daily_type_counts", "stream_session_counts"]

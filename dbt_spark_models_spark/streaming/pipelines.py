@@ -1,0 +1,106 @@
+"""Structured Streaming pipelines.
+
+The reference has NO true streaming (SURVEY.md §2.10): events land in
+daily-partitioned tables and late data is handled by re-overwriting a
+lookback window in batch. These pipelines are the optional-headroom
+equivalents: the same event semantics expressed with readStream +
+watermarks, so the engine can ingest continuously instead of re-running
+nightly batch.
+
+Local smoke strategy (per the PySpark guide): drive a finite parquet
+directory through the streaming query with ``processAllAvailable()`` into
+a memory sink, then read the sink table — deterministic, synchronous, and
+comparable to a batch oracle.
+
+Scale notes: tumbling-window and session-window aggregations keep state
+per (window, key) in the state store; watermarks bound that state. The
+memory sink is test-only — production uses parquet/kafka sinks with
+checkpointing.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.sources.testdata import read_parquet_normalized, table_path
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the batch-derived schema.
+
+    The ns-timestamp conversion is applied on the stream exactly as in
+    batch (streams are just unbounded DataFrames — same expressions work).
+    """
+    import os
+
+    path = table_path(sf_dir, "events")
+    batch = spark.read.parquet(path)
+    # file streams require a directory; stage the single file via symlink
+    stream_dir = path
+    if os.path.isfile(path):
+        stream_dir = tempfile.mkdtemp(prefix="stream-src-")
+        os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    ts_type = dict(batch.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(name)
+
+
+def stream_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window × event_type counts with a 1-hour watermark.
+    Complete mode → every window emitted, equal to the batch group-by."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) per user — the streaming twin of
+    the batch gaps-and-islands sessionization (SURVEY.md §2.5)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
