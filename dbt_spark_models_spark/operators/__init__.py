@@ -45,8 +45,10 @@ def load_all() -> dict[str, Query]:
         arrays,
         dedup,
         engine_gate,
+        formats,
         joins,
         multimodal,
+        nested,
         relational,
         relational2,
         scalars,

@@ -17,7 +17,8 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="spark-models-engine")
     ap.add_argument(
-        "command", choices=["run", "seed", "snapshot", "test", "build", "compile"]
+        "command",
+        choices=["run", "seed", "snapshot", "test", "build", "compile", "lint"],
     )
     ap.add_argument("--project", required=True)
     ap.add_argument("--database", default=None)
@@ -28,9 +29,29 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     from dbt_spark_models_spark.plans import Project, Runner
-    from dbt_spark_models_spark.session import get_spark
 
     project = Project.load(args.project)
+
+    if args.command == "lint":
+        # no Spark session needed: parse + policy checks only
+        from dbt_spark_models_spark.plans import jinja
+        from dbt_spark_models_spark.plans.lint import lint_project
+
+        for node in list(project.models.values()) + list(
+            project.snapshots.values()
+        ):
+            jinja.parse_node(project, node)
+        issues = lint_project(
+            project, require_owner=False, require_file_format=False
+        )
+        strict = lint_project(project)
+        for i in strict:
+            sev = "ERROR" if i in issues else "WARN"
+            print(f"{sev:5} [{i.rule}] {i.node}: {i.message}")
+        return 1 if issues else 0
+
+    from dbt_spark_models_spark.session import get_spark
+
     spark = get_spark(f"engine:{project.name}")
     runner = Runner(
         spark=spark,

@@ -295,3 +295,29 @@ def test_scd2_check_strategy(spark):
     assert t.count() == 2
     cur = t.filter("dbt_valid_to IS NULL").collect()
     assert len(cur) == 1 and cur[0]["price"] == 175
+
+
+def test_lint_policy(project_dir):
+    from dbt_spark_models_spark.plans import jinja
+    from dbt_spark_models_spark.plans.lint import lint_project
+
+    project = Project.load(project_dir)
+    for node in project.models.values():
+        jinja.parse_node(project, node)
+    issues = lint_project(project)
+    rules = {i.rule for i in issues}
+    # models in the fixture have no meta.model_owner → flagged
+    assert "model_owner" in rules
+    # incremental model has no explicit file_format → flagged
+    assert any(
+        i.rule == "file_format" and i.node == "daily_event_stats" for i in issues
+    )
+    # orders source is declared but unused → flagged
+    assert any(
+        i.rule == "unused_source" and i.node == "testdata.orders" for i in issues
+    )
+    # no unknown refs
+    assert "unknown_ref" not in rules
+    # loose mode drops the style rules
+    loose = lint_project(project, require_owner=False, require_file_format=False)
+    assert {i.rule for i in loose} <= {"unused_source", "unknown_ref"}
