@@ -112,7 +112,11 @@ def materialize(
         return MaterializeResult(ident, action)
 
     if mat == "table":
-        return create_as(sql, "replaced" if table_exists(spark, database, name) else "created")
+        res = create_as(
+            sql, "replaced" if table_exists(spark, database, name) else "created"
+        )
+        _apply_table_metadata(spark, ident, config)
+        return res
 
     if mat == "incremental":
         exists = table_exists(spark, database, name)
@@ -133,6 +137,35 @@ def materialize(
         )
 
     raise ValueError(f"unknown materialization {mat!r} for {name}")
+
+
+def _apply_table_metadata(spark: SparkSession, ident: str, config: dict[str, Any]) -> None:
+    """tblproperties + persisted docs (reference
+    ``macros/spark_adapter_patch/tblproperties_clause.sql:1-20``,
+    ``alter_column_comment.sql:1-16``; ``persist_docs`` in
+    ``dbt_project.yml:41-43``)."""
+    props = config.get("tblproperties") or {}
+    if props:
+        kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+        spark.sql(f"ALTER TABLE {ident} SET TBLPROPERTIES ({kv})")
+    desc = config.get("description")
+    if desc:
+        escaped = str(desc).replace("'", "''")
+        spark.sql(f"COMMENT ON TABLE {ident} IS '{escaped}'")
+
+
+def materialize_as_prod_view(
+    spark: SparkSession, name: str, database: str | None, prod_database: str
+) -> MaterializeResult:
+    """Dev-acceleration copy-from-prod (reference
+    ``macros/spark_adapter_patch/create_table.sql:3-19``,
+    ``infra/get_tables_to_copy_from_prod.py``): instead of recomputing an
+    unchanged model in a dev schema, create a view onto the prod table."""
+    ident = _qualify(database, name)
+    spark.sql(
+        f"CREATE OR REPLACE VIEW {ident} AS SELECT * FROM {prod_database}.{name}"
+    )
+    return MaterializeResult(ident, "copied_from_prod")
 
 
 def load_seed(

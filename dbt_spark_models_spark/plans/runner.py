@@ -43,6 +43,10 @@ class Runner:
     project: Project
     database: str | None = None
     vars: dict[str, Any] = field(default_factory=dict)
+    # dev acceleration: models listed here become views onto prod_database
+    # instead of recomputing (reference create_table.sql:3-19)
+    copy_from_prod: set[str] = field(default_factory=set)
+    prod_database: str | None = None
 
     def __post_init__(self) -> None:
         if self.database:
@@ -144,6 +148,20 @@ class Runner:
                 continue
             t0 = time.time()
             try:
+                if name in self.copy_from_prod and self.prod_database:
+                    from dbt_spark_models_spark.plans.materialize import (
+                        materialize_as_prod_view,
+                    )
+
+                    res = materialize_as_prod_view(
+                        self.spark, name, self.database, self.prod_database
+                    )
+                    out.append(
+                        RunResult(
+                            name, "model", "success", res.action, time.time() - t0
+                        )
+                    )
+                    continue
                 if node.config.get("materialized") == "ephemeral":
                     self._ephemeral_sql[name] = self._compile(node, False)
                     out.append(RunResult(name, "model", "success", "ephemeral"))
@@ -151,12 +169,28 @@ class Runner:
                 from dbt_spark_models_spark.plans.materialize import table_exists
 
                 exists = table_exists(self.spark, self.database, name)
-                inc_sql = self._compile(
-                    node, is_incremental=exists and not full_refresh
-                )
+                # weekly full reload (reference 'full_reload_on': '6' ×9,
+                # gold_orders.sql:16): force full refresh when the run
+                # date's day-of-week matches (0=Sunday..6=Saturday)
+                node_full_refresh = full_refresh
+                reload_dow = node.config.get("full_reload_on")
+                if reload_dow is not None and not node_full_refresh:
+                    import datetime as _dt
+
+                    run_date = self.vars.get("run_date") or self.project.vars.get(
+                        "run_date"
+                    )
+                    if run_date:
+                        dow = (
+                            _dt.date.fromisoformat(str(run_date)).isoweekday() % 7
+                        )
+                        if dow == int(reload_dow):
+                            node_full_refresh = True
+                incremental_now = exists and not node_full_refresh
+                inc_sql = self._compile(node, is_incremental=incremental_now)
                 first_sql = (
                     inc_sql
-                    if (exists and not full_refresh)
+                    if incremental_now
                     else self._compile(node, is_incremental=False)
                 )
                 res = materialize(
@@ -165,7 +199,7 @@ class Runner:
                     inc_sql,
                     node.config,
                     self.database,
-                    full_refresh=full_refresh,
+                    full_refresh=node_full_refresh,
                     first_run_sql=first_sql,
                 )
                 out.append(
@@ -233,3 +267,29 @@ class Runner:
             *self.snapshot(run_ts=run_ts),
             *self.test(),
         ]
+
+    def backfill(
+        self,
+        start_date: str,
+        end_date: str,
+        select: list[str] | None = None,
+        date_var: str = "run_date",
+    ) -> list[RunResult]:
+        """Day-by-day re-run with a shifted date var (reference
+        ``backfill.sh:41-46``): each iteration renders models with
+        ``var(date_var)`` = that day, so incremental insert_overwrite
+        replaces exactly that day's partitions."""
+        import datetime as _dt
+
+        out: list[RunResult] = []
+        day = _dt.date.fromisoformat(start_date)
+        end = _dt.date.fromisoformat(end_date)
+        saved = dict(self.vars)
+        try:
+            while day <= end:
+                self.vars = {**saved, date_var: day.isoformat()}
+                out.extend(self.run(select=select))
+                day += _dt.timedelta(days=1)
+        finally:
+            self.vars = saved
+        return out

@@ -1,0 +1,241 @@
+"""Tests for framework parity features: append strategy, on_schema_change,
+copy-from-prod, full_reload_on, backfill, tblproperties/comments."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from dbt_spark_models_spark.plans import Project, Runner
+
+
+def _mk_project(tmp_path, sf_dir, models: dict[str, str]) -> str:
+    root = tmp_path / "proj"
+    (root / "models").mkdir(parents=True)
+    (root / "project.yml").write_text(
+        textwrap.dedent(
+            f"""\
+            name: feat_test
+            vars:
+              day: '2024-01-05'
+            sources:
+              testdata:
+                events: {sf_dir}/events.parquet
+            """
+        )
+    )
+    for name, sql in models.items():
+        (root / "models" / f"{name}.sql").write_text(sql)
+    return str(root)
+
+
+INCREMENTAL_DAILY = """\
+{{ config(materialized='incremental',
+          incremental_strategy='insert_overwrite',
+          partition_by=['day']) }}
+SELECT user_id, COUNT(*) AS n, CAST(ts AS DATE) AS day
+FROM {{ source('testdata', 'events') }}
+{% if is_incremental() %}
+WHERE CAST(ts AS DATE) = date'{{ var("day") }}'
+{% endif %}
+GROUP BY user_id, day
+"""
+
+
+def test_append_strategy(spark, tmp_path, sf_dir):
+    proj_dir = _mk_project(
+        tmp_path,
+        sf_dir,
+        {
+            "run_log": (
+                "{{ config(materialized='incremental', "
+                "incremental_strategy='append') }}\n"
+                "SELECT '{{ var(\"day\") }}' AS run_day, COUNT(*) AS n\n"
+                "FROM {{ source('testdata', 'events') }}"
+            )
+        },
+    )
+    db = "feat_append"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    r = Runner(spark=spark, project=Project.load(proj_dir), database=db)
+    r.run()
+    r.vars = {"day": "2024-01-06"}
+    results = r.run()
+    assert results[-1].action == "appended"
+    rows = spark.table(f"{db}.run_log").collect()
+    assert len(rows) == 2
+    assert {r["run_day"] for r in rows} == {"2024-01-05", "2024-01-06"}
+
+
+def test_on_schema_change_append_new_columns(spark, tmp_path, sf_dir):
+    proj_dir = _mk_project(
+        tmp_path,
+        sf_dir,
+        {
+            "evolving": (
+                "{{ config(materialized='incremental', "
+                "incremental_strategy='insert_overwrite', "
+                "partition_by=['day'], on_schema_change='append_new_columns') }}\n"
+                "SELECT user_id, COUNT(*) AS n, CAST(ts AS DATE) AS day\n"
+                "FROM {{ source('testdata', 'events') }}\n"
+                "{% if is_incremental() %}WHERE CAST(ts AS DATE) = "
+                "date'{{ var(\"day\") }}'{% endif %}\n"
+                "GROUP BY user_id, day"
+            )
+        },
+    )
+    db = "feat_schema"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    r = Runner(spark=spark, project=Project.load(proj_dir), database=db)
+    r.run()
+    assert "extra" not in spark.table(f"{db}.evolving").columns
+
+    # model evolves: adds a column
+    import os
+
+    with open(os.path.join(proj_dir, "models", "evolving.sql"), "w") as f:
+        f.write(
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='insert_overwrite', "
+            "partition_by=['day'], on_schema_change='append_new_columns') }}\n"
+            "SELECT user_id, COUNT(*) AS n, "
+            "COUNT(DISTINCT event_type) AS extra, CAST(ts AS DATE) AS day\n"
+            "FROM {{ source('testdata', 'events') }}\n"
+            "{% if is_incremental() %}WHERE CAST(ts AS DATE) = "
+            "date'{{ var(\"day\") }}'{% endif %}\n"
+            "GROUP BY user_id, day"
+        )
+    r2 = Runner(spark=spark, project=Project.load(proj_dir), database=db)
+    results = r2.run()
+    assert results[-1].status == "success"
+    t = spark.table(f"{db}.evolving")
+    assert "extra" in t.columns
+    # old partitions have NULL extra, the re-run day has values
+    assert t.filter("day = date'2024-01-05' AND extra IS NOT NULL").count() > 0
+    assert t.filter("day <> date'2024-01-05' AND extra IS NULL").count() > 0
+
+
+def test_copy_from_prod(spark, tmp_path, sf_dir):
+    proj_dir = _mk_project(tmp_path, sf_dir, {"daily": INCREMENTAL_DAILY})
+    prod_db, dev_db = "feat_prod", "feat_dev"
+    for db in (prod_db, dev_db):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    project = Project.load(proj_dir)
+    Runner(spark=spark, project=project, database=prod_db).run()
+    dev = Runner(
+        spark=spark,
+        project=project,
+        database=dev_db,
+        copy_from_prod={"daily"},
+        prod_database=prod_db,
+    )
+    results = dev.run()
+    assert results[-1].action == "copied_from_prod"
+    assert (
+        spark.table(f"{dev_db}.daily").count()
+        == spark.table(f"{prod_db}.daily").count()
+    )
+
+
+def test_full_reload_on_dow(spark, tmp_path, sf_dir):
+    # 2024-01-06 is a Saturday (dow 6)
+    proj_dir = _mk_project(
+        tmp_path,
+        sf_dir,
+        {
+            "weekly": (
+                "{{ config(materialized='incremental', "
+                "incremental_strategy='insert_overwrite', "
+                "partition_by=['day'], full_reload_on='6') }}\n"
+                "SELECT user_id, COUNT(*) AS n, CAST(ts AS DATE) AS day\n"
+                "FROM {{ source('testdata', 'events') }}\n"
+                "{% if is_incremental() %}WHERE CAST(ts AS DATE) = "
+                "date'{{ var(\"run_date\") }}'{% endif %}\n"
+                "GROUP BY user_id, day"
+            )
+        },
+    )
+    db = "feat_weekly"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    r = Runner(spark=spark, project=Project.load(proj_dir), database=db)
+    r.vars = {"run_date": "2024-01-03"}
+    r.run()
+    table = f"{db}.weekly"
+    full_count = spark.table(table).count()
+
+    def poison(day: str) -> None:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {table} SELECT user_id, 0 AS n, day "
+            f"FROM {table} WHERE day = date'{day}'"
+        )
+
+    # weekday incremental run only recomputes run_date's partition:
+    # a poisoned OTHER day stays poisoned
+    poison("2024-01-20")
+    r.vars = {"run_date": "2024-01-10"}
+    r.run()
+    assert spark.table(table).filter("day = date'2024-01-20' AND n = 0").count() > 0
+
+    # Saturday (2024-01-06, dow 6) → full reload restores every partition
+    r.vars = {"run_date": "2024-01-06"}
+    r.run()
+    t = spark.table(table)
+    assert t.count() == full_count
+    assert t.filter("n = 0").count() == 0
+
+
+def test_backfill_days(spark, tmp_path, sf_dir):
+    proj_dir = _mk_project(
+        tmp_path,
+        sf_dir,
+        {
+            "daily": INCREMENTAL_DAILY.replace(
+                'var("day")', 'var("run_date", var("day"))'
+            )
+        },
+    )
+    db = "feat_backfill"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    r = Runner(spark=spark, project=Project.load(proj_dir), database=db)
+    r.run()  # initial full build
+    table = f"{db}.daily"
+    n_total = spark.table(table).count()
+    # poison three days, then backfill exactly those days
+    spark.sql(
+        f"INSERT OVERWRITE TABLE {table} SELECT user_id, 0 AS n, day "
+        f"FROM {table} WHERE day BETWEEN date'2024-01-10' AND date'2024-01-12'"
+    )
+    results = r.backfill("2024-01-10", "2024-01-12")
+    assert all(x.status == "success" for x in results)
+    assert len(results) == 3
+    t = spark.table(table)
+    assert t.count() == n_total
+    assert t.filter(
+        "day BETWEEN date'2024-01-10' AND date'2024-01-12' AND n = 0"
+    ).count() == 0
+
+
+def test_tblproperties_and_comment(spark, tmp_path, sf_dir):
+    proj_dir = _mk_project(
+        tmp_path,
+        sf_dir,
+        {
+            "documented": (
+                "{{ config(materialized='table', "
+                "tblproperties={'team': 'data-eng', 'pii': 'false'}, "
+                "description='Documented table') }}\n"
+                "SELECT user_id, COUNT(*) AS n "
+                "FROM {{ source('testdata', 'events') }} GROUP BY user_id"
+            )
+        },
+    )
+    db = "feat_props"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    Runner(spark=spark, project=Project.load(proj_dir), database=db).run()
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {db}.documented").collect()
+    }
+    assert props.get("team") == "data-eng"
+    assert props.get("pii") == "false"
