@@ -46,6 +46,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         engine_gate,
         formats,
+        funnels,
         joins,
         multimodal,
         nested,

@@ -1,0 +1,147 @@
+"""Funnel + anomaly-detection patterns.
+
+Reference sites: conversion funnels with INTERVAL windows
+(``models/spark/onfy/conversion_funnel.sql:14-120`` — steps must happen
+within ``source_dt + INTERVAL 30 days``), anomaly-detection models
+(``models/spark/anomaly_detection/gmv_initial_for_sop.sql`` — the engine
+computes the statistical part; Prophet forecasting is external meta).
+
+Scale notes: funnels are per-user MIN-aggregates + conditional joins —
+one shuffle on user_id; the z-score anomaly pass is a tiny second
+aggregate over the daily rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.sources.testdata import load_tables
+
+
+@query(
+    "funnel_signup_view_purchase",
+    oracle="""
+WITH signup AS (
+    SELECT user_id, MIN(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+), step_view AS (
+    SELECT s.user_id, s.signup_ts, MIN(e.ts) AS first_view_ts
+    FROM signup s
+    JOIN events e ON e.user_id = s.user_id
+     AND e.event_type = 'view'
+     AND e.ts >= s.signup_ts
+     AND e.ts < s.signup_ts + INTERVAL 7 DAY
+    GROUP BY s.user_id, s.signup_ts
+), step_purchase AS (
+    SELECT v.user_id, MIN(e.ts) AS first_purchase_ts
+    FROM step_view v
+    JOIN events e ON e.user_id = v.user_id
+     AND e.event_type = 'purchase'
+     AND e.ts >= v.first_view_ts
+     AND e.ts < v.signup_ts + INTERVAL 7 DAY
+    GROUP BY v.user_id
+)
+SELECT (SELECT COUNT(*) FROM signup) AS n_signup,
+       (SELECT COUNT(*) FROM step_view) AS n_viewed,
+       (SELECT COUNT(*) FROM step_purchase) AS n_purchased,
+       ROUND((SELECT COUNT(*) FROM step_view)
+             / (SELECT COUNT(*) FROM signup), 4) AS view_rate,
+       ROUND((SELECT COUNT(*) FROM step_purchase)
+             / (SELECT COUNT(*) FROM signup), 4) AS purchase_rate
+""",
+)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step conversion funnel inside a 7-day window from signup
+    (reference ``conversion_funnel.sql`` shape): each step must follow the
+    previous one in time and stay inside the window."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    window = F.expr("INTERVAL 7 DAY")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_uid"), F.col("ts").alias("v_ts")
+    )
+    step_view = (
+        signup.join(
+            views,
+            (F.col("v_uid") == F.col("user_id"))
+            & (F.col("v_ts") >= F.col("signup_ts"))
+            & (F.col("v_ts") < F.col("signup_ts") + window),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("v_ts").alias("first_view_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    step_purchase = (
+        step_view.join(
+            purchases,
+            (F.col("p_uid") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("first_view_ts"))
+            & (F.col("p_ts") < F.col("signup_ts") + window),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    counts = (
+        signup.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(step_view.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .crossJoin(step_purchase.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+    return counts.select(
+        "n_signup",
+        "n_viewed",
+        "n_purchased",
+        F.round(F.col("n_viewed") / F.col("n_signup"), 4).alias("view_rate"),
+        F.round(F.col("n_purchased") / F.col("n_signup"), 4).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+@query(
+    "anomaly_zscore_daily_counts",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+    FROM events GROUP BY day, event_type
+), stats AS (
+    SELECT event_type,
+           AVG(n) AS mean_n,
+           STDDEV_SAMP(n) AS sd_n
+    FROM daily GROUP BY event_type
+)
+SELECT d.day, d.event_type, d.n,
+       ROUND((d.n - s.mean_n) / s.sd_n, 4) AS zscore,
+       CASE WHEN ABS((d.n - s.mean_n) / s.sd_n) > 2 THEN 1 ELSE 0 END
+           AS is_anomaly
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+""",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flags over the daily metric rollup (the statistical
+    core of the reference's anomaly_detection family)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy(F.col("event_type").alias("et")).agg(
+        F.avg("n").alias("mean_n"), F.stddev_samp("n").alias("sd_n")
+    )
+    z = (F.col("n") - F.col("mean_n")) / F.col("sd_n")
+    return (
+        daily.join(F.broadcast(stats), F.col("event_type") == F.col("et"))
+        .select(
+            "day",
+            "event_type",
+            "n",
+            F.round(z, 4).alias("zscore"),
+            F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
+        )
+    )

@@ -253,3 +253,69 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("c_label").alias("assigned_cell"))
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+WITH planes AS (
+    SELECT {_planes_duck()} AS ps
+), sigs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+               AS nrm,
+           array_to_string(
+               list_transform(planes.ps,
+                   h -> CASE WHEN list_dot_product(embedding::DOUBLE[], h) > 0
+                             THEN '1' ELSE '0' END), '') AS bucket
+    FROM embeddings CROSS JOIN planes
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
+FROM sigs a
+JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.4
+""",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the dedup
+    brief's 'embedding-cosine near-dup'): candidates = same 8-bit sign
+    bucket (same hyperplanes as similarity_lsh_sign_buckets), verified by
+    exact cosine >= 0.4. Pairwise work is confined to bucket collisions —
+    ~n²/2⁸ in expectation instead of n²; at 100 TB, buckets are the write
+    partitioning so candidates co-locate without a shuffle.
+
+    The oracle mirrors the same candidate generation, so recall choices
+    are compared exactly, not approximated."""
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    bits = []
+    for j in range(_N_PLANES):
+        h = F.array(*[F.lit(float(v)) for v in _plane(j)])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), h, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, "1").otherwise("0"))
+    sigs = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        _norm_spark("embedding").alias("nrm"),
+        F.concat(*bits).alias("bucket"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cos = _dot_spark("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine_raw", 4).alias("cosine"),
+        )
+    )

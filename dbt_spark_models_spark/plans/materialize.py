@@ -169,14 +169,26 @@ def materialize_as_prod_view(
 
 
 def load_seed(
-    spark: SparkSession, name: str, csv_path: str, database: str | None = None
+    spark: SparkSession,
+    name: str,
+    csv_path: str,
+    database: str | None = None,
+    column_types: dict[str, str] | None = None,
 ) -> MaterializeResult:
-    """CSV seed → table (header + schema inference, like dbt agate typing)."""
+    """CSV seed → table (header + schema inference, like dbt agate typing).
+
+    ``column_types`` overrides inferred types per column (reference
+    ``seeds/properties.yml:3-60`` ``column_types`` config)."""
+    from pyspark.sql import functions as F
+
     ident = _qualify(database, name)
     df = (
         spark.read.option("header", "true")
         .option("inferSchema", "true")
         .csv(csv_path)
     )
+    for col, typ in (column_types or {}).items():
+        if col in df.columns:
+            df = df.withColumn(col, F.col(col).cast(typ))
     df.write.mode("overwrite").format("parquet").saveAsTable(ident)
     return MaterializeResult(ident, "seeded", rows=df.count())

@@ -83,6 +83,7 @@ class Project:
     vars: dict[str, Any] = field(default_factory=dict)
     sources: dict[str, dict[str, str]] = field(default_factory=dict)
     model_defaults: dict[str, Any] = field(default_factory=dict)
+    seed_configs: dict[str, Any] = field(default_factory=dict)
     models: dict[str, ModelNode] = field(default_factory=dict)
     seeds: dict[str, str] = field(default_factory=dict)  # name -> csv path
     snapshots: dict[str, ModelNode] = field(default_factory=dict)
@@ -108,6 +109,7 @@ class Project:
             vars=dict(cfg.get("vars", {})),
             sources=dict(cfg.get("sources", {})),
             model_defaults=dict(cfg.get("models", {})),
+            seed_configs=dict(cfg.get("seeds", {})),
         )
         proj._discover()
         return proj

@@ -118,10 +118,17 @@ class Runner:
     # --- lifecycle -------------------------------------------------------
     def seed(self) -> list[RunResult]:
         out = []
+        seed_cfg = self.project.seed_configs
         for name, path in self.project.seeds.items():
             t0 = time.time()
             try:
-                res = load_seed(self.spark, name, path, self.database)
+                res = load_seed(
+                    self.spark,
+                    name,
+                    path,
+                    self.database,
+                    column_types=(seed_cfg.get(name) or {}).get("column_types"),
+                )
                 out.append(
                     RunResult(name, "seed", "success", res.action, time.time() - t0)
                 )

@@ -239,3 +239,82 @@ def test_tblproperties_and_comment(spark, tmp_path, sf_dir):
     }
     assert props.get("team") == "data-eng"
     assert props.get("pii") == "false"
+
+
+def test_snapshot_via_project(spark, tmp_path, sf_dir):
+    import textwrap as tw
+
+    root = tmp_path / "snapproj"
+    (root / "models").mkdir(parents=True)
+    (root / "snapshots").mkdir()
+    (root / "project.yml").write_text(
+        tw.dedent(
+            f"""\
+            name: snap_proj
+            vars:
+              cutoff: '2024-01-15 00:00:00'
+            sources:
+              testdata:
+                events: {sf_dir}/events.parquet
+            """
+        )
+    )
+    (root / "snapshots" / "user_state.sql").write_text(
+        tw.dedent(
+            """\
+            {{ config(unique_key='user_id', strategy='timestamp',
+                      updated_at='last_ts') }}
+            SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
+            FROM {{ source('testdata', 'events') }}
+            WHERE ts < timestamp'{{ var("cutoff") }}'
+            GROUP BY user_id
+            """
+        )
+    )
+    db = "feat_snap_proj"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    project = Project.load(str(root))
+    r = Runner(spark=spark, project=project, database=db)
+    res1 = r.snapshot()
+    assert res1[0].status == "success"
+    t1 = spark.table(f"{db}.user_state")
+    n_users_1 = t1.count()
+    assert t1.filter("dbt_valid_to IS NOT NULL").count() == 0
+
+    # widen the cutoff: users active after Jan 15 get a new version
+    r.vars = {"cutoff": "2024-02-01 00:00:00"}
+    res2 = r.snapshot()
+    assert res2[0].status == "success"
+    t2 = spark.table(f"{db}.user_state")
+    n_current = t2.filter("dbt_valid_to IS NULL").count()
+    n_history = t2.filter("dbt_valid_to IS NOT NULL").count()
+    assert n_history > 0
+    assert n_current >= n_users_1
+    # changed users: current n_events strictly greater than the closed version
+    changed = spark.sql(
+        f"""SELECT cur.user_id FROM {db}.user_state cur
+            JOIN {db}.user_state old
+              ON cur.user_id = old.user_id
+             AND cur.dbt_valid_to IS NULL AND old.dbt_valid_to IS NOT NULL
+            WHERE cur.n_events <= old.n_events"""
+    ).count()
+    assert changed == 0
+
+
+def test_seed_column_types(spark, tmp_path):
+    root = tmp_path / "seedproj"
+    (root / "seeds").mkdir(parents=True)
+    (root / "project.yml").write_text(
+        'name: seed_proj\nseeds:\n  rates:\n    column_types: {"code": "string", "rate": "double"}\n'
+    )
+    (root / "seeds" / "rates.csv").write_text("code,rate\n001,1.5\n002,2\n")
+    db = "feat_seed_types"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    r = Runner(spark=spark, project=Project.load(str(root)), database=db)
+    res = r.seed()
+    assert res[0].status == "success"
+    t = spark.table(f"{db}.rates")
+    types = dict(t.dtypes)
+    assert types["code"] == "string"  # would infer int and drop the left zeros
+    assert types["rate"] == "double"
+    assert {r["code"] for r in t.collect()} == {"1", "2"}  # cast from inferred int
