@@ -25,12 +25,24 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from dbt_spark_models_spark.operators.relational import q1_pricing_summary
 
-    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    return _prepared(q1_pricing_summary)(spark, "/root/testdata/sf0.001")
+
+
+def _prepared(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a query so required dynamic confs + engine functions are applied
+    to whatever session the driver passes in."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dbt_spark_models_spark.session import ensure_session_confs
+
+        return fn(ensure_session_confs(spark), sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in _registry().items()}
+    return {name: _prepared(q.fn) for name, q in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -15,6 +15,41 @@ import os
 from pyspark.sql import SparkSession
 
 
+# SQL confs required for correctness, all runtime-settable — applied
+# defensively so the engine also works on a session it didn't build
+# (e.g. the harness driver's own SparkSession)
+_REQUIRED_SQL_CONFS = {
+    # events.parquet is TIMESTAMP(NANOS); Spark rejects it without this
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # oracle comparisons assume UTC-naive timestamps
+    "spark.sql.session.timeZone": "UTC",
+    # incremental insert_overwrite must be partition-surgical
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.adaptive.enabled": "true",
+    # local-scale default; AQE coalesces batch shuffles, but stateful
+    # streaming pins partition counts, so an unset 200 hurts there
+    "spark.sql.shuffle.partitions": "32",
+}
+
+_PREPARED_SESSIONS: set[int] = set()
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply required dynamic SQL confs + engine functions to ANY session."""
+    if id(spark) in _PREPARED_SESSIONS:
+        return spark
+    for k, v in _REQUIRED_SQL_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — conf may be static on some builds
+            pass
+    from dbt_spark_models_spark.functions.registry import register_engine_functions
+
+    register_engine_functions(spark)
+    _PREPARED_SESSIONS.add(id(spark))
+    return spark
+
+
 def get_spark(
     app_name: str = "dbt_spark_models_spark",
     master: str | None = None,
@@ -58,9 +93,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    # engine-level SQL function parity (SURVEY.md §2.11)
-    from dbt_spark_models_spark.functions.registry import register_engine_functions
-
-    register_engine_functions(spark)
-    return spark
+    # engine-level SQL function parity (SURVEY.md §2.11) + required confs
+    # (getOrCreate may have returned an existing session whose builder
+    # confs didn't apply)
+    return ensure_session_confs(spark)

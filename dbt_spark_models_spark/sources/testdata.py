@@ -63,6 +63,9 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     timestamps (Spark rejects ns natively; with
     spark.sql.legacy.parquet.nanosAsLong they surface as long — we floor-
     divide to µs, matching DuckDB's ns→µs cast)."""
+    from dbt_spark_models_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     df = spark.read.parquet(path)
     for col in _ns_timestamp_columns(path):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
