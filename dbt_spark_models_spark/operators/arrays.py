@@ -253,3 +253,27 @@ def array_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(comp_sum, 4).alias("comp_sum"),
         F.round(F.array_max("embedding").cast("double"), 4).alias("comp_max"),
     )
+
+
+@query(
+    "explode_outer_rare_tokens",
+    oracle="""
+SELECT d.doc_id, u.token
+FROM documents d
+LEFT JOIN LATERAL (
+    SELECT unnest(list_filter(string_split(d.text, ' '), x -> len(x) > 8))
+        AS token
+) u ON TRUE
+WHERE d.doc_id < 50
+""",
+)
+def explode_outer_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLODE_OUTER (reference ×2): documents with NO >8-char token keep
+    one NULL row instead of disappearing."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 50
+    )
+    rare = F.filter(
+        F.split(F.col("text"), " "), lambda x: F.length(x) > 8
+    )
+    return d.select("doc_id", F.explode_outer(rare).alias("token"))

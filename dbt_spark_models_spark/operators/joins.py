@@ -375,3 +375,32 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("last_view_value_raw", 2).alias("last_view_value"),
         "last_view_ts",
     )
+
+
+@query(
+    "join_right_outer_supplier_nation",
+    oracle="""
+SELECT n_nationkey, n_name,
+       COUNT(s_suppkey) AS n_suppliers,
+       ROUND(COALESCE(SUM(s_acctbal), 0.0), 2) AS supplier_balance
+FROM supplier
+RIGHT JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_nationkey, n_name
+""",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (reference ×1,
+    ``models/spark/b2b_mart/key/interactions_funnel.sql:303``): every
+    nation appears even with zero suppliers."""
+    t = load_tables(spark, sf_dir, ("supplier", "nation"))
+    return (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias(
+                "supplier_balance"
+            ),
+        )
+    )

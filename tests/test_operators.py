@@ -93,3 +93,17 @@ def test_engine_functions_registered(spark):
     ).collect()[0]
     assert str(row["a"]).startswith("1970-01-01 00:00:00")
     assert str(row["b"]).startswith("1970-01-01 03:00:00")
+
+
+def test_parse_url(spark):
+    # PARSE_URL (reference ads_dashboard.sql:139 extracts the gclid query
+    # param); testdata has no URL column, so exercise it on literals
+    row = spark.sql(
+        "SELECT parse_url('https://x.example/pt-br/y?gclid=abc123&z=1', "
+        "'QUERY', 'gclid') AS gclid, "
+        "parse_url('https://x.example/pt-br/y?gclid=abc123', 'HOST') AS host, "
+        "parse_url('https://x.example/pt-br/y?gclid=abc123', 'PATH') AS path"
+    ).collect()[0]
+    assert row["gclid"] == "abc123"
+    assert row["host"] == "x.example"
+    assert row["path"] == "/pt-br/y"
