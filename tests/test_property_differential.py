@@ -1,0 +1,207 @@
+"""Property-based differential tests: random inputs → Spark vs DuckDB.
+
+The reference has no golden-output or property tests (SURVEY.md §5); this
+adds the missing rigor for the operators whose semantics are easiest to
+get subtly wrong: sessionization boundaries, as-of tie-breaks, retention
+range frames. Hypothesis generates adversarial small event streams
+(duplicate timestamps, single-event users, gap edges) and both engines
+must agree exactly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BASE = dt.datetime(2024, 1, 1)
+
+# event stream rows: (user_id, seconds_offset, value)
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=7200),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _mk_frames(spark, rows):
+    data = [
+        (i, uid, BASE + dt.timedelta(seconds=off), float(v))
+        for i, (uid, off, v) in enumerate(rows)
+    ]
+    sdf = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, user_id BIGINT, ts TIMESTAMP,"
+        " value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", data)
+    return sdf, con
+
+
+def _norm(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+@pytest.mark.slow
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events_strategy)
+def test_sessionization_differential(spark, rows):
+    """Gaps-and-islands (600s gap) must agree on session boundaries even
+    with duplicate timestamps and single-event users."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sdf, con = _mk_frames(spark, rows)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    got = (
+        sdf.withColumn(
+            "new_s",
+            F.when(
+                prev.isNull()
+                | ((F.unix_millis(F.col("ts")) - F.unix_millis(prev)) > 600000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("seq", F.sum("new_s").over(run))
+        .groupBy("user_id", "seq")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .select("user_id", "seq", "n", "s", "e")
+        .collect()
+    )
+    want = con.sql(
+        """
+        WITH f AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 600000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS seq
+            FROM f
+        )
+        SELECT user_id, seq, COUNT(*) AS n, MIN(ts) AS s, MAX(ts) AS e
+        FROM s GROUP BY user_id, seq
+        """
+    ).fetchall()
+    assert _norm([tuple(r) for r in got]) == _norm(want)
+
+
+@pytest.mark.slow
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events_strategy)
+def test_asof_join_differential(spark, rows):
+    """As-of (union + last-non-null window) vs DuckDB's native ASOF JOIN:
+    odd event_ids are 'trades', even are 'quotes'."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sdf, con = _mk_frames(spark, rows)
+    quotes = sdf.filter(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        "ts",
+        F.col("value").alias("qv"),
+        F.col("event_id").alias("qid"),
+        F.lit(0).alias("side"),
+    )
+    trades = sdf.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("qv"),
+        F.col("event_id").alias("qid"),
+        F.lit(1).alias("side"),
+    )
+    # tie-break: same-ts quotes sort before trades; among same-ts quotes
+    # the LATEST event_id wins (mirrors DuckDB ASOF's greatest-key pick
+    # only when keys are unique — so dedupe quotes per (user, ts) first)
+    quotes_dedup = (
+        quotes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("qid").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = (
+        quotes_dedup.unionByName(trades)
+        .select(
+            "user_id",
+            "ts",
+            "side",
+            F.col("qid"),
+            F.last("qv", ignorenulls=True).over(w).alias("last_qv"),
+        )
+        .filter(F.col("side") == 1)
+        .select("qid", "user_id", "last_qv")
+        .collect()
+    )
+    want = con.sql(
+        """
+        WITH q AS (
+            SELECT user_id, ts, MAX_BY(value, event_id) AS qv
+            FROM events WHERE event_id % 2 = 0 GROUP BY user_id, ts
+        ), t AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1
+        )
+        SELECT t.event_id, t.user_id, q.qv
+        FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
+        """
+    ).fetchall()
+    assert _norm([tuple(r) for r in got]) == _norm(want)
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events_strategy)
+def test_retention_range_frame_differential(spark, rows):
+    """RANGE BETWEEN k FOLLOWING buckets over unix_date must agree."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sdf, con = _mk_frames(spark, rows)
+    daily = sdf.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct().withColumn("dn", F.unix_date(F.col("day")).cast("long"))
+    w = Window.partitionBy("user_id").orderBy("dn")
+    got = daily.select(
+        "user_id",
+        "day",
+        F.when(F.count(F.lit(1)).over(w.rangeBetween(1, 7)) > 0, 1)
+        .otherwise(0)
+        .alias("rw1"),
+    ).collect()
+    want = con.sql(
+        """
+        WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        n AS (SELECT user_id, day,
+                     CAST(day - DATE '1970-01-01' AS BIGINT) AS dn FROM d)
+        SELECT user_id, day,
+               CASE WHEN COUNT(*) OVER (PARTITION BY user_id ORDER BY dn
+                                        RANGE BETWEEN 1 FOLLOWING AND 7 FOLLOWING) > 0
+                    THEN 1 ELSE 0 END AS rw1
+        FROM n
+        """
+    ).fetchall()
+    assert _norm([tuple(r) for r in got]) == _norm(want)
