@@ -277,3 +277,45 @@ def explode_outer_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("text"), " "), lambda x: F.length(x) > 8
     )
     return d.select("doc_id", F.explode_outer(rare).alias("token"))
+
+
+@query(
+    "array_function_battery",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+    FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       array_to_string(toks[1:3], ',') AS first3,
+       list_position(toks, 'the') AS pos_the,
+       list_has_any(toks, ['spark', 'query']) AS mentions_spark,
+       len(flatten([toks[1:2], toks[3:4]])) AS flat_len,
+       list_sort(toks)[1] AS min_token,
+       list_sort(toks)[-1] AS max_token,
+       array_to_string(list_reverse(toks[1:3]), ',') AS first3_rev
+FROM t
+""",
+)
+def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLICE / ARRAY_POSITION / ARRAYS_OVERLAP / FLATTEN / ARRAY_MIN-MAX /
+    REVERSE (SURVEY.md §2.9 array family tail)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 200
+    )
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 3), ",").alias("first3"),
+        F.array_position(toks, "the").alias("pos_the"),
+        F.arrays_overlap(toks, F.array(F.lit("spark"), F.lit("query"))).alias(
+            "mentions_spark"
+        ),
+        F.size(
+            F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2)))
+        ).alias("flat_len"),
+        F.array_min(toks).alias("min_token"),
+        F.array_max(toks).alias("max_token"),
+        F.array_join(F.reverse(F.slice(toks, 1, 3)), ",").alias("first3_rev"),
+    )
