@@ -17,20 +17,36 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # TPC-H-style relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q12_priority_shipmode_case",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    # aggregation / window families
     "agg_grouping_sets",
     "agg_distinct_and_conditional",
+    "agg_percentiles",
     "window_sessionization",
     "window_topk_orders_per_customer",
+    "window_range_interval_7d",
+    "window_retention_flags",
+    # join families
     "join_asof_purchase_last_view",
-    "dedup_minhash_lsh_pairs",
-    "dedup_exact_groups",
-    "similarity_bruteforce_topk",
+    "join_range_calendar_bins",
+    # nested / text / LLM-data ops
+    "nested_status_history_traversal",
+    "explode_word_counts",
     "text_quality_scores",
+    "text_fingerprint_rolling_hash",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_fingerprints",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_assign",
 ]
 
 

@@ -39,8 +39,14 @@ def _macro_source(project: Project) -> str:
     return "\n".join(chunks)
 
 
-def _env(project: Project) -> jinja2.Environment:
+def _env(project: Project, ctx: dict[str, Any] | None = None) -> jinja2.Environment:
+    """Build the render environment. ``ctx`` (config/ref/source/var/...)
+    must be installed as globals BEFORE macros load — Jinja macros resolve
+    names against their defining environment, not the caller's render
+    kwargs (reference macros call source()/ref()/var() freely,
+    e.g. ``macros/gold_active_users_and_devices_with_ephemeral.sql``)."""
     env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+    env.globals.update(ctx or {})
     macros = _macro_source(project)
     if macros:
         module = env.from_string(macros).module
@@ -68,9 +74,7 @@ def parse_node(project: Project, node: ModelNode) -> None:
         srcs.append((schema, table))
         return f"{schema}.{table}"
 
-    env = _env(project)
-    tmpl = env.from_string(node.raw_sql)
-    tmpl.render(
+    ctx = dict(
         config=config,
         ref=ref,
         source=source,
@@ -78,6 +82,8 @@ def parse_node(project: Project, node: ModelNode) -> None:
         is_incremental=lambda: False,
         this=node.name,
     )
+    env = _env(project, ctx)
+    env.from_string(node.raw_sql).render(**ctx)
     node.config = {**project.model_defaults, **captured_cfg}
     node.depends_on = deps
     node.sources = srcs
@@ -93,14 +99,12 @@ def compile_node(
     this: str,
 ) -> str:
     """Compile pass: produce executable Spark SQL text."""
-    env = _env(project)
-    tmpl = env.from_string(node.raw_sql)
     merged_vars = {**project.vars, **vars}
 
     def var(k: str, default: Any = None) -> Any:
         return merged_vars.get(k, default)
 
-    sql = tmpl.render(
+    ctx = dict(
         config=lambda **kw: "",
         ref=resolve_ref,
         source=resolve_source,
@@ -108,4 +112,6 @@ def compile_node(
         is_incremental=lambda: is_incremental,
         this=this,
     )
+    env = _env(project, ctx)
+    sql = env.from_string(node.raw_sql).render(**ctx)
     return sql.strip().rstrip(";")

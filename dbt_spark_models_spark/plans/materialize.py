@@ -43,6 +43,15 @@ def table_exists(spark: SparkSession, database: str | None, name: str) -> bool:
     return spark.catalog.tableExists(_qualify(database, name))
 
 
+def _delta_available(spark: SparkSession) -> bool:
+    """True when the Delta Lake jars are on the classpath (import-try)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.delta.DeltaLog")
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _align_columns(
     spark: SparkSession, df: DataFrame, target: str, on_schema_change: str
 ) -> DataFrame:
@@ -99,6 +108,11 @@ def materialize(
         return MaterializeResult(ident, "ephemeral")
 
     file_format = config.get("file_format", "parquet")
+    if file_format == "delta" and not _delta_available(spark):
+        # reference uses delta for merge targets/comments (×197 configs);
+        # this container has no delta jars — fall back to parquet so the
+        # model still materializes (SCALE.md "known deltas")
+        file_format = "parquet"
     partition_by = config.get("partition_by")
     if isinstance(partition_by, str):
         partition_by = [partition_by]

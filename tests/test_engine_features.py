@@ -318,3 +318,32 @@ def test_seed_column_types(spark, tmp_path):
     assert types["code"] == "string"  # would infer int and drop the left zeros
     assert types["rate"] == "double"
     assert {r["code"] for r in t.collect()} == {"1", "2"}  # cast from inferred int
+
+
+def test_macro_generated_models(spark, sf_dir):
+    """The reference's macro-as-model-generator pattern: one macro emits
+    two model variants (gold_active_users_and_devices style)."""
+    import os
+
+    db = "feat_macro"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "mini_mart",
+    )
+    project = Project.load(root)
+    r = Runner(
+        spark=spark, project=project, database=db, vars={"sf_dir": sf_dir}
+    )
+    r.seed()
+    results = r.run(select=["tag:activity"])
+    assert [x.status for x in results] == ["success", "success"]
+    by_user = spark.table(f"{db}.activity_by_user")
+    by_type = spark.table(f"{db}.activity_by_type")
+    assert by_type.count() == 5  # five event types
+    assert {r["entity_kind"] for r in by_type.collect()} == {"event_type"}
+    # both variants total the same number of events
+    tot_u = by_user.agg({"n_events": "sum"}).collect()[0][0]
+    tot_t = by_type.agg({"n_events": "sum"}).collect()[0][0]
+    assert tot_u == tot_t
