@@ -115,11 +115,23 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles + stddev (reference
     ``models/spark/platform/ftu_end_stats.sql:45-47``)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
-        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    # both price percentiles share ONE sort buffer via the array form
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9))
+            ).alias("price_pcts"),
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("price_pcts", 1), 4).alias("p50_price"),
+            F.round(F.element_at("price_pcts", 2), 4).alias("p90_price"),
+            "p25_qty",
+            "sd_price",
+        )
     )
 
 

@@ -198,3 +198,82 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@query(
+    "pipeline_llm_data_curation",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), quality AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           len(tokens) AS n_tokens,
+           len(list_distinct(tokens)) / len(tokens) AS distinct_ratio
+    FROM toks
+    WHERE len(tokens) >= 10
+      AND len(list_distinct(tokens)) / len(tokens) >= 0.3
+), deduped AS (
+    SELECT * FROM (
+        SELECT q.*,
+               ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(text)))
+                                  ORDER BY doc_id) AS rn
+        FROM quality q
+    ) WHERE rn = 1
+), lang_filtered AS (
+    SELECT * FROM deduped WHERE lang IN ('en', 'de', 'es')
+), budgeted AS (
+    SELECT doc_id, lang, source, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+    FROM lang_filtered
+)
+SELECT doc_id, lang, source, n_tokens, cum_tokens
+FROM budgeted
+WHERE cum_tokens <= 20000
+""",
+)
+def pipeline_llm_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM training-data curation pipeline — the composition the
+    north star asks for, end to end in one plan:
+
+      quality gate (length + lexical diversity)
+        → exact dedup keep-first (MD5 content hash)
+        → language allow-list
+        → deterministic token-budget cut (running-sum window ≤ 20k)
+
+    Everything is row-local or single-shuffle; the budget pass is a global
+    ordered window over the (small) surviving set — at 100 TB you'd bucket
+    the budget per shard/source instead of globally (documented here so
+    the scale-out change is one Window.partitionBy)."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = _tokens()
+    quality = (
+        d.withColumn("tokens", toks)
+        .withColumn("n_tokens", F.size("tokens"))
+        .withColumn(
+            "distinct_ratio", F.size(F.array_distinct("tokens")) / F.col("n_tokens")
+        )
+        .filter((F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.3))
+    )
+    w_dedup = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
+        "doc_id"
+    )
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+    )
+    lang_filtered = deduped.filter(F.col("lang").isin("en", "de", "es"))
+    w_budget = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        lang_filtered.withColumn("cum_tokens", F.sum("n_tokens").over(w_budget))
+        .filter(F.col("cum_tokens") <= 20000)
+        .select("doc_id", "lang", "source", "n_tokens", "cum_tokens")
+    )
