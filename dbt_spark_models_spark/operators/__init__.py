@@ -43,6 +43,7 @@ def load_all() -> dict[str, Query]:
     from dbt_spark_models_spark.operators import (  # noqa: F401
         aggregates,
         arrays,
+        clustering,
         dedup,
         engine_gate,
         formats,

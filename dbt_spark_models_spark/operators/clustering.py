@@ -1,0 +1,237 @@
+"""Dedup cluster formation + corpus statistics + sampling.
+
+Near-dup PAIRS (dedup.py) are only half the dedup story: production
+pipelines need the *clusters* (connected components over the pair graph)
+to pick one canonical doc per group. Connected components is the
+iterative-algorithm representative here — a driver-side fixpoint loop
+over Spark joins (label propagation), with a DuckDB recursive-CTE oracle
+computing the same fixpoint.
+
+Also: TF-IDF top terms (classic corpus statistic) and deterministic
+stratified sampling (training-data mixture control).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.sources.testdata import load_tables
+
+# jaccard >= 0.6 pair edges over the doc_id < 100 slice (same inverted-
+# index construction as dedup_token_jaccard_pairs)
+_EDGES_DUCK = """
+tok AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS token
+    FROM documents
+    WHERE doc_id < 100
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+), pair AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+), edge AS (
+    SELECT doc_a, doc_b
+    FROM pair
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.6
+)
+"""
+
+
+def _edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 100)
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+    )
+    tok = d.select("doc_id", F.explode(F.array_distinct(toks)).alias("token"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    return (
+        pair.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_EDGES_DUCK},
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM edge
+    UNION
+    SELECT doc_b, doc_a FROM edge
+),
+nodes AS (SELECT DISTINCT a AS node FROM und),
+labels(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT u.b AS node, l.lbl FROM labels l JOIN und u ON u.a = l.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id
+FROM labels GROUP BY node
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters = connected components over the near-dup pair graph
+    (iterative label propagation: l(v) ← min(l(v), min l(neighbors)),
+    driver-controlled fixpoint loop — the data never leaves the cluster;
+    only the 1-row convergence check does). cluster_id = min doc_id in the
+    component, so one canonical doc per cluster falls out directly.
+
+    At 100 TB this is the same loop with checkpointing per iteration
+    (lineage cut); iteration count is graph diameter, small for near-dup
+    graphs."""
+    edges = _edges_spark(spark, sf_dir)
+    und = edges.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    und = und.localCheckpoint()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # graph diameter bound; converges far earlier
+        neigh_min = (
+            und.join(labels, F.col("a") == F.col("node"))
+            .groupBy(F.col("b").alias("n2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh_min, F.col("node") == F.col("n2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS token
+    FROM documents
+), tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token AS top_term, tfidf
+FROM (
+    SELECT doc_id, token, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, token) AS rn
+    FROM scored
+) WHERE rn = 1
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top TF-IDF term: tf × ln((N+1)/(df+1)), deterministic
+    token tie-break. Two shuffles (doc-term, term) + a broadcast scalar N."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+    )
+    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy(F.col("token").alias("t2")).agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), F.col("token") == F.col("t2"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+    )
+
+
+@query(
+    "sample_stratified_deterministic",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM documents
+), sampled AS (
+    SELECT * FROM ranked WHERE rn % 5 = 1
+)
+SELECT lang,
+       COUNT(*) AS n_sampled,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM sampled GROUP BY lang
+""",
+)
+def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 1-in-5 sample per language (training-data
+    mixture control without RNG — reproducible across engines and runs)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % 5 == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -45,3 +45,42 @@ def test_no_collect_in_operators():
         src = inspect.getsource(q.fn)
         assert ".collect()" not in src, f"{name} collects to driver"
         assert ".toPandas()" not in src, f"{name} pulls to driver"
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables by the join key at write time makes the
+    join run WITHOUT an exchange — the 100 TB co-location strategy for
+    fact-to-fact joins (SCALE.md 'Relational core')."""
+    from dbt_spark_models_spark.sources.testdata import load_tables
+
+    db = "bucket_demo"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db}")
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    (t["orders"].write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(f"{db}.orders_b"))
+    (t["lineitem"].write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(f"{db}.lineitem_b"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(f"{db}.lineitem_b").join(
+            spark.table(f"{db}.orders_b"),
+            spark.table(f"{db}.lineitem_b").l_orderkey
+            == spark.table(f"{db}.orders_b").o_orderkey,
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        # and it actually computes correctly
+        n = joined.count()
+        assert n == t["lineitem"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
