@@ -48,6 +48,7 @@ def load_all() -> dict[str, Query]:
         engine_gate,
         formats,
         funnels,
+        grouped_pandas,
         joins,
         multimodal,
         nested,

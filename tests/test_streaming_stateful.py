@@ -1,0 +1,135 @@
+"""Stateful streaming (applyInPandasWithState) + skew-salting technique
+tests — capabilities demonstrated in test form because their outputs are
+either stateful-timing-dependent (streaming state) or physical-only
+(salting changes the plan, not the result)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+def test_apply_in_pandas_with_state_running_counts(spark, sf_dir):
+    """Custom stateful streaming operator: per-event-type running totals
+    kept in GroupState across micro-batches (the applyInPandasWithState
+    surface from SURVEY's streaming headroom)."""
+    import tempfile, os, uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    from dbt_spark_models_spark.sources.testdata import table_path
+
+    path = table_path(sf_dir, "events")
+    batch = spark.read.parquet(path)
+    stream_dir = tempfile.mkdtemp(prefix="state-src-")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    if dict(batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [n], "total_value": [round(v, 2)]}
+        )
+
+    agg = (
+        stream.groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"state_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # final state per type must equal the batch aggregate
+    got = {
+        r["event_type"]: (r["n_events"], r["total_value"])
+        for r in spark.table(name).collect()
+    }
+    from dbt_spark_models_spark.sources.testdata import load_tables
+
+    want = {
+        r["event_type"]: (r["n"], r["v"])
+        for r in load_tables(spark, sf_dir, ("events",))["events"]
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Skew mitigation by salting: explode the small side × salt, add a
+    deterministic salt on the big side, join on (key, salt) — result must
+    equal the plain join. (At 100 TB this spreads a hot key over N tasks;
+    AQE skew-join does it adaptively, this is the manual form.)"""
+    from pyspark.sql import functions as F
+
+    from dbt_spark_models_spark.sources.testdata import load_tables
+
+    n_salt = 8
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    plain = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    salted_orders = t["orders"].withColumn(
+        "salt", (F.col("o_orderkey") % n_salt).cast("int")
+    )
+    salted_cust = t["customer"].withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    salted = (
+        salted_orders.join(
+            salted_cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (salted_orders.salt == salted_cust.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b
