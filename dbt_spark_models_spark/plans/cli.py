@@ -18,8 +18,11 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="spark-models-engine")
     ap.add_argument(
         "command",
-        choices=["run", "seed", "snapshot", "test", "build", "compile", "lint"],
+        choices=[
+            "run", "seed", "snapshot", "test", "build", "compile", "lint", "docs",
+        ],
     )
+    ap.add_argument("--target-dir", default=None)
     ap.add_argument("--project", required=True)
     ap.add_argument("--database", default=None)
     ap.add_argument("--select", nargs="*", default=None)
@@ -31,6 +34,18 @@ def main(argv: list[str] | None = None) -> int:
     from dbt_spark_models_spark.plans import Project, Runner
 
     project = Project.load(args.project)
+
+    if args.command == "docs":
+        # parse + emit manifest.json, no Spark needed (dbt compile/docs gate)
+        from dbt_spark_models_spark.plans import jinja
+        from dbt_spark_models_spark.plans.manifest import write_manifest
+
+        for node in list(project.models.values()) + list(
+            project.snapshots.values()
+        ):
+            jinja.parse_node(project, node)
+        print(write_manifest(project, args.target_dir))
+        return 0
 
     if args.command == "lint":
         # no Spark session needed: parse + policy checks only
@@ -83,6 +98,9 @@ def main(argv: list[str] | None = None) -> int:
             select=args.select, exclude=args.exclude, full_refresh=args.full_refresh
         )
 
+    from dbt_spark_models_spark.plans.manifest import write_run_results
+
+    write_run_results(results, project, args.target_dir)
     worst = 0
     for r in results:
         line = f"{r.status.upper():8} {r.kind:8} {r.node} ({r.action}) {r.seconds:.2f}s"

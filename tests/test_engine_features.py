@@ -347,3 +347,38 @@ def test_macro_generated_models(spark, sf_dir):
     tot_u = by_user.agg({"n_events": "sum"}).collect()[0][0]
     tot_t = by_type.agg({"n_events": "sum"}).collect()[0][0]
     assert tot_u == tot_t
+
+
+def test_manifest_and_run_results(spark, tmp_path, sf_dir):
+    import json
+    import os
+
+    from dbt_spark_models_spark.plans import jinja
+    from dbt_spark_models_spark.plans.manifest import (
+        build_manifest,
+        write_manifest,
+        write_run_results,
+    )
+
+    proj_dir = _mk_project(tmp_path, sf_dir, {"daily": INCREMENTAL_DAILY})
+    project = Project.load(proj_dir)
+    for node in project.models.values():
+        jinja.parse_node(project, node)
+    m = build_manifest(project)
+    assert "model.feat_test.daily" in m["nodes"]
+    node = m["nodes"]["model.feat_test.daily"]
+    assert node["config"]["materialized"] == "incremental"
+    assert node["depends_on"]["sources"] == [["testdata", "events"]]
+    assert "source.feat_test.testdata.events" in m["sources"]
+    path = write_manifest(project, str(tmp_path / "target"))
+    assert os.path.exists(path)
+
+    db = "feat_manifest"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    r = Runner(spark=spark, project=project, database=db)
+    results = r.run()
+    rr_path = write_run_results(results, project, str(tmp_path / "target"))
+    rr = json.load(open(rr_path))
+    assert rr["results"][0]["unique_id"] == "model.feat_test.daily"
+    assert rr["results"][0]["status"] == "success"
+    assert rr["elapsed_time"] > 0
