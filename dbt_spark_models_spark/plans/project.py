@@ -84,6 +84,7 @@ class Project:
     sources: dict[str, dict[str, str]] = field(default_factory=dict)
     model_defaults: dict[str, Any] = field(default_factory=dict)
     seed_configs: dict[str, Any] = field(default_factory=dict)
+    checks: dict[str, Any] = field(default_factory=dict)
     models: dict[str, ModelNode] = field(default_factory=dict)
     seeds: dict[str, str] = field(default_factory=dict)  # name -> csv path
     snapshots: dict[str, ModelNode] = field(default_factory=dict)
@@ -110,6 +111,7 @@ class Project:
             sources=dict(cfg.get("sources", {})),
             model_defaults=dict(cfg.get("models", {})),
             seed_configs=dict(cfg.get("seeds", {})),
+            checks=dict(cfg.get("checks", {})),
         )
         proj._discover()
         return proj

@@ -243,9 +243,39 @@ class Runner:
         return out
 
     def test(self) -> list[RunResult]:
-        """Singular data tests: a test passes when its query returns 0 rows
-        (reference ``tests/spark/pulse/*``, SURVEY.md §5)."""
+        """Singular data tests (query must return 0 rows, reference
+        ``tests/spark/pulse/*``) plus generic schema checks declared under
+        ``checks:`` in project.yml (not_null/unique/accepted_values/
+        relationships)."""
+        from dbt_spark_models_spark.plans.checks import build_check_queries
+
         out = []
+        for model_name, model_checks in self.project.checks.items():
+            ident = (
+                f"{self.database}.{model_name}" if self.database else model_name
+            )
+            for check_name, sql in build_check_queries(
+                ident, model_checks, self._resolve_ref
+            ).items():
+                t0 = time.time()
+                full_name = f"{model_name}__{check_name}"
+                try:
+                    n = self.spark.sql(sql).count()
+                    out.append(
+                        RunResult(
+                            full_name,
+                            "test",
+                            "success" if n == 0 else "fail",
+                            seconds=time.time() - t0,
+                            message="" if n == 0 else f"{n} failing rows",
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001
+                    out.append(
+                        RunResult(
+                            full_name, "test", "error", "", time.time() - t0, str(e)
+                        )
+                    )
         for name, node in self.project.tests.items():
             t0 = time.time()
             try:

@@ -382,3 +382,88 @@ def test_manifest_and_run_results(spark, tmp_path, sf_dir):
     assert rr["results"][0]["unique_id"] == "model.feat_test.daily"
     assert rr["results"][0]["status"] == "success"
     assert rr["elapsed_time"] > 0
+
+
+def test_generic_schema_checks(spark, tmp_path, sf_dir):
+    import textwrap as tw
+
+    root = tmp_path / "checksproj"
+    (root / "models").mkdir(parents=True)
+    (root / "project.yml").write_text(
+        tw.dedent(
+            f"""\
+            name: checks_proj
+            sources:
+              testdata:
+                events: {sf_dir}/events.parquet
+            checks:
+              stg:
+                not_null: ["event_id", "user_id"]
+                unique: ["event_id"]
+                accepted_values: {{"event_type": ["view", "click", "purchase", "signup", "error"]}}
+              bad:
+                unique: ["user_id"]
+                accepted_values: {{"event_type": ["view"]}}
+            """
+        )
+    )
+    (root / "models" / "stg.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "SELECT * FROM {{ source('testdata', 'events') }}"
+    )
+    (root / "models" / "bad.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "SELECT * FROM {{ source('testdata', 'events') }}"
+    )
+    db = "feat_checks"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    r = Runner(spark=spark, project=Project.load(str(root)), database=db)
+    r.run()
+    results = r.test()
+    by_name = {x.node: x for x in results}
+    assert by_name["stg__not_null__event_id"].status == "success"
+    assert by_name["stg__unique__event_id"].status == "success"
+    assert by_name["stg__accepted_values__event_type"].status == "success"
+    # duplicate user_ids and non-'view' types must FAIL the bad model's checks
+    assert by_name["bad__unique__user_id"].status == "fail"
+    assert by_name["bad__accepted_values__event_type"].status == "fail"
+    assert "failing rows" in by_name["bad__unique__user_id"].message
+
+
+def test_relationships_check(spark, tmp_path, sf_dir):
+    import textwrap as tw
+
+    root = tmp_path / "relproj"
+    (root / "models").mkdir(parents=True)
+    (root / "seeds").mkdir()
+    (root / "project.yml").write_text(
+        tw.dedent(
+            f"""\
+            name: rel_proj
+            sources:
+              testdata:
+                events: {sf_dir}/events.parquet
+            checks:
+              stg:
+                relationships: {{"event_type": "dim_types.event_type"}}
+                not_null: ["value"]
+            """
+        )
+    )
+    (root / "seeds" / "dim_types.csv").write_text(
+        "event_type\nview\nclick\npurchase\nsignup\n"  # 'error' missing!
+    )
+    (root / "models" / "stg.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "SELECT * FROM {{ source('testdata', 'events') }}"
+    )
+    db = "feat_rel"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    r = Runner(spark=spark, project=Project.load(str(root)), database=db)
+    r.seed()
+    r.run()
+    results = r.test()
+    by_name = {x.node: x for x in results}
+    # 'error' events have no parent row -> relationship violated
+    assert by_name["stg__relationships__event_type"].status == "fail"
+    assert by_name["stg__not_null__value"].status == "success"
