@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         nested,
         relational,
         relational2,
+        relational3,
         scalars,
         similarity,
         streaming_gate,
