@@ -1,0 +1,281 @@
+"""Training-data curation operators beyond the dedup/similarity families:
+prefix dedup, boilerplate n-gram mining, deterministic reservoir sampling,
+unigram-entropy quality scoring, PII scrubbing.
+
+These extend the LLM-data-pipeline surface (BASELINE.json north star) the
+same way ``dedup.py``/``text.py`` do, over the ``documents`` table.
+
+Scale notes (100 TB design):
+- Every operator is a scan → narrow per-row transform → one keyed shuffle.
+  No driver collects, no Python UDFs — all expressions are built-in
+  (JVM/codegen) column functions.
+- Prefix dedup groups on the literal prefix string here so the DuckDB
+  oracle can replicate it; at production scale the group key would be
+  ``xxhash64(prefix)`` (engine-specific hashes can't cross-check) — one
+  64-bit shuffle key instead of a ~150-byte string, same plan shape.
+- Reservoir sampling uses a multiplicative-hash priority (exact integer
+  arithmetic, engine-portable, seed-stable) so the "random" sample is
+  reproducible run-to-run and across engines — the property a curation
+  pipeline needs for auditable subsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.sources.testdata import load_tables
+
+
+@query(
+    "dedup_prefix_survivors",
+    oracle="""
+WITH pref AS (
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+             AS prefix
+    FROM documents
+)
+SELECT MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS group_size
+FROM pref
+GROUP BY prefix
+HAVING COUNT(*) > 1
+""",
+)
+def dedup_prefix_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup (first-20-token fingerprint): documents sharing a prefix
+    are near-duplicate continuations; keep the lowest doc_id as survivor.
+
+    A standard pre-LLM-training pass (prefix/suffix dedup catches truncated
+    re-crawls that exact-hash misses). Group key is the prefix string for
+    oracle parity; at scale use ``xxhash64(prefix)`` (docstring of module).
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 20)).alias(
+                "prefix"
+            ),
+        )
+        .groupBy("prefix")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+        .drop("prefix")
+    )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle="""
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+    SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+    FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+)
+SELECT gram, COUNT(DISTINCT doc_id) AS doc_freq
+FROM grams
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 5
+""",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: word 3-grams occurring in ≥5 distinct documents —
+    the candidate list a cleaning pass would strip (header/footer/navigation
+    text in web crawls).
+
+    The 3-gram array is built row-locally with TRANSFORM over an index
+    SEQUENCE (no join, no UDF), then one explode + distinct-count shuffle.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 5)
+    )
+
+
+@query(
+    "sample_reservoir_per_group",
+    oracle="""
+WITH prio AS (
+    SELECT doc_id, lang,
+           (doc_id * 2654435761) % 1000000007 AS priority
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY priority, doc_id) AS rn
+    FROM prio
+)
+SELECT lang, doc_id, rn
+FROM ranked
+WHERE rn <= 3
+""",
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir sample: 3 documents per language, priority =
+    Knuth multiplicative hash of doc_id (exact integer arithmetic → identical
+    sample on any engine, any partitioning, any run — auditable curation).
+
+    One window shuffle on ``lang``; at scale swap ROW_NUMBER for a
+    per-partition bounded heap only if group cardinality is tiny relative to
+    rows (Spark's window top-k already stops at the frame, no full sort
+    spill thanks to the rank filter pushdown in WindowGroupLimit).
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    prio = docs.select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)).alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        prio.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", "rn")
+    )
+
+
+@query(
+    "text_word_entropy",
+    oracle="""
+WITH tokens AS (
+    SELECT doc_id, t.word
+    FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+),
+counts AS (
+    SELECT doc_id, word, COUNT(*) AS c
+    FROM tokens GROUP BY doc_id, word
+),
+totals AS (
+    SELECT doc_id, SUM(c) AS n, SUM(c * LN(c)) AS sum_clnc
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       ROUND(LN(n) - sum_clnc / n, 4) AS entropy
+FROM totals
+""",
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-entropy quality score per document: H = ln N − Σc·ln c / N.
+    Low entropy = repetitive/templated text (a standard cheap quality filter
+    next to the length/stopword ratios in ``text_quality_scores``).
+
+    Two keyed shuffles: (doc, word) count then per-doc combine — both
+    partial-aggregated map-side. The algebraic form avoids computing p=c/N
+    per word before the final aggregate (one pass, no join back to totals).
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("sum_clnc"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_words"),
+            F.round(F.log(F.col("n")) - F.col("sum_clnc") / F.col("n"), 4).alias(
+                "entropy"
+            ),
+        )
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+WITH contact AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@' || source
+                || '.example.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+    FROM documents
+),
+scrubbed AS (
+    SELECT doc_id, raw,
+           regexp_replace(
+               regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\\+[0-9][0-9-]{6,}', '<PHONE>', 'g') AS clean
+    FROM contact
+)
+SELECT doc_id,
+       len(regexp_extract_all(raw,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(raw, '\\+[0-9][0-9-]{6,}')) AS n_phones,
+       length(clean) AS clean_len,
+       substr(clean, length(clean) - 29, 30) AS clean_tail
+FROM scrubbed
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails/phone numbers with per-doc
+    redaction counts. The testdata corpus contains no organic PII, so a
+    deterministic contact line derived from (doc_id, source) is appended on
+    BOTH engine sides first — the redaction logic is what is verified.
+
+    Pure built-in regexp functions (codegen'd, no UDF); at 100 TB this is a
+    map-only pass with zero shuffle.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\+[0-9][0-9-]{6,}"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    contact = docs.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    return contact.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(email_re), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(phone_re), 0)).alias(
+            "n_phones"
+        ),
+        F.length(clean).alias("clean_len"),
+        F.substring(clean, -30, 30).alias("clean_tail"),
+    ).select(
+        "doc_id",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_phones").cast("bigint").alias("n_phones"),
+        F.col("clean_len").cast("bigint").alias("clean_len"),
+        "clean_tail",
+    )
