@@ -64,3 +64,18 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark_models_spark.streaming import stream_session_counts
 
     return stream_session_counts(spark, sf_dir)
+
+
+@query(
+    "streaming_dedup_events",
+    oracle="""
+SELECT event_id, event_type, ROUND(value, 2) AS val
+FROM events
+""",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery (stream ∪ stream) collapsed to exactly-once by
+    watermark-bounded streaming dedup ≡ the batch table itself."""
+    from dbt_spark_models_spark.streaming import stream_dedup_events
+
+    return stream_dedup_events(spark, sf_dir)

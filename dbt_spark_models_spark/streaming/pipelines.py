@@ -104,3 +104,25 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.end").alias("session_end"),
         "n_events",
     )
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the stream unioned with itself (every
+    event arrives twice, as with at-least-once sources like Kafka replays)
+    is collapsed back to one row per event_id by
+    ``dropDuplicatesWithinWatermark`` — the state-store-backed dedup whose
+    state is bounded by the watermark instead of growing forever.
+
+    Scale notes: dedup state is keyed by event_id only within the watermark
+    horizon; at 100 TB/day the state store holds one horizon's worth of
+    keys per partition (RocksDB state store in production), not the full
+    history.
+    """
+    ev = _events_stream(spark, sf_dir)
+    doubled = ev.unionAll(ev)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", F.round("value", 2).alias("val"))
+    )
+    return _run_to_memory(deduped, "append")

@@ -84,3 +84,30 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         assert n == t["lineitem"].count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tpch_completion_queries_broadcast_and_pushdown(spark, sf_dir):
+    """Q7/Q8/Q9: every dimension join is broadcast and the fact-scan date
+    filters reach the parquet reader."""
+    for q in ("q7_volume_shipping", "q8_market_share", "q9_product_type_profit"):
+        plan = _plan(spark, q, sf_dir)
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+    plan = _plan(spark, "q7_volume_shipping", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed date filter
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    """PII scrubbing must stay a zero-shuffle map pass (100 TB: pure
+    scan→transform, no Exchange in the plan)."""
+    plan = _plan(spark, "text_pii_scrub", sf_dir)
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # regexes run JVM-side inside codegen stages
+
+
+def test_reservoir_sample_single_window_shuffle(spark, sf_dir):
+    """Deterministic reservoir sample: exactly one Exchange (the window
+    partitioning on lang) — no extra sort/shuffle stages."""
+    plan = _plan(spark, "sample_reservoir_per_group", sf_dir)
+    assert plan.count("Exchange") <= 2  # hashpartitioning(lang) + AQE read
+    assert "WindowGroupLimit" in plan  # top-k pushed below the full sort
