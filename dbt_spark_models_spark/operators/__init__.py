@@ -44,6 +44,7 @@ def load_all() -> dict[str, Query]:
         aggregates,
         arrays,
         clustering,
+        contamination,
         curation,
         dedup,
         engine_gate,

@@ -1,0 +1,238 @@
+"""Benchmark-contamination checks, LM-based quality scoring, and sequence
+packing — the remaining pre-training curation stages beyond dedup/filtering.
+
+Beyond-reference surface (BASELINE.json north star). The reference's nearest
+patterns are the content-signature dedup
+(``models/spark/onfy/onfy_product_analogues.sql:50-57``) and stopword-table
+filtering (``models/spark/uzum/uzum_available_products.sql:15-18``); these
+operators generalize them to the three ops every LLM data pipeline runs
+before training:
+
+* **contamination** — does a candidate document share long n-grams with the
+  held-out eval set? (exact n-gram overlap, the standard decontamination
+  check)
+* **unigram log-prob scoring** — a corpus-level unigram LM scores each
+  document's average surprisal; extreme values flag gibberish/boilerplate
+  (the cheap stand-in for a perplexity filter).
+* **token-budget packing** — assign documents to fixed-size training shards
+  (greedy contiguous fill), deterministic so re-runs produce identical
+  shards.
+
+Scale design (100 TB): the eval-set n-gram table and the unigram vocabulary
+are both tiny relative to the corpus → broadcast joins; everything else is
+row-local or a single keyed shuffle. Packing windows partition by ``lang``
+(at real scale: by shard key), never a global unpartitioned window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.sources.testdata import load_tables, spread
+
+# word n-gram order for the contamination check
+_N = 3
+# documents from this source act as the held-out benchmark/eval set
+_EVAL_SOURCE = "src0"
+# token budget per packed training shard
+_PACK_BUDGET = 8192
+
+_TOKENIZE_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+)
+
+
+def _tokens():
+    return F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+    )
+
+
+def _shingles_expr() -> str:
+    """Spark SQL expr: word 3-gram shingles of the ``tokens`` array.
+
+    Guarded by the caller's ``size(tokens) >= N`` filter — Spark's
+    ``sequence(1, 0)`` counts DOWN (step -1), so an unguarded expression
+    would fabricate shingles for short docs.
+    """
+    parts = " , ' ', ".join(f"element_at(tokens, i + {k})" for k in range(_N))
+    return (
+        f"transform(sequence(1, size(tokens) - {_N - 1}), "
+        f"i -> concat({parts}))"
+    )
+
+
+def _shingles_duckdb() -> str:
+    parts = " || ' ' || ".join(f"tokens[i + {k}]" for k in range(_N))
+    return (
+        f"list_transform(generate_series(1, len(tokens) - {_N - 1}), "
+        f"i -> {parts})"
+    )
+
+
+@query(
+    "text_contamination_ngram_overlap",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source, {_TOKENIZE_SQL} AS tokens
+    FROM documents
+), shingled AS (
+    SELECT doc_id, source, {_shingles_duckdb()} AS shingles
+    FROM toks WHERE len(tokens) >= {_N}
+), eval_ngrams AS (
+    SELECT DISTINCT UNNEST(shingles) AS shingle
+    FROM shingled WHERE source = '{_EVAL_SOURCE}'
+), cand AS (
+    SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle
+    FROM shingled WHERE source <> '{_EVAL_SOURCE}'
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(e.shingle) AS n_overlap,
+       ROUND(COUNT(e.shingle) / COUNT(*), 4) AS contamination_ratio,
+       COUNT(e.shingle) / COUNT(*) >= 0.2 AS flagged
+FROM cand c LEFT JOIN eval_ngrams e ON c.shingle = e.shingle
+GROUP BY c.doc_id
+""",
+)
+def text_contamination_ngram_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact word-3-gram decontamination: fraction of each candidate doc's
+    distinct shingles that also occur in the eval set (``source = 'src0'``).
+
+    Scale: the eval set is orders of magnitude smaller than the corpus, so
+    its distinct-shingle table is broadcast — the candidate side streams
+    through a BroadcastHashJoin with no shuffle of the 100 TB side; the only
+    wide exchange is the per-doc groupBy, keyed on doc_id (uniform)."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    shingled = (
+        d.select("doc_id", "source", _tokens().alias("tokens"))
+        .filter(F.size("tokens") >= _N)
+        .select("doc_id", "source", F.expr(_shingles_expr()).alias("shingles"))
+    )
+    eval_ngrams = (
+        shingled.filter(F.col("source") == _EVAL_SOURCE)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    cand = (
+        shingled.filter(F.col("source") != _EVAL_SOURCE)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    joined = cand.join(
+        F.broadcast(eval_ngrams.withColumn("hit", F.lit(1))), "shingle", "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("hit").alias("n_overlap"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias(
+            "contamination_ratio"
+        ),
+        (F.count("hit") / F.count(F.lit(1)) >= 0.2).alias("flagged"),
+    )
+
+
+@query(
+    "text_unigram_logprob_score",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKENIZE_SQL} AS tokens FROM documents
+), words AS (
+    SELECT doc_id, UNNEST(tokens) AS word FROM toks
+), vocab AS (
+    SELECT word, COUNT(*) AS cnt FROM words GROUP BY word
+), total AS (
+    SELECT SUM(cnt) AS n FROM vocab
+)
+SELECT w.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(-LN(v.cnt / t.n)), 4) AS avg_neg_logprob,
+       ROUND(MAX(-LN(v.cnt / t.n)), 4) AS max_neg_logprob
+FROM words w JOIN vocab v ON w.word = v.word CROSS JOIN total t
+GROUP BY w.doc_id
+""",
+)
+def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: average per-token surprisal under the
+    corpus's own unigram distribution (two-pass: vocabulary aggregate, then
+    a broadcast re-join). Low = repetitive boilerplate, high = gibberish.
+
+    Scale: the vocabulary is bounded (<< corpus), so pass 2 is a broadcast
+    join; pass 1 is one map-side-combined groupBy on the token — the same
+    plan shape at 100 TB."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    words = d.select(
+        "doc_id", F.explode(_tokens()).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    neg_lp = -F.log(F.col("cnt") / F.col("n"))
+    scored = words.join(F.broadcast(vocab), "word").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(neg_lp), 4).alias("avg_neg_logprob"),
+        F.round(F.max(neg_lp), 4).alias("max_neg_logprob"),
+    )
+
+
+@query(
+    "pack_token_budget_bins",
+    oracle=f"""
+WITH est AS (
+    SELECT doc_id, lang,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_tokens
+    FROM documents
+), packed AS (
+    SELECT doc_id, lang, est_tokens,
+           COALESCE(SUM(est_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM est
+)
+SELECT doc_id, lang, est_tokens,
+       CAST(FLOOR(cum_before / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+       cum_before + est_tokens
+           - CAST(FLOOR(cum_before / {_PACK_BUDGET}) AS BIGINT)
+             * {_PACK_BUDGET} AS bin_fill
+FROM packed
+""",
+)
+def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: greedy contiguous fill of documents
+    (ordered by doc_id) into {_PACK_BUDGET}-token training shards, one pack
+    stream per language.
+
+    Scale: the window partitions by ``lang`` (at 100 TB you'd sub-shard the
+    key, e.g. ``(lang, hash(doc_id) % k)``, the same one-line change noted
+    on the flagship pipeline); no global ordering is required."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    est = d.select(
+        "doc_id",
+        "lang",
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = est.withColumn(
+        "cum_before", F.coalesce(F.sum("est_tokens").over(w), F.lit(0))
+    )
+    bin_id = F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long")
+    return packed.select(
+        "doc_id",
+        "lang",
+        "est_tokens",
+        bin_id.alias("bin_id"),
+        (
+            F.col("cum_before")
+            + F.col("est_tokens")
+            - bin_id * _PACK_BUDGET
+        ).alias("bin_fill"),
+    )
