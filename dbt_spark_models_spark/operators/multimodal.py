@@ -118,3 +118,80 @@ def multimodal_metadata_partition_plan(spark: SparkSession, sf_dir: str) -> Data
             F.sum("media_meta.n_bytes").alias("bucket_bytes"),
         )
     )
+
+
+_FRAME_SIZE = 64
+_FRAME_STRIDE = 4
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def _sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampler: split each payload into fixed-size
+    chunks ("frames" of the deterministic fake video) and keep every
+    ``_FRAME_STRIDE``-th one. Real decode (ffmpeg keyframe extraction)
+    would replace the chunking only — the batch shape is identical."""
+    for pdf in batches:
+        out_doc, out_idx, out_len, out_sum = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) + _FRAME_SIZE - 1) // _FRAME_SIZE
+            for i in range(0, n_frames, _FRAME_STRIDE):
+                chunk = payload[i * _FRAME_SIZE : (i + 1) * _FRAME_SIZE]
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_len.append(len(chunk))
+                out_sum.append(sum(chunk) % 997)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "frame_bytes": pd.Series(out_len, dtype="int32"),
+                "frame_checksum": pd.Series(out_sum, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH sized AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+    FROM documents
+), frames AS (
+    SELECT doc_id, text, n_bytes,
+           UNNEST(generate_series(0,
+               CAST(CEIL(n_bytes / {_FRAME_SIZE}.0) AS INT) - 1)) AS frame_idx
+    FROM sized
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(LEAST({_FRAME_SIZE}, n_bytes - frame_idx * {_FRAME_SIZE}) AS INT)
+           AS frame_bytes,
+       list_sum(list_transform(
+           generate_series(frame_idx * {_FRAME_SIZE} + 1,
+                           LEAST((frame_idx + 1) * {_FRAME_SIZE}, n_bytes)),
+           i -> ascii(substring(text, i, 1)))) % 997 AS frame_checksum
+FROM frames
+WHERE frame_idx % {_FRAME_STRIDE} = 0
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary "video" payload: every 4th fixed-size
+    chunk survives, one output row per sampled frame — the keyframe
+    subsampling stage of a video-curation pipeline, with the decode faked
+    (chunking) and the ``mapInPandas`` row-expansion plumbing real.
+
+    Scale: row-expanding Pandas UDFs keep Arrow batches bounded (the output
+    is built per input batch); the payload never leaves the executor."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return with_payload.mapInPandas(_sample_frames_batch, _FRAME_SCHEMA)

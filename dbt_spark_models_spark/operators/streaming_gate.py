@@ -79,3 +79,27 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark_models_spark.streaming import stream_dedup_events
 
     return stream_dedup_events(spark, sf_dir)
+
+
+@query(
+    "streaming_sliding_window_counts",
+    oracle="""
+WITH expanded AS (
+    SELECT CAST(UNNEST([date_trunc('day', ts) - INTERVAL 1 DAY,
+                        date_trunc('day', ts)]) AS DATE) AS window_start,
+           event_type, value
+    FROM events
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM expanded
+GROUP BY window_start, event_type
+""",
+)
+def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day/1-day streaming windows ≡ batch double-expansion (each
+    event contributes to its two containing windows) + group-by."""
+    from dbt_spark_models_spark.streaming import stream_sliding_window_counts
+
+    return stream_sliding_window_counts(spark, sf_dir)

@@ -2,6 +2,12 @@ from dbt_spark_models_spark.streaming.pipelines import (
     stream_daily_type_counts,
     stream_dedup_events,
     stream_session_counts,
+    stream_sliding_window_counts,
 )
 
-__all__ = ["stream_daily_type_counts", "stream_dedup_events", "stream_session_counts"]
+__all__ = [
+    "stream_daily_type_counts",
+    "stream_dedup_events",
+    "stream_session_counts",
+    "stream_sliding_window_counts",
+]

@@ -126,3 +126,34 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", F.round("value", 2).alias("val"))
     )
     return _run_to_memory(deduped, "append")
+
+
+def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day windows advancing 1 day (each event lands in exactly
+    two overlapping windows) × event_type, with a 1-day watermark.
+
+    The overlap is what tumbling windows can't express: a rolling 48-hour
+    health metric updated daily. Complete mode → every window emitted,
+    equal to the batch per-window expansion (each row duplicated into its
+    two containing windows, then grouped).
+
+    Scale notes: state per (window, event_type) — the watermark closes a
+    window 1 day after its end, so live state is ~3 window generations per
+    key regardless of stream length.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").cast("date").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
