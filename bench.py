@@ -47,6 +47,10 @@ HEADLINE = [
     "dedup_simhash_fingerprints",
     "similarity_bruteforce_topk",
     "similarity_ivf_assign",
+    "similarity_ivf_topk",
+    "text_contamination_ngram_overlap",
+    "text_unigram_logprob_score",
+    "pack_token_budget_bins",
 ]
 
 

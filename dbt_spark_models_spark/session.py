@@ -29,6 +29,16 @@ _REQUIRED_SQL_CONFS = {
     # local-scale default; AQE coalesces batch shuffles, but stateful
     # streaming pins partition counts, so an unset 200 hurts there
     "spark.sql.shuffle.partitions": "32",
+    # InferFiltersFromGenerate duplicates the generator's child expression
+    # into a pre-Generate filter, which predicate pushdown then inlines
+    # below exchanges — for explode(transform(...)) over tokenized text
+    # that turns an O(n) per-row shingle computation into O(n²) evaluated
+    # on the narrowest (scan) stage: 10× slower on the dedup/contamination
+    # pipelines. The rule only ever ADDS inferred filters (a pruning
+    # optimization), so excluding it never changes results.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 _PREPARED_SESSIONS: set[int] = set()

@@ -111,3 +111,47 @@ def test_reservoir_sample_single_window_shuffle(spark, sf_dir):
     plan = _plan(spark, "sample_reservoir_per_group", sf_dir)
     assert plan.count("Exchange") <= 2  # hashpartitioning(lang) + AQE read
     assert "WindowGroupLimit" in plan  # top-k pushed below the full sort
+
+
+def test_contamination_eval_set_broadcast(spark, sf_dir):
+    """Decontamination must broadcast the (small) eval-set n-gram table —
+    the 100 TB candidate side may never shuffle for the membership probe."""
+    plan = _plan(spark, "text_contamination_ngram_overlap", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_logprob_vocab_broadcast(spark, sf_dir):
+    """The unigram-LM rescoring join must broadcast the vocabulary, not
+    shuffle the corpus tokens against it."""
+    plan = _plan(spark, "text_unigram_logprob_score", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_bins_partitioned_window(spark, sf_dir):
+    """Token packing must window per-language — a global unpartitioned
+    window would serialize the corpus through one task."""
+    plan = _plan(spark, "pack_token_budget_bins", sf_dir)
+    assert "hashpartitioning(lang" in plan
+
+
+def test_ivf_topk_centroids_broadcast(spark, sf_dir):
+    """The IVF query path must broadcast centroids and the query set; the
+    corpus side stays shuffle-free for both assignment and in-cell search."""
+    plan = _plan(spark, "similarity_ivf_topk", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_no_inferred_generate_filter_blowup(spark, sf_dir):
+    """InferFiltersFromGenerate must stay excluded: it inlines the whole
+    shingle expression (itself re-tokenizing the text per array element)
+    into a pre-exchange filter, turning per-row O(n) work into O(n²) on
+    the scan stage — measured 10× on the contamination/minhash pipelines."""
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules", ""
+    )
+    plan = _plan(spark, "text_contamination_ngram_overlap", sf_dir)
+    # the scan-side Filter must not contain the shingle transform
+    scan_filter = plan.split("(1) Scan parquet")[0]
+    assert "size(transform(sequence" not in scan_filter
