@@ -51,6 +51,8 @@ HEADLINE = [
     "text_contamination_ngram_overlap",
     "text_unigram_logprob_score",
     "pack_token_budget_bins",
+    "text_repetition_ratios",
+    "pipeline_pretraining_shards",
 ]
 
 

@@ -236,3 +236,155 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             - bin_id * _PACK_BUDGET
         ).alias("bin_fill"),
     )
+
+
+@query(
+    "pipeline_pretraining_shards",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           {_TOKENIZE_SQL} AS tokens
+    FROM documents
+), quality AS (
+    -- repetition gate: no single bigram may dominate the document
+    SELECT doc_id, lang, source, n_chars, text, tokens
+    FROM (
+        SELECT *,
+               list_transform(generate_series(1, len(tokens) - 1),
+                              i -> tokens[i] || ' ' || tokens[i+1]) AS bgs
+        FROM toks WHERE len(tokens) >= 10
+    )
+    WHERE (SELECT MAX(c) FROM (
+               SELECT COUNT(*) AS c FROM UNNEST(bgs) AS t(bg) GROUP BY bg))
+          / len(bgs) <= 0.2
+), decontaminated AS (
+    -- drop docs sharing any word 3-gram with the eval set (source src0)
+    SELECT q.* FROM quality q
+    WHERE q.source <> '{_EVAL_SOURCE}'
+      AND NOT EXISTS (
+        SELECT 1
+        FROM (SELECT UNNEST({_shingles_duckdb().replace('tokens', 'q.tokens')}) AS s) cs
+        JOIN (SELECT DISTINCT UNNEST({_shingles_duckdb()}) AS s
+              FROM toks WHERE source = '{_EVAL_SOURCE}' AND len(tokens) >= {_N}) es
+          ON cs.s = es.s)
+), deduped AS (
+    SELECT * FROM (
+        SELECT d.*,
+               ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(text)))
+                                  ORDER BY doc_id) AS rn
+        FROM decontaminated d
+    ) WHERE rn = 1
+), packed AS (
+    SELECT doc_id, lang,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_tokens,
+           COALESCE(SUM(CAST(CEIL(n_chars / 4.0) AS BIGINT)) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM deduped
+)
+SELECT lang,
+       CAST(FLOOR(cum_before / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(est_tokens) AS BIGINT) AS shard_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM packed
+GROUP BY lang, bin_id
+""",
+)
+def pipeline_pretraining_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline #2 — pre-training shard production end to end in
+    one lazy plan:
+
+      repetition quality gate (top-bigram share ≤ 0.2, ≥ 10 tokens)
+        → exact 3-gram decontamination against the eval set (src0)
+        → exact dedup keep-first (MD5 content hash)
+        → greedy token packing per language
+        → shard manifest (lang, bin, doc count, token count)
+
+    Scale path: the quality gate is row-local; decontamination is a
+    broadcast left-anti join on the (small) eval n-gram set; dedup is one
+    hash-partitioned window; packing windows per lang. Four shuffles
+    total, none on the raw corpus — only on survivors."""
+    from pyspark.sql import Window
+
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    toks = (
+        d.select("doc_id", "lang", "source", "n_chars", "text",
+                 _tokens().alias("tokens"))
+    )
+    with_bigrams = toks.filter(F.size("tokens") >= 10).withColumn(
+        "bgs",
+        F.expr(
+            "transform(sequence(1, size(tokens) - 1),"
+            " i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+        ),
+    )
+    # top-bigram share, row-local: sort a copy, count the longest run
+    quality = with_bigrams.withColumn(
+        "top_share",
+        F.expr(
+            """aggregate(
+                   array_sort(bgs),
+                   named_struct('prev', CAST(NULL AS STRING),
+                                'run', 0, 'best', 0),
+                   (acc, x) -> named_struct(
+                       'prev', x,
+                       'run', IF(acc.prev IS NOT NULL AND x = acc.prev,
+                                 acc.run + 1, 1),
+                       'best', GREATEST(acc.best,
+                                 IF(acc.prev IS NOT NULL AND x = acc.prev,
+                                    acc.run + 1, 1))),
+                   acc -> acc.best) / size(bgs)"""
+        ),
+    ).filter(F.col("top_share") <= 0.2)
+    eval_ngrams = (
+        toks.filter(
+            (F.col("source") == _EVAL_SOURCE) & (F.size("tokens") >= _N)
+        )
+        .select(F.explode(F.expr(_shingles_expr())).alias("shingle"))
+        .distinct()
+    )
+    cand_shingles = quality.filter(F.col("source") != _EVAL_SOURCE).select(
+        "doc_id", "lang", "n_chars", "text",
+        F.explode(F.expr(_shingles_expr())).alias("shingle"),
+    )
+    contaminated = (
+        cand_shingles.join(F.broadcast(eval_ngrams), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    decontaminated = (
+        quality.filter(F.col("source") != _EVAL_SOURCE)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+    )
+    w_dedup = Window.partitionBy(
+        F.md5(F.lower(F.trim(F.col("text"))))
+    ).orderBy("doc_id")
+    deduped = (
+        decontaminated.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+    )
+    est = deduped.select(
+        "doc_id", "lang",
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens"),
+    )
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = est.withColumn(
+        "cum_before", F.coalesce(F.sum("est_tokens").over(w_pack), F.lit(0))
+    )
+    return (
+        packed.groupBy(
+            "lang",
+            F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long").alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("est_tokens").cast("long").alias("shard_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+        )
+    )

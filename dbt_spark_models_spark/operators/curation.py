@@ -279,3 +279,121 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clean_len").cast("bigint").alias("clean_len"),
         "clean_tail",
     )
+
+
+@query(
+    "text_repetition_ratios",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), sized AS (
+    SELECT doc_id, tokens, len(tokens) AS n_tokens
+    FROM toks WHERE len(tokens) >= 2
+), bigrams AS (
+    SELECT doc_id, n_tokens,
+           UNNEST(list_transform(generate_series(1, len(tokens) - 1),
+                  i -> tokens[i] || ' ' || tokens[i+1])) AS bigram
+    FROM sized
+), counted AS (
+    SELECT doc_id, n_tokens, bigram, COUNT(*) AS cnt
+    FROM bigrams GROUP BY doc_id, n_tokens, bigram
+)
+SELECT doc_id,
+       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       ROUND(MAX(cnt) / SUM(cnt), 4) AS top_bigram_share,
+       ROUND(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / SUM(cnt), 4)
+           AS dup_bigram_fraction
+FROM counted
+GROUP BY doc_id
+""",
+)
+def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/RefinedWeb family):
+    share of the document's bigrams taken by its single most frequent
+    bigram, and the fraction of bigram occurrences that are duplicates.
+    High values flag boilerplate/spam that per-token stats miss.
+
+    Scale: bigram expansion is row-local; both ratios come from ONE
+    groupBy(doc_id, bigram) + one groupBy(doc_id) re-aggregate — the
+    second shuffle is on the already-reduced count table."""
+    from dbt_spark_models_spark.sources.testdata import spread
+
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+    )
+    sized = (
+        d.select("doc_id", toks.alias("tokens"))
+        .withColumn("n_tokens", F.size("tokens"))
+        .filter(F.col("n_tokens") >= 2)
+    )
+    bigrams = sized.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 1),"
+                " i -> concat(element_at(tokens, i), ' ',"
+                " element_at(tokens, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("doc_id", "n_tokens", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counted.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_bigram_share"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            4,
+        ).alias("dup_bigram_fraction"),
+    )
+
+
+@query(
+    "curation_length_percentile_bands",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, lang, n_chars,
+           PERCENT_RANK() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS pr,
+           CUME_DIST() OVER (PARTITION BY lang
+                             ORDER BY n_chars, doc_id) AS cd
+    FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       ROUND(pr, 4) AS length_pctile,
+       ROUND(cd, 4) AS length_cume,
+       pr >= 0.05 AND pr <= 0.95 AS in_band
+FROM ranked
+""",
+)
+def curation_length_percentile_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language percentile banding of document length (drop the
+    extreme 5% tails — truncated fragments and runaway concatenations).
+    ``percent_rank``/``cume_dist`` with a doc_id tie-break so equal
+    lengths rank deterministically.
+
+    Scale: one window shuffle partitioned by lang; at 100 TB sub-shard
+    the key or pre-aggregate to a length histogram per lang and band on
+    the (tiny) histogram instead."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(pr, 4).alias("length_pctile"),
+        F.round(F.cume_dist().over(w), 4).alias("length_cume"),
+        ((pr >= 0.05) & (pr <= 0.95)).alias("in_band"),
+    )

@@ -268,7 +268,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = shingle
     # all 16 minhashes in ONE aggregate pass (no 16× row expansion, no
     # second shuffle): min((a_i*tid + b_i) % p) as 16 parallel agg columns
+    # piggyback the per-doc shingle count (needed later for Jaccard) on the
+    # same aggregate — one shuffle computes 16 minhashes AND the set size,
+    # instead of re-running the tokenize+shingle pipeline for a second
+    # groupBy
     minh = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz"),
         *[
             F.min((F.lit(a) * F.col("tid") + F.lit(b)) % _MOD).alias(f"mh{i}")
             for i, (a, b) in enumerate(_PERMS)
@@ -300,7 +305,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = minh.select("doc_id", "sz")
     s1 = shingle.alias("s1")
     s2 = shingle.alias("s2")
     verified = (
