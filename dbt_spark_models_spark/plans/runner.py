@@ -47,6 +47,10 @@ class Runner:
     # instead of recomputing (reference create_table.sql:3-19)
     copy_from_prod: set[str] = field(default_factory=set)
     prod_database: str | None = None
+    # "prod" honors per-model schema/alias configs as-is; any other value
+    # applies the reference's dev-namespacing (every overridden model lands
+    # in the single dev database as <schema>__<alias>)
+    target_name: str = "prod"
 
     def __post_init__(self) -> None:
         if self.database:
@@ -58,12 +62,59 @@ class Runner:
         self._ephemeral_sql: dict[str, str] = {}
 
     # --- name resolution -------------------------------------------------
+    def _var(self, key: str, default: Any = "") -> Any:
+        return self.vars.get(key, self.project.vars.get(key, default))
+
+    def _identity(self, node) -> tuple[str | None, str]:
+        """Resolve (database, table_name) for a node, reproducing the
+        reference's ``generate_schema_name`` / ``generate_alias_name``
+        macros (``macros/get_custom_schema.sql:1-21``,
+        ``macros/generate_alias_name.sql:14-24``):
+
+        - prod target: custom ``schema``/``alias`` configs are honored
+          verbatim; models without a custom schema fall back to
+          ``dbt_default_production_schema`` var, then the runner database.
+        - dev target (``target_name != 'prod'``): overridden nodes all
+          land in the ONE dev database, renamed ``<schema>__<alias>`` so
+          names can't collide; ``dev_nodes_to_override`` (comma list)
+          limits the override set — unlisted nodes keep their prod
+          schema (reading prod tables while developing a few models).
+        """
+        cfg = node.config
+        custom_schema = cfg.get("schema")
+        custom_alias = cfg.get("alias")
+        effective_schema = custom_schema
+        if effective_schema is None:
+            effective_schema = (
+                str(self._var("dbt_default_production_schema", "")) or None
+            )
+        override_var = str(self._var("dev_nodes_to_override", "") or "")
+        override_set = {t.strip() for t in override_var.split(",") if t.strip()}
+        overridden = not override_set or node.name in override_set
+        table_name = str(custom_alias) if custom_alias is not None else node.name
+        if self.target_name == "prod":
+            return (effective_schema or self.database, table_name)
+        if overridden or effective_schema is None:
+            if custom_alias is not None and custom_schema is not None and overridden:
+                table_name = f"{custom_schema}__{table_name}"
+            return (self.database, table_name)
+        return (effective_schema, table_name)
+
+    def _ensure_db(self, db: str | None) -> None:
+        if db and db != self.database:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
     def _resolve_ref(self, name: str) -> str:
         node = self.project.models.get(name)
         if node and node.config.get("materialized") == "ephemeral":
             return f"({self._ephemeral_sql[name]})"
-        if name in self.project.seeds or node is not None or name in self.project.snapshots:
+        if name in self.project.seeds:
             return f"{self.database}.{name}" if self.database else name
+        if node is None:
+            node = self.project.snapshots.get(name)
+        if node is not None:
+            db, table = self._identity(node)
+            return f"{db}.{table}" if db else table
         raise KeyError(f"ref() to unknown node {name!r}")
 
     def _resolve_source(self, schema: str, table: str) -> str:
@@ -104,7 +155,8 @@ class Runner:
         return str(target)
 
     def _compile(self, node, is_incremental: bool) -> str:
-        ident = f"{self.database}.{node.name}" if self.database else node.name
+        db, table = self._identity(node)
+        ident = f"{db}.{table}" if db else table
         return jinja.compile_node(
             self.project,
             node,
@@ -175,7 +227,9 @@ class Runner:
                     continue
                 from dbt_spark_models_spark.plans.materialize import table_exists
 
-                exists = table_exists(self.spark, self.database, name)
+                node_db, node_table = self._identity(node)
+                self._ensure_db(node_db)
+                exists = table_exists(self.spark, node_db, node_table)
                 # weekly full reload (reference 'full_reload_on': '6' ×9,
                 # gold_orders.sql:16): force full refresh when the run
                 # date's day-of-week matches (0=Sunday..6=Saturday)
@@ -202,10 +256,10 @@ class Runner:
                 )
                 res = materialize(
                     self.spark,
-                    name,
+                    node_table,
                     inc_sql,
                     node.config,
-                    self.database,
+                    node_db,
                     full_refresh=node_full_refresh,
                     first_run_sql=first_sql,
                 )
@@ -225,12 +279,14 @@ class Runner:
             t0 = time.time()
             try:
                 sql = self._compile(node, is_incremental=False)
+                snap_db, snap_table = self._identity(node)
+                self._ensure_db(snap_db)
                 res = snapshot(
                     self.spark,
-                    name,
+                    snap_table,
                     self.spark.sql(sql),
                     node.config,
-                    self.database,
+                    snap_db,
                     run_ts=run_ts,
                 )
                 out.append(
