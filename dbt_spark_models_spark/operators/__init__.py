@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         joins,
         multimodal,
         nested,
+        quality,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,319 @@
+"""Quality-classifier scoring, semantic dedup, corpus histograms, and
+mergeable distinct-count sketches.
+
+Beyond-reference surface (BASELINE.json north star), rounding out the
+LLM-data-curation families:
+
+- ``text_quality_linear_score``: closed-form linear quality classifier
+  (fixed weights over engineered features + sigmoid) — the shape of a
+  fasttext/logistic quality gate, expressed entirely as JVM-side column
+  math so it streams row-local over 100 TB with zero shuffles.
+- ``dedup_semantic_survivors``: SemDedup-style embedding dedup — coarse
+  k-cell assignment (per-label centroids, same quantizer as
+  ``similarity_ivf_assign``) confines pairwise cosine checks to within a
+  cell; a vector is a duplicate if a lower-id in-cell neighbor is within
+  the cosine threshold.
+- ``text_length_histogram``: fixed-width per-language length histogram
+  with share / cumulative share — the corpus-composition report every
+  curation run emits.
+- ``agg_hll_mergeable_distinct``: Apache DataSketches HLL via
+  ``hll_sketch_agg`` / ``hll_union_agg`` — partial sketches merge
+  associatively across partitions *and across groups*, which is the only
+  way distinct counting scales to 100 TB (exact COUNT(DISTINCT) is a
+  full shuffle of every key). Rows-only gate: sketch internals are
+  engine-specific (no DuckDB equivalent); a pytest bounds the estimate
+  against the exact count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.operators.similarity import _norm_spark
+from dbt_spark_models_spark.operators.text import _STOPWORDS, _tokens
+from dbt_spark_models_spark.sources.testdata import load_tables, spread
+
+# fixed classifier weights: (bias, log-length, stopword, distinct,
+# chars-per-token, digit-token). Integer-ish literals keep the double
+# math bit-identical across engines.
+_W = {"bias": -2.0, "len": 0.5, "stop": 2.5, "dist": 1.5, "cpt": -0.1, "dig": -3.0}
+
+
+@query(
+    "text_quality_linear_score",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, n_chars,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), feats AS (
+    SELECT doc_id, lang,
+           LN(1 + len(tokens)) AS f_len,
+           len(list_filter(tokens, x -> list_contains({list(_STOPWORDS)!r}, x)))
+               / len(tokens) AS f_stop,
+           len(list_distinct(tokens)) / len(tokens) AS f_dist,
+           n_chars / len(tokens) AS f_cpt,
+           len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+               / len(tokens) AS f_dig
+    FROM toks WHERE len(tokens) > 0
+), scored AS (
+    SELECT doc_id, lang,
+           {_W['bias']} + {_W['len']} * f_len + {_W['stop']} * f_stop
+               + {_W['dist']} * f_dist + {_W['cpt']} * f_cpt
+               + {_W['dig']} * f_dig AS score
+    FROM feats
+)
+SELECT doc_id, lang,
+       ROUND(score, 4) AS quality_score,
+       ROUND(1.0 / (1.0 + EXP(-score)), 4) AS keep_prob,
+       score >= 0 AS keep
+FROM scored
+""",
+)
+def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier: engineered features (log length,
+    stopword ratio, lexical diversity, chars/token, digit-token ratio)
+    dotted with fixed weights, sigmoid-calibrated, thresholded at 0.
+    This is the production shape of a learned quality gate with the
+    training externalized: scoring is pure column math, so at 100 TB it
+    fuses into the scan (one WholeStageCodegen pass, no shuffle, no UDF).
+    Swapping learned weights in means changing literals, not the plan."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tok = F.size("tokens")
+    feats = (
+        d.withColumn("tokens", toks)
+        .filter(n_tok > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.log(F.lit(1) + n_tok).alias("f_len"),
+            (
+                F.size(F.filter("tokens", lambda x: F.array_contains(stop_arr, x)))
+                / n_tok
+            ).alias("f_stop"),
+            (F.size(F.array_distinct("tokens")) / n_tok).alias("f_dist"),
+            (F.col("n_chars") / n_tok).alias("f_cpt"),
+            (
+                F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$"))) / n_tok
+            ).alias("f_dig"),
+        )
+    )
+    score = (
+        F.lit(_W["bias"])
+        + F.lit(_W["len"]) * F.col("f_len")
+        + F.lit(_W["stop"]) * F.col("f_stop")
+        + F.lit(_W["dist"]) * F.col("f_dist")
+        + F.lit(_W["cpt"]) * F.col("f_cpt")
+        + F.lit(_W["dig"]) * F.col("f_dig")
+    )
+    return feats.withColumn("score", score).select(
+        "doc_id",
+        "lang",
+        F.round("score", 4).alias("quality_score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 4).alias(
+            "keep_prob"
+        ),
+        (F.col("score") >= 0).alias("keep"),
+    )
+
+
+_CENTROID_CTE = """
+pos AS (
+    SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c
+    FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i
+), centroids AS (
+    SELECT label AS c_label, LIST(c ORDER BY i) AS c_emb FROM pos GROUP BY label
+)"""
+
+
+@query(
+    "dedup_semantic_survivors",
+    oracle=f"""
+WITH {_CENTROID_CTE}, norms AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+               AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT n.vec_id, c.c_label,
+           ROUND(list_dot_product(n.emb, c.c_emb)
+                 / (n.nrm * SQRT(list_sum(list_transform(c.c_emb, x -> x * x)))),
+                 6) AS cosine
+    FROM norms n CROSS JOIN centroids c
+), assigned AS (
+    SELECT s.vec_id, s.c_label AS cell, n.emb, n.nrm
+    FROM (
+        SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, c_label) AS rn
+        FROM scored
+    ) s JOIN norms n ON n.vec_id = s.vec_id
+    WHERE s.rn = 1
+), dups AS (
+    SELECT DISTINCT b.vec_id AS dup_id
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.5
+)
+SELECT a.vec_id, a.cell AS assigned_cell,
+       (d.dup_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dups d ON d.dup_id = a.vec_id
+""",
+)
+def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic dedup: coarse quantizer (per-label centroid
+    cells, as in ``similarity_ivf_assign``) → pairwise cosine ONLY within
+    a cell → a vector is a duplicate if any lower-id in-cell neighbor has
+    cosine ≥ 0.5. Pairwise cost drops from n² to Σ cell² — and the cell id
+    is the shuffle/partition key, so at 100 TB each cell dedups
+    independently (train more centroids to bound cell sizes; the plan is
+    unchanged). Cosines rounded to 6dp before comparisons so the
+    float-ulp-sensitive argmax/threshold stay deterministic cross-engine."""
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    pos = (
+        e.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+    )
+    centroids = pos.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("c_emb")
+    )
+    c_norm = F.sqrt(
+        F.aggregate(F.col("c_emb"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        e.withColumn("nrm", _norm_spark("embedding"))
+        .crossJoin(F.broadcast(centroids.withColumn("c_norm", c_norm)))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            "nrm",
+            "c_label",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.col("c_emb"),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("nrm") * F.col("c_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("c_label"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"), "emb", "nrm")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("a.emb"), F.col("b.emb"), lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    dups = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(pair_cos >= 0.5)
+        .select(F.col("b.vec_id").alias("dup_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dups, assigned["vec_id"] == dups["dup_id"], "left"
+    ).select(
+        "vec_id",
+        F.col("cell").alias("assigned_cell"),
+        F.col("dup_id").isNotNull().alias("is_dup"),
+    )
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+WITH counts AS (
+    SELECT lang, LEAST(n_chars // 200, 9) AS bucket, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang, LEAST(n_chars // 200, 9)
+)
+SELECT lang, bucket, bucket * 200 AS lo_chars, n_docs,
+       ROUND(n_docs / SUM(n_docs) OVER (PARTITION BY lang), 4) AS share,
+       ROUND(SUM(n_docs) OVER (PARTITION BY lang ORDER BY bucket)
+             / SUM(n_docs) OVER (PARTITION BY lang), 4) AS cum_share
+FROM counts
+""",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (200-char, clamped at 10 buckets) per-language length
+    histogram with share + cumulative share. The bucketing is pure
+    arithmetic (fuses into the scan), the count is a map-side-combined
+    agg, and the window runs over ≤10 rows per language — the whole
+    report is one small shuffle regardless of corpus size."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = F.least(F.expr("n_chars div 200"), F.lit(9).cast("long"))
+    counts = (
+        d.select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w_all = Window.partitionBy("lang")
+    w_cum = Window.partitionBy("lang").orderBy("bucket")
+    return counts.select(
+        "lang",
+        "bucket",
+        (F.col("bucket") * 200).alias("lo_chars"),
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w_all), 4).alias("share"),
+        F.round(
+            F.sum("n_docs").over(w_cum) / F.sum("n_docs").over(w_all), 4
+        ).alias("cum_share"),
+    )
+
+
+@query("agg_hll_mergeable_distinct", oracle=None)
+def agg_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    ``hll_sketch_agg``): one sketch per event_type, then the per-type
+    sketches are *re-merged* with ``hll_union_agg`` into a global 'ALL'
+    estimate — demonstrating the associative partial-aggregation property
+    that makes sketch counting the 100 TB path (map-side partials merge
+    without shuffling raw keys; exact COUNT(DISTINCT) shuffles every key).
+    Rows-only gate: sketch binaries are engine-specific (no DuckDB
+    equivalent); ``tests/test_quality_ops.py`` bounds the estimates
+    against exact counts (HLL lgk=12 → ~1.6% standard error)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_type = sketches.select(
+        F.col("event_type").alias("group_key"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_events",
+    )
+    merged = sketches.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
+    ).select(
+        F.lit("ALL").alias("group_key"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_events",
+    )
+    return per_type.unionByName(merged)
