@@ -216,3 +216,68 @@ def engine_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{db}.dim_product").select(
         "product_id", "name", "price", "dbt_valid_from", "dbt_valid_to"
     )
+
+
+_CURATION_PROJECT = os.path.join(
+    os.path.dirname(_EXAMPLE_PROJECT), "curation"
+)
+
+
+@query(
+    "engine_curation_models",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), quality AS (
+    SELECT doc_id, lang, source, text,
+           len(list_distinct(tokens)) / len(tokens) AS distinct_ratio,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_tokens
+    FROM toks
+    WHERE len(tokens) >= 10
+      AND len(list_distinct(tokens)) / len(tokens) >= 0.3
+), deduped AS (
+    SELECT * FROM (
+        SELECT q.*,
+               ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(text)))
+                                  ORDER BY doc_id) AS rn
+        FROM quality q
+    ) WHERE rn = 1
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(est_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(distinct_ratio), 4) AS avg_distinct_ratio,
+       lang
+FROM deduped
+GROUP BY source, lang
+""",
+)
+def engine_curation_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-curation pipeline expressed as *framework models* — the
+    north-star ops running through the same dbt-style layer as the
+    reference's 423 models (``examples/curation``: tokenize view →
+    quality-gate view → dedup table → partitioned report table + a
+    singular test). Proves the two halves of this repo compose: curation
+    operators are just models the engine can build, test, and
+    incrementally maintain. The oracle recomputes the whole chain in
+    plain SQL."""
+    from dbt_spark_models_spark.plans import Project, Runner
+    from dbt_spark_models_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    db = "engine_gate_curation"
+    _fresh_db(spark, db)
+    project = Project.load(_CURATION_PROJECT)
+    runner = Runner(
+        spark=spark, project=project, database=db, vars={"sf_dir": sf_dir}
+    )
+    results = runner.run()
+    bad = [r for r in results if r.status != "success"]
+    if bad:
+        raise RuntimeError(f"curation run failed: {bad}")
+    tests = runner.test()
+    if any(t.status != "success" for t in tests):
+        raise RuntimeError(f"curation tests failed: {tests}")
+    return spark.table(f"{db}.corpus_report")
