@@ -347,3 +347,45 @@ def agg_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type", "n", "pos", F.round(wilson, 6).alias("wilson_lower")
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+WITH counts AS (
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY cnt DESC, o_orderpriority) AS rn
+    FROM counts
+) WHERE rn = 1
+""",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE with a deterministic tie-break (reference uses MODE ×1,
+    SURVEY §2.4): most frequent order priority per status, ties resolved by
+    value order. Spark's/DuckDB's ``mode()`` builtins pick an arbitrary
+    winner on ties, so both sides compute the count + ranked-window
+    formulation — the dedup-keep-first pattern applied to a frequency
+    table (tiny after the first map-side-combined groupBy)."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

@@ -221,3 +221,42 @@ def setop_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "scalar_parse_url",
+    oracle="""
+WITH urls AS (
+    SELECT doc_id,
+           'https://' || source || '.example.com/' || lang || '/doc?q='
+               || doc_id || '&ref=' || lang AS url
+    FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+       regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]q=([^&]*)', 1) AS q_param,
+       regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param
+FROM urls
+""",
+)
+def scalar_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARSE_URL parity gate (reference ×1:
+    ``models/spark/onfy/ads_dashboard.sql:139`` extracts the ``gclid``
+    query param): host/path/query-param extraction from constructed URLs.
+    Spark side uses the real ``parse_url`` builtin; the oracle mirrors it
+    with anchored regexes (DuckDB has no parse_url). Row-local."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc?q="), F.col("doc_id"),
+        F.lit("&ref="), F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
