@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         quality,
         relational,
         relational2,
+        reshape,
         relational3,
         scalars,
         similarity,

@@ -103,3 +103,21 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
     from dbt_spark_models_spark.streaming import stream_sliding_window_counts
 
     return stream_sliding_window_counts(spark, sf_dir)
+
+
+@query(
+    "streaming_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (stream fact ⋈ batch dim) ≡ the batch
+    join + group-by."""
+    from dbt_spark_models_spark.streaming import stream_static_enriched_counts
+
+    return stream_static_enriched_counts(spark, sf_dir)

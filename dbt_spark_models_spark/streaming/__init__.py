@@ -3,6 +3,7 @@ from dbt_spark_models_spark.streaming.pipelines import (
     stream_dedup_events,
     stream_session_counts,
     stream_sliding_window_counts,
+    stream_static_enriched_counts,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "stream_dedup_events",
     "stream_session_counts",
     "stream_sliding_window_counts",
+    "stream_static_enriched_counts",
 ]

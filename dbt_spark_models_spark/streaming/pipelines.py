@@ -157,3 +157,28 @@ def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the (batch)
+    customer dimension, then aggregated by market segment — the canonical
+    continuous-ingest enrichment (stream fact ⋈ slowly-changing dim).
+
+    Scale notes: Spark broadcasts the static side per micro-batch (or
+    re-reads it, picking up dim updates between batches); the stream side
+    never shuffles for the join — state exists only for the downstream
+    windowless aggregate, keyed by segment (bounded cardinality).
+    """
+    ev = _events_stream(spark, sf_dir)
+    cust = read_parquet_normalized(spark, table_path(sf_dir, "customer")).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(cust, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
