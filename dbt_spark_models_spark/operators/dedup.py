@@ -384,3 +384,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("simhash16")
         )
     )
+
+
+_CHUNK = 20
+
+
+@query(
+    "dedup_chunk_substring_overlap",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), chunks AS (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(0, len(tokens) // {_CHUNK} - 1),
+                  i -> MD5(array_to_string(
+                         list_slice(tokens, i * {_CHUNK} + 1, (i + 1) * {_CHUNK}),
+                         ' ')))) AS chunk_hash
+    FROM tok WHERE len(tokens) >= {_CHUNK}
+), shared AS (
+    SELECT chunk_hash FROM chunks
+    GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_chunks,
+       COUNT(s.chunk_hash) AS n_shared_chunks,
+       ROUND(COUNT(s.chunk_hash) / COUNT(*), 4) AS shared_fraction
+FROM chunks c LEFT JOIN shared s ON c.chunk_hash = s.chunk_hash
+GROUP BY c.doc_id
+""",
+)
+def dedup_chunk_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact substring dedup (the scalable stand-in for
+    suffix-array substring dedup à la "Deduplicating Training Data Makes
+    Language Models Better": fixed 20-token chunks hashed exactly): per
+    document, the fraction of its chunks that also appear verbatim in
+    another document.
+
+    Scale: chunking is row-local; the shared-chunk table is one
+    map-side-combined groupBy on the hash (shuffle volume = distinct
+    chunks, uniform key distribution by construction); re-join is
+    hash-partitioned on the same key. No pairwise stage — cross-doc
+    overlap is detected through the inverted chunk index, so cost is
+    linear in corpus size at any scale."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    tok = d.select("doc_id", _tokens().alias("tokens")).filter(
+        F.size("tokens") >= _CHUNK
+    )
+    chunks = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(tokens) div {_CHUNK} - 1),"
+                f" i -> md5(array_join(slice(tokens, i * {_CHUNK} + 1, {_CHUNK}),"
+                f" ' ')))"
+            )
+        ).alias("chunk_hash"),
+    )
+    shared = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("chunk_hash", F.lit(1).alias("hit"))
+    )
+    return (
+        chunks.join(shared, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("hit").alias("n_shared_chunks"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias(
+                "shared_fraction"
+            ),
+        )
+    )
