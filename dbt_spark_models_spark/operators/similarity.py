@@ -321,6 +321,58 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assigned(e: DataFrame) -> DataFrame:
+    """IVF coarse quantizer shared by train/query/test paths: per-label
+    centroids → each vector assigned to its nearest cell by cosine
+    (rounded to 6dp + label tie-break for determinism). Returns
+    (vec_id, embedding, cell)."""
+    pos = (
+        e.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+    )
+    centroids = pos.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("c_emb")
+    )
+    c_norm = F.sqrt(
+        F.aggregate(F.col("c_emb"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cell_scored = (
+        e.withColumn("e_norm", _norm_spark("embedding"))
+        .crossJoin(F.broadcast(centroids.withColumn("c_norm", c_norm)))
+        .select(
+            "vec_id",
+            "embedding",
+            "c_label",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.col("c_emb"),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("e_norm") * F.col("c_norm")),
+                6,
+            ).alias("c_cosine"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cosine").desc(), F.col("c_label")
+    )
+    return (
+        cell_scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_label").alias("cell"))
+    )
+
+
+
 @query(
     "similarity_ivf_topk",
     oracle="""
@@ -381,50 +433,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — this query demonstrates exactly that pruning, with the
     in-cell search reusing the brute-force kernel."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
-    pos = (
-        e.select("label", F.posexplode("embedding").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.avg(F.col("x").cast("double")).alias("c"))
-    )
-    centroids = pos.groupBy(F.col("label").alias("c_label")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "c"))),
-            lambda s: s.getField("c"),
-        ).alias("c_emb")
-    )
-    c_norm = F.sqrt(
-        F.aggregate(F.col("c_emb"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cell_scored = (
-        e.withColumn("e_norm", _norm_spark("embedding"))
-        .crossJoin(F.broadcast(centroids.withColumn("c_norm", c_norm)))
-        .select(
-            "vec_id",
-            "embedding",
-            "c_label",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("embedding"),
-                        F.col("c_emb"),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("e_norm") * F.col("c_norm")),
-                6,
-            ).alias("c_cosine"),
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cosine").desc(), F.col("c_label")
-    )
-    assigned = (
-        cell_scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("c_label").alias("cell"))
-    )
+    assigned = _ivf_assigned(e)
     q = (
         assigned.filter(F.col("vec_id") < 5)
         .select(

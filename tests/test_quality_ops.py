@@ -75,3 +75,45 @@ def test_hll_estimates_within_tolerance(spark, sf_dir):
     for k, est in approx.items():
         # lgk=12 → ~1.6% standard error; allow 5%
         assert abs(est - exact[k]) <= max(2.0, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_ivf_topk_exact_within_probe_cell(spark, sf_dir):
+    """IVF's contract: within the probed cell, results are EXACTLY the
+    brute-force cosine top-3 (the index prunes cells, never ranks wrong).
+    Checked by recomputing the within-cell ranking from the shared
+    quantizer. (Full-corpus recall is ~1/n_cells here by construction —
+    the synthetic embeddings are isotropic, so nprobe=1 can't do better
+    on this data; correctness of the pruning contract is the invariant.)"""
+    import math
+
+    from dbt_spark_models_spark.operators.similarity import (
+        _ivf_assigned,
+        similarity_ivf_topk,
+    )
+    from dbt_spark_models_spark.sources.testdata import load_tables
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    assigned = {
+        r["vec_id"]: (r["cell"], list(r["embedding"]))
+        for r in _ivf_assigned(e).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return round(dot / (na * nb), 4)
+
+    ivf = {}
+    for r in similarity_ivf_topk(spark, sf_dir).collect():
+        ivf.setdefault(r["q_id"], []).append((r["rnk"], r["neighbor_id"]))
+    assert ivf, "IVF returned nothing"
+    for q_id, got in ivf.items():
+        cell, q_emb = assigned[q_id]
+        in_cell = [
+            (-cos(q_emb, emb), vid)
+            for vid, (c, emb) in assigned.items()
+            if c == cell and vid != q_id
+        ]
+        expect = [vid for _, vid in sorted(in_cell)[:3]]
+        assert [v for _, v in sorted(got)] == expect, (q_id, got, expect)
