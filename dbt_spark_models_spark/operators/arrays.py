@@ -319,3 +319,47 @@ def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(toks).alias("max_token"),
         F.array_join(F.reverse(F.slice(toks, 1, 3)), ",").alias("first3_rev"),
     )
+
+
+@query(
+    "map_function_battery",
+    oracle="""
+WITH per_type AS (
+    SELECT user_id, event_type, COUNT(*) AS cnt
+    FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       COUNT(*) FILTER (cnt >= 3) AS n_types_ge3,
+       CAST(SUM(cnt) AS BIGINT) AS total_events,
+       COUNT(*) AS n_types
+FROM per_type GROUP BY user_id
+""",
+)
+def map_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP_FILTER / MAP_VALUES / MAP_ENTRIES battery (reference §2.9:
+    MAP_FILTER ×1, MAP_VALUES ×1, MAP_ENTRIES ×5): per-user type→count
+    map, filtered and folded entirely with map higher-order functions.
+    The oracle computes the same numbers straight from the long table —
+    verifying the map ops against ground truth rather than porting them.
+    Row-local after one combiner-friendly groupBy."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    return m.select(
+        "user_id",
+        F.size(
+            F.map_filter("type_counts", lambda k, v: v >= 3)
+        ).cast("long").alias("n_types_ge3"),
+        F.aggregate(
+            F.map_values("type_counts"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_events"),
+        F.size(F.map_entries("type_counts")).cast("long").alias("n_types"),
+    )

@@ -145,3 +145,66 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "anomaly_seasonal_residuals",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           dayofweek(CAST(ts AS DATE)) AS dow,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2, 3
+), scored AS (
+    SELECT event_type, day, n,
+           AVG(n) OVER (PARTITION BY event_type, dow) AS dow_mean,
+           STDDEV_SAMP(n) OVER (PARTITION BY event_type) AS sd
+    FROM daily
+)
+SELECT event_type, day, n,
+       ROUND(dow_mean, 4) AS dow_mean,
+       ROUND(n - dow_mean, 4) AS residual,
+       ABS(n - dow_mean) > 2 * sd AS is_anomaly
+FROM scored
+""",
+)
+def anomaly_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection (the engine-side analog of the
+    reference's Prophet ``predictor_*`` meta,
+    ``models/spark/anomaly_detection/gmv_initial_for_sop.sql:8-16``):
+    predict each (event_type, day) count by its day-of-week mean, flag
+    residuals beyond 2σ of the type's count distribution. Two windows
+    over a tiny daily-rollup table — the raw stream is reduced by one
+    map-side-combined groupBy first, so window state is bounded by
+    (types × days), not events."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        )
+        .groupBy("event_type", "day", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_dow = Window.partitionBy("event_type", "dow")
+    w_type = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w_dow).alias("dow_mean"),
+        F.stddev_samp("n").over(w_type).alias("sd"),
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "n",
+        F.round("dow_mean", 4).alias("dow_mean"),
+        F.round(F.col("n") - F.col("dow_mean"), 4).alias("residual"),
+        (F.abs(F.col("n") - F.col("dow_mean")) > 2 * F.col("sd")).alias(
+            "is_anomaly"
+        ),
+    )
