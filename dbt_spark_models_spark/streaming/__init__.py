@@ -4,6 +4,7 @@ from dbt_spark_models_spark.streaming.pipelines import (
     stream_session_counts,
     stream_sliding_window_counts,
     stream_static_enriched_counts,
+    stream_into_partitioned_table,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "stream_session_counts",
     "stream_sliding_window_counts",
     "stream_static_enriched_counts",
+    "stream_into_partitioned_table",
 ]

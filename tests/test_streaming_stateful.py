@@ -133,3 +133,43 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in salted.collect()}
     assert a == b
+
+
+def test_stream_into_partitioned_table_idempotent(spark, sf_dir):
+    """foreachBatch insert-overwrite sink: streaming ingest lands in a
+    day-partitioned table equal to the batch daily aggregate, and
+    re-running the stream (a full replay) leaves the table unchanged —
+    idempotent partition overwrite, not duplicate appends."""
+    from pyspark.sql import functions as F
+
+    from dbt_spark_models_spark.sources.testdata import read_parquet_normalized, table_path
+    from dbt_spark_models_spark.streaming import stream_into_partitioned_table
+
+    tbl = "stream_bridge_daily"
+    out1 = stream_into_partitioned_table(spark, sf_dir, tbl).collect()
+    expected = {
+        (r["event_type"], r["day"]): (r["n_events"], r["total_value"])
+        for r in (
+            read_parquet_normalized(spark, table_path(sf_dir, "events"))
+            .withColumn("day", F.col("ts").cast("date"))
+            .groupBy("event_type", "day")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    got1 = {
+        (r["event_type"], r["day"]): (r["n_events"], r["total_value"])
+        for r in out1
+    }
+    assert got1 == expected
+    # replay: same data streamed again must overwrite, not duplicate
+    out2 = stream_into_partitioned_table(spark, sf_dir, tbl).collect()
+    got2 = {
+        (r["event_type"], r["day"]): (r["n_events"], r["total_value"])
+        for r in out2
+    }
+    assert got2 == expected
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
