@@ -208,3 +208,72 @@ def anomaly_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+WITH user_months AS (
+    SELECT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS m
+    FROM events GROUP BY 1, 2
+), firsts AS (
+    SELECT user_id, MIN(m) AS cohort FROM user_months GROUP BY 1
+), joined AS (
+    SELECT f.cohort, datediff('day', f.cohort, um.m) // 7 AS week_offset,
+           um.user_id
+    FROM user_months um JOIN firsts f ON um.user_id = f.user_id
+), sizes AS (
+    SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+)
+SELECT j.cohort AS cohort_week, j.week_offset,
+       COUNT(DISTINCT j.user_id) AS n_active,
+       s.cohort_size,
+       ROUND(COUNT(DISTINCT j.user_id) / s.cohort_size, 4) AS retention
+FROM joined j JOIN sizes s ON s.cohort = j.cohort
+GROUP BY 1, 2, s.cohort_size
+""",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the aggregate twin of the per-user
+    retention flags (reference family:
+    ``macros/gold_active_users_and_devices_with_ephemeral.sql:256-315``):
+    users bucketed by first-active week, retention = share of the cohort
+    active at each week offset (weekly grain because the synthetic event
+    stream spans ~1 month; the month version is the same plan with a
+    different trunc unit).
+
+    Scale: raw events collapse to distinct (user, month) first — one
+    map-side-combined groupBy whose output is bounded by users × months,
+    not events; everything after runs on that reduced table. The firsts
+    table re-joins by user (same shuffle key, co-partitioned)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    user_months = (
+        ev.select(
+            "user_id",
+            F.trunc(F.col("ts").cast("date"), "week").alias("m"),
+        )
+        .distinct()
+    )
+    firsts = user_months.groupBy("user_id").agg(F.min("m").alias("cohort"))
+    joined = user_months.join(firsts, "user_id").select(
+        "cohort",
+        (F.datediff(F.col("m"), F.col("cohort")) / 7).cast("long").alias(
+            "week_offset"
+        ),
+        "user_id",
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        joined.groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(sizes, "cohort")
+        .select(
+            F.col("cohort").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+    )
