@@ -503,3 +503,160 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(10)
     )
+
+
+@query(
+    "gold_orders_wide",
+    oracle="""
+WITH li_rollup AS (
+    SELECT l_orderkey,
+           COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18, 6))) AS DOUBLE), 2) AS revenue,
+           MAX(l_shipdate) AS last_shipdate
+    FROM lineitem GROUP BY l_orderkey
+), first_event AS (
+    SELECT user_id, event_type AS first_event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+)
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderstatus,
+       c.c_custkey, c.c_mktsegment,
+       n.n_name AS nation, r.r_name AS region,
+       lr.n_lines, lr.revenue, CAST(lr.last_shipdate AS DATE) AS last_shipdate,
+       COALESCE(fe.first_event_type, 'none') AS first_event_type
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+JOIN li_rollup lr ON lr.l_orderkey = o.o_orderkey
+LEFT JOIN first_event fe ON fe.user_id = c.c_custkey
+""",
+)
+def gold_orders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship model shape
+    (``models/spark/gold/gold_orders.sql:21-65``: ROW_NUMBER-dedup CTEs
+    staged before a chain of enrichment joins): orders widened with
+    customer → nation → region attributes, a lineitem rollup, and
+    first-touch event attribution (keep-first window over the event
+    stream).
+
+    Scale: the fact⋈fact join (orders⋈lineitem-rollup) shuffles on
+    orderkey — bucketable at write; every dimension join is an explicit
+    broadcast; the attribution CTE reduces events to one row per user
+    before joining. One wide output row per order, no row explosion."""
+    t = load_tables(
+        spark, sf_dir, ("orders", "customer", "nation", "region", "lineitem", "events")
+    )
+    from pyspark.sql import Window
+
+    li_rollup = t["lineitem"].groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        # decimal-sum: double summation is order-dependent; at 147k orders
+        # one revenue lands on a .005 boundary and flips the 2dp rounding
+        # between engines. The per-item product is one double op (bit-equal
+        # everywhere); summing it as DECIMAL is exact and associative.
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.max("l_shipdate").cast("date").alias("last_shipdate"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_event = (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_event_type"))
+    )
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(li_rollup, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(first_event), F.col("user_id") == F.col("c_custkey"), "left")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderstatus",
+            "c_custkey",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "n_lines",
+            "revenue",
+            "last_shipdate",
+            F.coalesce(F.col("first_event_type"), F.lit("none")).alias(
+                "first_event_type"
+            ),
+        )
+    )
+
+
+@query(
+    "segment_rfm_quartiles",
+    oracle="""
+WITH rfm AS (
+    SELECT o_custkey,
+           MAX(o_orderdate) AS last_order,
+           COUNT(*) AS frequency,
+           ROUND(SUM(o_totalprice), 2) AS monetary
+    FROM orders GROUP BY o_custkey
+), scored AS (
+    SELECT o_custkey, last_order, frequency, monetary,
+           NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_quartile
+    FROM rfm
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       COUNT(*) AS n_customers,
+       ROUND(AVG(monetary), 2) AS avg_monetary,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_custkey
+FROM scored
+GROUP BY r_quartile, f_quartile, m_quartile
+""",
+)
+def segment_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (reference family:
+    ``models/spark/engagement/segments/frequent_buyers.sql`` — behavioral
+    segments materialized for export): recency / frequency / monetary
+    quartiles via NTILE with custkey tie-breaks (deterministic despite
+    duplicate metric values), rolled up to segment-cell counts.
+
+    Scale: one groupBy on custkey, then three global NTILE windows over
+    the (customers-sized, not orders-sized) rollup — at 100 TB replace
+    global NTILE with percentile_approx cut-points (the same segment
+    semantics, no single-partition sort); documented trade, small data
+    here keeps the exact form."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        F.min("o_custkey").cast("long").alias("min_custkey"),
+    )
