@@ -53,6 +53,12 @@ HEADLINE = [
     "pack_token_budget_bins",
     "text_repetition_ratios",
     "pipeline_pretraining_shards",
+    # round-1 late additions: flagship gold shape + chunk/semantic dedup +
+    # classifier scoring
+    "gold_orders_wide",
+    "dedup_chunk_substring_overlap",
+    "dedup_semantic_survivors",
+    "text_quality_linear_score",
 ]
 
 
