@@ -195,3 +195,83 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return with_payload.mapInPandas(_sample_frames_batch, _FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("est_out_bytes", T.LongType()),
+    ]
+)
+
+_FIT = 512  # target bounding box
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched aspect-preserving resize. The pixel work is the stub
+    (real op: PIL ``Image.resize`` on the decoded payload); the dimension
+    arithmetic, batch plumbing, and output schema are the real pipeline."""
+    import numpy as np
+
+    for pdf in batches:
+        w = pdf["width"].to_numpy(dtype="float64")
+        h = pdf["height"].to_numpy(dtype="float64")
+        scale = np.minimum(np.minimum(_FIT / w, _FIT / h), 1.0)
+        nw = np.floor(w * scale).astype("int32")
+        nh = np.floor(h * scale).astype("int32")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "new_width": nw,
+                "new_height": nh,
+                "est_out_bytes": (nw.astype("int64") * nh.astype("int64") * 3),
+            }
+        )
+
+
+@query(
+    "multimodal_resize_plan",
+    oracle=f"""
+WITH meta AS (
+    SELECT doc_id,
+           GREATEST(1, octet_length(encode(text)) % 1920) AS width,
+           GREATEST(1, octet_length(encode(text)) % 1080) AS height
+    FROM documents
+), scaled AS (
+    SELECT doc_id, width, height,
+           LEAST(LEAST({_FIT}.0 / width, {_FIT}.0 / height), 1.0) AS scale
+    FROM meta
+)
+SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(FLOOR(width * scale) AS INT) AS new_width,
+       CAST(FLOOR(height * scale) AS INT) AS new_height,
+       CAST(FLOOR(width * scale) AS BIGINT)
+           * CAST(FLOOR(height * scale) AS BIGINT) * 3 AS est_out_bytes
+FROM scaled
+""",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage of the image pipeline (decode → **resize** →
+    re-encode): aspect-preserving fit into a {_FIT}×{_FIT} box, no
+    upscaling, computed per Arrow batch in ``mapInPandas`` (vectorized
+    numpy — where the real PIL resize would run). Dimensions derive
+    deterministically from byte lengths (no image libs in this
+    container), which is what lets the oracle verify the Pandas-UDF
+    arithmetic end-to-end. Row-local: zero shuffles at any scale."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    meta = d.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1), F.octet_length(F.encode(F.col("text"), "utf-8")) % 1920
+        ).cast("int").alias("width"),
+        F.greatest(
+            F.lit(1), F.octet_length(F.encode(F.col("text"), "utf-8")) % 1080
+        ).cast("int").alias("height"),
+    )
+    return meta.mapInPandas(_resize_batch, _RESIZE_SCHEMA)
