@@ -155,3 +155,29 @@ def test_no_inferred_generate_filter_blowup(spark, sf_dir):
     # the scan-side Filter must not contain the shingle transform
     scan_filter = plan.split("(1) Scan parquet")[0]
     assert "size(transform(sequence" not in scan_filter
+
+
+def test_gold_wide_dims_broadcast_no_sortmerge(spark, sf_dir):
+    """The flagship gold model must broadcast every dimension (customer/
+    nation/region/first-event) — the only allowed exchange is the
+    orders⋈lineitem-rollup shuffle."""
+    plan = _plan(spark, "gold_orders_wide", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 4, plan.count("BroadcastHashJoin")
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_uses_arrow_not_python_udf(spark, sf_dir):
+    """SemDedup's pair stage must run as Arrow-batched grouped-map pandas
+    (FlatMapGroupsInPandas/Arrow), never a row-at-a-time BatchEvalPython."""
+    plan = _plan(spark, "dedup_semantic_survivors", sf_dir)
+    assert "InPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_chunk_dedup_scan_prunes_columns(spark, sf_dir):
+    """Chunk dedup needs only (doc_id, text): the parquet scan must not
+    read lang/source/n_chars."""
+    plan = _plan(spark, "dedup_chunk_substring_overlap", sf_dir)
+    read = plan.split("ReadSchema")[1][:400]
+    assert "text" in read
+    assert "lang" not in read and "source" not in read
