@@ -277,3 +277,83 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "session_conversion_rates",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+    SELECT user_id, ts, event_type,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+    FROM flagged
+), per_session AS (
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM sessions GROUP BY user_id, session_seq
+)
+SELECT LEAST(n_events, 5) AS length_band,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       ROUND(SUM(converted) / COUNT(*), 4) AS conversion_rate
+FROM per_session
+GROUP BY LEAST(n_events, 5)
+""",
+)
+def session_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion attribution: batch gaps-and-islands
+    sessionization (reference
+    ``models/spark/b2b_mart/ss/ss_events_by_session.sql:95-134``) composed
+    with a per-session conversion flag, rolled up to conversion rate by
+    session-length band (clamped at 5+).
+
+    Scale: both windows partition by user_id (high cardinality); the
+    session rollup shuffles on (user, session) and the final band
+    aggregate on ≤5 keys — events never shuffle unkeyed."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # µs arithmetic: casting to whole seconds truncates and flips
+            # sessions whose gap straddles the 30-min boundary sub-second
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("is_new").over(w_run))
+    per_session = sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return per_session.groupBy(
+        F.least(F.col("n_events"), F.lit(5)).alias("length_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 4).alias(
+            "conversion_rate"
+        ),
+    )

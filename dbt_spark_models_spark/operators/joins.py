@@ -404,3 +404,63 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "affinity_part_pairs",
+    oracle="""
+WITH order_parts AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM order_parts a JOIN order_parts b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), counted AS (
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, n_orders, rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b)
+               AS rnk
+    FROM counted
+) WHERE rnk <= 20
+""",
+)
+def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-20 part pairs co-occurring in the same
+    order — the within-group pair-generation pattern (reference:
+    ``models/spark/onfy/onfy_product_analogues.sql:73-80`` POSEXPLODE
+    pairing) applied to a fact table via self-join on the group key.
+
+    Scale: pairs are generated per order (self-join shuffles on orderkey,
+    pair count bounded by lines-per-order², ~4² here), then one
+    combiner-friendly count. The global top-20 window runs on the counted
+    pair table — at 100 TB, pre-filter with HAVING n >= floor before the
+    single-partition ranking (noted so the one-line change is known)."""
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    order_parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = order_parts.alias("a")
+    b = order_parts.alias("b")
+    counted = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("part_a", "part_b", "n_orders", "rnk")
+    )
