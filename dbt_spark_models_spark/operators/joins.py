@@ -435,9 +435,11 @@ def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pairs are generated per order (self-join shuffles on orderkey,
     pair count bounded by lines-per-order², ~4² here), then one
-    combiner-friendly count. The global top-20 window runs on the counted
-    pair table — at 100 TB, pre-filter with HAVING n >= floor before the
-    single-partition ranking (noted so the one-line change is known)."""
+    combiner-friendly count. The global top-20 is taken with
+    ``orderBy().limit(20)`` — Spark plans that as TakeOrderedAndProject
+    (per-partition top-20 heaps merged at the driver), so no partition ever
+    holds the full counted-pair table; ``row_number`` then ranks only the
+    20 surviving rows."""
     from pyspark.sql import Window
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
@@ -456,11 +458,10 @@ def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    w = Window.orderBy(
-        F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")
-    )
+    order_cols = [F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")]
+    top = counted.orderBy(*order_cols).limit(20)
+    w = Window.orderBy(*order_cols)
     return (
-        counted.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("part_a", "part_b", "n_orders", "rnk")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -99,7 +99,11 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_metadata_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata layer: size-bucket partitioning plan for balanced
     Arrow batches (what you'd ``repartitionByRange`` on before heavy decode
-    at 100 TB). Rows-only check: the plan is engine-internal."""
+    at 100 TB). Buckets come from distributed approx-quantile boundaries —
+    the same range-sampling idea ``repartitionByRange`` uses — so no global
+    window / single-partition sort anywhere: one tiny agg computes the 7
+    boundaries, broadcast back as literals, and bucket assignment is
+    map-side. Rows-only check: the plan is engine-internal."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     meta = d.select(
         "doc_id",
@@ -109,9 +113,21 @@ def multimodal_metadata_partition_plan(spark: SparkSession, sf_dir: str) -> Data
             F.lit("utf-8").alias("encoding"),
         ).alias("media_meta"),
     )
-    w = Window.orderBy(F.col("media_meta.n_bytes"), F.col("doc_id"))
+    probs = [i / 8.0 for i in range(1, 8)]
+    bounds = sorted(
+        set(
+            meta.select(
+                F.percentile_approx(
+                    F.col("media_meta.n_bytes"), probs, 10000
+                ).alias("b")
+            ).head()["b"]
+        )
+    )
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("media_meta.n_bytes") > b, 1).otherwise(0)
     return (
-        meta.withColumn("size_bucket", F.ntile(8).over(w))
+        meta.withColumn("size_bucket", bucket)
         .groupBy("size_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
