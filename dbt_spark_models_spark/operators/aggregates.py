@@ -30,7 +30,7 @@ from dbt_spark_models_spark.sources.testdata import load_tables, register_views
 SELECT event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       COUNT_IF(value > 100) AS n_big,
+       CAST(COUNT_IF(value > 100) AS BIGINT) AS n_big,
        ROUND(SUM(CASE WHEN value > 100 THEN value ELSE 0 END), 2) AS big_value,
        ROUND(AVG(value), 4) AS avg_value,
        ROUND(MIN(value), 2) AS min_value,
@@ -317,7 +317,7 @@ def agg_first_value_as_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
     SELECT event_type,
            COUNT(*) AS n,
-           COUNT_IF(value > 100) AS pos
+           CAST(COUNT_IF(value > 100) AS BIGINT) AS pos
     FROM events GROUP BY event_type
 )
 SELECT event_type, n, pos,

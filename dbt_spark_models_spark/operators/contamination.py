@@ -196,9 +196,9 @@ WITH est AS (
 )
 SELECT doc_id, lang, est_tokens,
        CAST(FLOOR(cum_before / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
-       cum_before + est_tokens
-           - CAST(FLOOR(cum_before / {_PACK_BUDGET}) AS BIGINT)
-             * {_PACK_BUDGET} AS bin_fill
+       CAST(cum_before + est_tokens
+            - CAST(FLOOR(cum_before / {_PACK_BUDGET}) AS BIGINT)
+              * {_PACK_BUDGET} AS BIGINT) AS bin_fill
 FROM packed
 """,
 )

@@ -352,37 +352,30 @@ FROM bits GROUP BY doc_id
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit here; 64-bit in production) — bitwise majority vote
-    over token hashes. Equal/near fingerprints cluster near-duplicates;
-    computing it is two hash aggregates, no pairwise stage at all."""
+    over token hashes. Equal/near fingerprints cluster near-duplicates.
+
+    Single-agg formulation (the MinHash trick): all 16 bit-majority sums
+    are conditional-sum columns of ONE ``groupBy(doc_id)``, so the plan is
+    one map-side-combined shuffle of (doc_id, 16 ints) — not 16 exploded
+    rows per token hash shuffled into a (doc_id, bit) agg."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
     )
     hashed = tok.select("doc_id", F.expr(_polyhash_spark("token")).alias("th"))
-    bits = (
-        hashed.select(
-            "doc_id",
-            "th",
-            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
-        )
-        .withColumn(
-            "contrib",
-            F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("v"))
-    )
-    return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-            .cast("long")
-            .alias("simhash16")
-        )
+    bit_votes = [
+        F.sum(
+            F.when(F.expr(f"(th >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*bit_votes)
+    fingerprint = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select(
+        "doc_id", fingerprint.cast("long").alias("simhash16")
     )
 
 

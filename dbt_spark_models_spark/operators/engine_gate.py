@@ -48,6 +48,23 @@ def _fresh_db(spark: SparkSession, db: str) -> None:
     spark.sql(f"CREATE DATABASE {db} LOCATION '/tmp/spark_models_engine/{db}'")
 
 
+# (session id, sf_dir) → db of an already-built mini-mart. Two gate
+# queries verify different tables of the SAME project build; rebuilding it
+# per query doubled the driver's per-round grading cost for nothing.
+_MART_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _shared_mini_mart(spark: SparkSession, sf_dir: str) -> str:
+    db = "engine_gate_mart"
+    key = (id(spark), sf_dir)
+    if _MART_CACHE.get(key) != db or not spark.catalog.tableExists(
+        f"{db}.daily_user_stats"
+    ):
+        _build_mini_mart(spark, sf_dir, db)
+        _MART_CACHE[key] = db
+    return db
+
+
 def _build_mini_mart(spark: SparkSession, sf_dir: str, db: str) -> None:
     """Full build at an early cutoff, then an incremental run at the real
     cutoff — exercising first-run CTAS *and* the insert_overwrite path."""
@@ -106,8 +123,7 @@ def engine_incremental_daily_stats(spark: SparkSession, sf_dir: str) -> DataFram
     from dbt_spark_models_spark.sources.testdata import register_views
 
     register_views(spark, sf_dir, ("events",))
-    db = "engine_gate_daily"
-    _build_mini_mart(spark, sf_dir, db)
+    db = _shared_mini_mart(spark, sf_dir)
     return spark.table(f"{db}.daily_user_stats")
 
 
@@ -135,8 +151,7 @@ def engine_lifetime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark_models_spark.sources.testdata import register_views
 
     register_views(spark, sf_dir, ("events",))
-    db = "engine_gate_lifetime"
-    _build_mini_mart(spark, sf_dir, db)
+    db = _shared_mini_mart(spark, sf_dir)
     return spark.table(f"{db}.user_lifetime").select(
         "user_id",
         "lifetime_events",
@@ -215,6 +230,86 @@ def engine_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot(spark, "dim_product", b2, cfg, db, run_ts="2024-02-02 00:00:00")
     return spark.table(f"{db}.dim_product").select(
         "product_id", "name", "price", "dbt_valid_from", "dbt_valid_to"
+    )
+
+
+@query(
+    "engine_scd2_check_strategy",
+    oracle="""
+WITH v1 AS (
+    SELECT s_suppkey AS supplier_id, s_name AS name,
+           ROUND(s_acctbal, 2) AS acctbal,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+    FROM supplier
+), changed AS (  -- acctbal (the only check_col) changes
+    SELECT supplier_id FROM v1 WHERE supplier_id % 7 = 0
+), deleted AS (  -- key vanishes from batch 2
+    SELECT supplier_id FROM v1 WHERE supplier_id % 13 = 2
+)
+SELECT v1.supplier_id, v1.name, v1.acctbal,
+       v1.valid_from AS dbt_valid_from,
+       CASE WHEN v1.supplier_id IN (SELECT supplier_id FROM deleted)
+              THEN TIMESTAMP '2024-02-01 00:00:00'
+            WHEN v1.supplier_id IN (SELECT supplier_id FROM changed)
+              THEN TIMESTAMP '2024-02-01 00:00:00'
+            ELSE NULL END AS dbt_valid_to
+FROM v1
+UNION ALL
+SELECT supplier_id,
+       CASE WHEN supplier_id % 11 = 0 THEN name || ' RENAMED' ELSE name END
+           AS name,  -- the new version carries the whole new row
+       ROUND(acctbal * 1.05, 2) AS acctbal,
+       TIMESTAMP '2024-02-01 00:00:00' AS dbt_valid_from,
+       NULL AS dbt_valid_to
+FROM v1
+WHERE supplier_id % 7 = 0 AND supplier_id % 13 <> 2
+""",
+)
+def engine_scd2_check_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch SCD2 snapshot with ``strategy='check'`` + ``check_cols``
+    + ``invalidate_hard_deletes`` (reference
+    ``snapshots/spark/referral_program/referral_bloggers_info.sql:68-69``):
+    batch 2 changes ``acctbal`` (a check col → new version) for every 7th
+    supplier, changes ``name`` (NOT a check col → must NOT version) for
+    every 11th, and drops every (k%13==2)th (hard delete → closed at the
+    run timestamp). The oracle reconstructs the expected full history —
+    including that name-only changes leave the original row open."""
+    from dbt_spark_models_spark.plans.snapshots import snapshot
+
+    db = "engine_gate_scd2_check"
+    _fresh_db(spark, db)
+    sup = load_tables(spark, sf_dir, ("supplier",))["supplier"]
+    cfg = dict(
+        unique_key="supplier_id",
+        strategy="check",
+        check_cols=["acctbal"],
+        invalidate_hard_deletes=True,
+    )
+    b1 = sup.select(
+        F.col("s_suppkey").alias("supplier_id"),
+        F.col("s_name").alias("name"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    snapshot(spark, "dim_supplier", b1, cfg, db, run_ts="2024-01-01 00:00:00")
+    b2 = (
+        b1.filter(F.col("supplier_id") % 13 != 2)
+        .withColumn(
+            "acctbal",
+            F.when(
+                F.col("supplier_id") % 7 == 0,
+                F.round(F.col("acctbal") * 1.05, 2),
+            ).otherwise(F.col("acctbal")),
+        )
+        .withColumn(
+            "name",
+            F.when(
+                F.col("supplier_id") % 11 == 0, F.concat(F.col("name"), F.lit(" RENAMED"))
+            ).otherwise(F.col("name")),
+        )
+    )
+    snapshot(spark, "dim_supplier", b2, cfg, db, run_ts="2024-02-01 00:00:00")
+    return spark.table(f"{db}.dim_supplier").select(
+        "supplier_id", "name", "acctbal", "dbt_valid_from", "dbt_valid_to"
     )
 
 

@@ -190,10 +190,10 @@ SELECT doc_id,
        CAST(frame_idx AS INT) AS frame_idx,
        CAST(LEAST({_FRAME_SIZE}, n_bytes - frame_idx * {_FRAME_SIZE}) AS INT)
            AS frame_bytes,
-       list_sum(list_transform(
+       CAST(list_sum(list_transform(
            generate_series(frame_idx * {_FRAME_SIZE} + 1,
                            LEAST((frame_idx + 1) * {_FRAME_SIZE}, n_bytes)),
-           i -> ascii(substring(text, i, 1)))) % 997 AS frame_checksum
+           i -> ascii(substring(text, i, 1)))) % 997 AS BIGINT) AS frame_checksum
 FROM frames
 WHERE frame_idx % {_FRAME_STRIDE} = 0
 """,

@@ -23,12 +23,36 @@ from dbt_spark_models_spark.operators import query
 from dbt_spark_models_spark.sources.testdata import load_tables, spread
 
 _DIM = 64
+# Default sign-LSH width. SIZING KNOB (see SCALE.md): expected bucket size
+# is N / 2^n_planes, and near-dup verification is quadratic per bucket —
+# pick n_planes ≈ log2(N / target_bucket_size). 8 bits is right for the
+# ~1e4-vector test corpus; a 1e11-doc corpus wants 24-28 bits (the helpers
+# below all take n_planes explicitly).
 _N_PLANES = 8
 
 
-def _plane(j: int) -> list[int]:
+def _plane(j: int, dim: int = _DIM) -> list[int]:
     """Deterministic pseudo-random integer hyperplane (Knuth multiplicative)."""
-    return [(((j * _DIM + d) * 2654435761) % 2001) - 1000 for d in range(_DIM)]
+    return [(((j * dim + d) * 2654435761) % 2001) - 1000 for d in range(dim)]
+
+
+def sign_lsh_signature(emb_col: str, n_planes: int = _N_PLANES, dim: int = _DIM):
+    """Sign-LSH bucket string for an embedding column: one char per
+    hyperplane ('1' if the projection is positive). Plane j is a fixed
+    deterministic function of (j, dim), so wider signatures REFINE
+    narrower ones: the first k chars of an n-plane signature equal the
+    k-plane signature — growing ``n_planes`` with corpus size only splits
+    buckets, never merges them."""
+    bits = []
+    for j in range(n_planes):
+        h = F.array(*[F.lit(float(v)) for v in _plane(j, dim)])
+        proj = F.aggregate(
+            F.zip_with(F.col(emb_col), h, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, "1").otherwise("0"))
+    return F.concat(*bits)
 
 
 def _dot_spark(a: str, b: str):
@@ -149,18 +173,17 @@ def similarity_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bucket (plus neighbors) instead of scanning the corpus. Output is
     the bucket histogram."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
-    bits = []
-    for j in range(_N_PLANES):
-        h = F.array(*[F.lit(float(v)) for v in _plane(j)])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), h, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, "1").otherwise("0"))
-    sig = F.concat(*bits).alias("bucket")
+    return lsh_bucket_histogram(e)
+
+
+def lsh_bucket_histogram(e: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
+    """Bucket histogram for a given signature width (the sizing knob)."""
     return (
-        e.select(sig, "vec_id", "label")
+        e.select(
+            sign_lsh_signature("embedding", n_planes).alias("bucket"),
+            "vec_id",
+            "label",
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -288,20 +311,20 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle mirrors the same candidate generation, so recall choices
     are compared exactly, not approximated."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
-    bits = []
-    for j in range(_N_PLANES):
-        h = F.array(*[F.lit(float(v)) for v in _plane(j)])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), h, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, "1").otherwise("0"))
+    return cosine_near_dup_pairs(e)
+
+
+def cosine_near_dup_pairs(
+    e: DataFrame, threshold: float = 0.4, n_planes: int = _N_PLANES
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs; ``n_planes`` is the bucket-size knob
+    (candidates shrink ~2× per extra plane, recall drops as planes split
+    true pairs — production compensates with band OR-ing as in MinHash)."""
     sigs = e.select(
         "vec_id",
         F.col("embedding").alias("emb"),
         _norm_spark("embedding").alias("nrm"),
-        F.concat(*bits).alias("bucket"),
+        sign_lsh_signature("embedding", n_planes).alias("bucket"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     cos = _dot_spark("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
@@ -312,7 +335,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") >= 0.4)
+        .filter(F.col("cosine_raw") >= threshold)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -321,11 +344,19 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_assigned(e: DataFrame) -> DataFrame:
+def _ivf_assigned(e: DataFrame, sub_bits: int = 0) -> DataFrame:
     """IVF coarse quantizer shared by train/query/test paths: per-label
     centroids → each vector assigned to its nearest cell by cosine
     (rounded to 6dp + label tie-break for determinism). Returns
-    (vec_id, embedding, cell)."""
+    (vec_id, embedding, cell).
+
+    ``sub_bits`` is the cell-count SIZING KNOB (see SCALE.md): per-label
+    cells alone cap out at k≈n_labels, far too coarse at 100 TB. Each
+    extra sub-bit splits every cell in two via the shared sign-LSH planes
+    (an inverted-multi-index-style refinement), so cell count is
+    n_labels·2^sub_bits and expected cell size N/(n_labels·2^sub_bits) —
+    pick sub_bits so a cell fits one executor's search budget. sub_bits=0
+    keeps oracle parity for the registry queries."""
     pos = (
         e.select("label", F.posexplode("embedding").alias("i", "x"))
         .groupBy("label", "i")
@@ -365,11 +396,21 @@ def _ivf_assigned(e: DataFrame) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("c_cosine").desc(), F.col("c_label")
     )
-    return (
+    assigned = (
         cell_scored.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", F.col("c_label").alias("cell"))
     )
+    if sub_bits > 0:
+        assigned = assigned.withColumn(
+            "cell",
+            F.concat(
+                F.col("cell"),
+                F.lit("/"),
+                sign_lsh_signature("embedding", sub_bits),
+            ),
+        )
+    return assigned
 
 
 

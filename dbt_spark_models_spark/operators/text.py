@@ -226,8 +226,9 @@ WITH toks AS (
     SELECT * FROM deduped WHERE lang IN ('en', 'de', 'es')
 ), budgeted AS (
     SELECT doc_id, lang, source, n_tokens,
-           SUM(n_tokens) OVER (ORDER BY doc_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
                AS cum_tokens
     FROM lang_filtered
 )

@@ -257,8 +257,10 @@ WITH flagged AS (
     FROM events
 ), sessions AS (
     SELECT user_id, ts, event_id, value,
-           SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(SUM(is_new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
                AS session_seq
     FROM flagged
 )

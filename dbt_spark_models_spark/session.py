@@ -21,6 +21,11 @@ from pyspark.sql import SparkSession
 _REQUIRED_SQL_CONFS = {
     # events.parquet is TIMESTAMP(NANOS); Spark rejects it without this
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # parquet timestamp[us] WITHOUT timezone would otherwise infer as
+    # TIMESTAMP_NTZ under Spark 4.x, which unix_millis/unix_micros and
+    # streaming watermarks reject; read as session-tz TIMESTAMP (UTC)
+    # to match DuckDB's naive-timestamp semantics
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # oracle comparisons assume UTC-naive timestamps
     "spark.sql.session.timeZone": "UTC",
     # incremental insert_overwrite must be partition-surgical
@@ -96,6 +101,8 @@ def get_spark(
         # default; read as long and convert in the loader (µs truncation,
         # matching DuckDB's ns→µs cast)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp[us] sans tz must read as TIMESTAMP (UTC session), not NTZ
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

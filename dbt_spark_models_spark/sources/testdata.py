@@ -70,6 +70,13 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     for col in _ns_timestamp_columns(path):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Defensive: if the session still inferred TIMESTAMP_NTZ (conf applied
+    # after a cached scan, or a foreign session), cast to session-tz
+    # TIMESTAMP — unix_millis/unix_micros and streaming watermarks reject
+    # NTZ, and the UTC session tz makes this cast value-preserving.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 
