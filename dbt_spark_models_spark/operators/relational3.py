@@ -511,8 +511,9 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH li_rollup AS (
     SELECT l_orderkey,
            COUNT(*) AS n_lines,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(18, 6))) AS DOUBLE), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))
+                          * (1 - CAST(l_discount AS DECIMAL(12, 2)))), 2)
+                AS DOUBLE) AS revenue,
            MAX(l_shipdate) AS last_shipdate
     FROM lineitem GROUP BY l_orderkey
 ), first_event AS (
@@ -555,18 +556,21 @@ def gold_orders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li_rollup = t["lineitem"].groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        # decimal-sum: double summation is order-dependent; at 147k orders
-        # one revenue lands on a .005 boundary and flips the 2dp rounding
-        # between engines. The per-item product is one double op (bit-equal
-        # everywhere); summing it as DECIMAL is exact and associative.
+        # fully-decimal revenue: price/discount are exact 2-decimal values,
+        # so casting the INPUTS to DECIMAL makes every multiply/add exact
+        # and associative — identical in any engine, any partition order.
+        # (Casting the double *product* to decimal isn't enough: that
+        # conversion itself differs ~1e-6 between engines, and with 147k
+        # groups a few sums land within 1e-6 of a .005 rounding boundary.)
         F.round(
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,6)"
-                )
-            ).cast("double"),
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+            ),
             2,
-        ).alias("revenue"),
+        )
+        .cast("double")
+        .alias("revenue"),
         F.max("l_shipdate").cast("date").alias("last_shipdate"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -611,7 +615,7 @@ WITH rfm AS (
     SELECT o_custkey,
            MAX(o_orderdate) AS last_order,
            COUNT(*) AS frequency,
-           ROUND(SUM(o_totalprice), 2) AS monetary
+           SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS monetary
     FROM orders GROUP BY o_custkey
 ), scored AS (
     SELECT o_custkey, last_order, frequency, monetary,
@@ -622,7 +626,7 @@ WITH rfm AS (
 )
 SELECT r_quartile, f_quartile, m_quartile,
        COUNT(*) AS n_customers,
-       ROUND(AVG(monetary), 2) AS avg_monetary,
+       ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 2) AS avg_monetary,
        CAST(MIN(o_custkey) AS BIGINT) AS min_custkey
 FROM scored
 GROUP BY r_quartile, f_quartile, m_quartile
@@ -643,10 +647,13 @@ def segment_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    # monetary stays DECIMAL (totalprice is an exact 2-decimal value):
+    # exact, associative, identical in any engine/partition order — both
+    # for the NTILE ordering and for the segment-average downstream
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
     scored = rfm.select(
         "o_custkey",
@@ -657,6 +664,8 @@ def segment_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        F.round(
+            F.sum("monetary").cast("double") / F.count(F.lit(1)), 2
+        ).alias("avg_monetary"),
         F.min("o_custkey").cast("long").alias("min_custkey"),
     )
