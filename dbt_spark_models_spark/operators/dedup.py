@@ -329,10 +329,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash_fingerprints",
-    oracle=f"""
-WITH tok AS (
+# DuckDB CTE chain computing (doc_id, simhash16) — shared by the
+# fingerprint query and the banded Hamming near-dup pairs
+_SIMHASH_DUCK_CTES = f"""tok AS (
     SELECT DISTINCT doc_id,
            unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                               x -> len(x) > 0)) AS token
@@ -344,21 +343,20 @@ WITH tok AS (
            SUM(CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
     FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
     GROUP BY doc_id, b.bit
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN v > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash16
-FROM bits GROUP BY doc_id
-""",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (16-bit here; 64-bit in production) — bitwise majority vote
-    over token hashes. Equal/near fingerprints cluster near-duplicates.
+), sigs AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT)
+               AS simhash16
+    FROM bits GROUP BY doc_id
+)"""
 
-    Single-agg formulation (the MinHash trick): all 16 bit-majority sums
-    are conditional-sum columns of ONE ``groupBy(doc_id)``, so the plan is
-    one map-side-combined shuffle of (doc_id, 16 ints) — not 16 exploded
-    rows per token hash shuffled into a (doc_id, bit) agg."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+
+def simhash_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash16) via the single-agg formulation (the MinHash
+    trick): all 16 bit-majority sums are conditional-sum columns of ONE
+    ``groupBy(doc_id)``, so the plan is one map-side-combined shuffle of
+    (doc_id, 16 ints) — not 16 exploded rows per token hash shuffled into
+    a (doc_id, bit) agg."""
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
     )
@@ -376,6 +374,97 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint = term if fingerprint is None else fingerprint + term
     return votes.select(
         "doc_id", fingerprint.cast("long").alias("simhash16")
+    )
+
+
+@query(
+    "dedup_simhash_fingerprints",
+    oracle=f"""
+WITH {_SIMHASH_DUCK_CTES}
+SELECT doc_id, simhash16 FROM sigs
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit here; 64-bit in production) — bitwise majority vote
+    over token hashes. Equal/near fingerprints cluster near-duplicates."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return simhash_fingerprints(d)
+
+
+@query(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+WITH {_SIMHASH_DUCK_CTES},
+banded AS (
+    SELECT doc_id, simhash16, 0 AS band, simhash16 & 255 AS bval FROM sigs
+    UNION ALL
+    SELECT doc_id, simhash16, 1 AS band, (simhash16 >> 8) & 255 AS bval
+    FROM sigs
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash16 AS ha, b.simhash16 AS hb
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bval = b.bval
+                  AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3
+""",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS via banded candidate generation: the
+    16-bit fingerprint splits into two 8-bit bands, candidates are
+    band-bucket collisions (never the n² cross join), verification is one
+    integer ``bit_count(xor)`` per candidate. By pigeonhole, any pair at
+    Hamming distance ≤ 1 must agree on some band (guaranteed recall);
+    distance 2-3 pairs are caught only when both flipped bits fall in one
+    band — more/wider bands trade recall vs candidate volume exactly like
+    MinHash LSH bands.
+
+    Scale: candidate volume is Σ_bucket n²/2 within 8-bit band buckets;
+    production uses 64-bit fingerprints with 4×16-bit bands, and the
+    bucket join shuffles only (band, bval) — the same bounded-candidates
+    design as ``dedup_minhash_lsh_pairs``."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    sigs = simhash_fingerprints(d)
+    banded = sigs.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.expr("simhash16 & 255").alias("bval"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.expr("(simhash16 >> 8) & 255").alias("bval"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash16", "b.band", "b.bval")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash16").alias("ha"),
+            F.col("b.simhash16").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

@@ -234,6 +234,31 @@ def engine_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "engine_append_log",
+    oracle=f"""
+WITH stg AS ({_STG_ORACLE})
+SELECT day, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM stg
+GROUP BY day, event_type
+""",
+)
+def engine_append_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental APPEND materialization under the oracle: the mini-mart
+    build runs the append-only daily fact twice (full build below the
+    first cutoff, then a high-water-mark append of strictly newer days).
+    The oracle recomputes the rollup from scratch — agreeing results prove
+    the append touched exactly the missing days: no duplicated partitions,
+    no gaps."""
+    from dbt_spark_models_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    db = _shared_mini_mart(spark, sf_dir)
+    return spark.table(f"{db}.event_type_log")
+
+
+@query(
     "engine_scd2_check_strategy",
     oracle="""
 WITH v1 AS (

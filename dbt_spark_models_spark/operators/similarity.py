@@ -344,6 +344,101 @@ def cosine_near_dup_pairs(
     )
 
 
+@query(
+    "similarity_quantized_cosine_topk",
+    oracle="""
+WITH q8 AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)
+                         * (127.0 / list_max(list_transform(embedding,
+                                y -> abs(CAST(y AS DOUBLE)))))) AS DOUBLE))
+               AS codes
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS q_id, codes AS qc,
+           SQRT(list_sum(list_transform(codes, x -> x * x))) AS q_norm
+    FROM q8 WHERE vec_id < 5
+), scored AS (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.qc, c.codes)
+                 / (q.q_norm
+                    * SQRT(list_sum(list_transform(c.codes, x -> x * x)))), 4)
+               AS qcos
+    FROM q JOIN q8 c ON c.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, qcos, rnk
+FROM (
+    SELECT q_id, neighbor_id, qcos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY qcos DESC, neighbor_id) AS rnk
+    FROM scored
+) WHERE rnk <= 3
+""",
+)
+def similarity_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k — the bandwidth-reduction scale path:
+    per-vector max-abs scaling maps each float32 embedding to 8-bit codes
+    (4× smaller scan; cosine is scale-invariant, so no rescale at query
+    time), then the brute-force kernel runs on the code vectors. Every
+    arithmetic step is exact in float64 (|code| ≤ 127, dim 64 → dot
+    products < 2^21), so Spark and the oracle agree bit-for-bit — the
+    quantization ERROR vs full precision is the design trade, the
+    quantized computation itself is deterministic.
+
+    Scale: at 100 TB the codes column is written once next to the
+    embeddings (a cheap map stage) and all candidate scans read codes
+    only; full-precision vectors are fetched just for final re-ranking of
+    the top candidates."""
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * (F.lit(127.0) / absmax), 0).cast(
+            "double"
+        ),
+    )
+    q8 = e.select("vec_id", codes.alias("codes"))
+    norm = F.sqrt(
+        F.aggregate(F.col("codes"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    q = (
+        q8.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("codes").alias("qc"),
+            norm.alias("q_norm"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(q8.alias("c"), F.col("c.vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qc"), F.col("c.codes"), lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("q_norm") * norm),
+                4,
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qcos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "neighbor_id", "qcos", "rnk")
+    )
+
+
 def _ivf_assigned(e: DataFrame, sub_bits: int = 0) -> DataFrame:
     """IVF coarse quantizer shared by train/query/test paths: per-label
     centroids → each vector assigned to its nearest cell by cosine
