@@ -67,6 +67,25 @@ def snapshot(
     else:
         updated_at = now
 
+    # Duplicate-key input batches (SURVEY §7 "what's hard"): dbt-spark's
+    # MERGE fails or silently multiplies current rows. The engine instead
+    # keeps ONE row per key deterministically — latest updated_at, ties
+    # broken by a content hash — unless the caller opts out.
+    if bool(config.get("dedupe_source", True)):
+        from pyspark.sql import Window
+
+        tie = F.md5(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in source_df.columns])
+        )
+        w_dedupe = Window.partitionBy(key).orderBy(
+            updated_at.desc_nulls_last(), tie
+        )
+        source_df = (
+            source_df.withColumn("__snap_rn", F.row_number().over(w_dedupe))
+            .filter(F.col("__snap_rn") == 1)
+            .drop("__snap_rn")
+        )
+
     src = _with_scd2(source_df, key, updated_at)
 
     if not table_exists(spark, database, name):
