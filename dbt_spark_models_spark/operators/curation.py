@@ -397,3 +397,72 @@ def curation_length_percentile_bands(
         F.round(F.cume_dist().over(w), 4).alias("length_cume"),
         ((pr >= 0.05) & (pr <= 0.95)).alias("in_band"),
     )
+
+
+_MIX_WEIGHTS = (("src1", 0.4), ("src2", 0.3), ("src3", 0.2), ("src4", 0.1))
+
+
+@query(
+    "pipeline_domain_mixture",
+    oracle=f"""
+WITH w(source, w) AS (VALUES {", ".join(f"('{s}', CAST({v} AS DOUBLE))" for s, v in _MIX_WEIGHTS)}),
+j AS (
+    SELECT d.doc_id, d.source, w.w FROM documents d JOIN w USING (source)
+), counts AS (
+    SELECT source, w, COUNT(*) AS cnt FROM j GROUP BY source, w
+), scale AS (
+    SELECT MIN(cnt / w) AS s FROM counts
+), quota AS (
+    SELECT source, CAST(FLOOR(w * (SELECT s FROM scale)) AS BIGINT) AS n_s
+    FROM counts
+), ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS mix_rank
+    FROM j
+)
+SELECT r.doc_id, r.source, CAST(r.mix_rank AS BIGINT) AS mix_rank,
+       q.n_s AS source_quota
+FROM ranked r JOIN quota q USING (source)
+WHERE r.mix_rank <= q.n_s
+""",
+)
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: select documents per source so the output
+    matches target mixture weights exactly, scaled to the binding
+    (fully-consumed) source — the standard way a pre-training corpus hits
+    a prescribed domain distribution without oversampling any domain.
+
+    Deterministic: per-source selection order is md5(doc_id), so the
+    sample is reproducible and auditable (same property as the reservoir
+    operator), and the quota math is the same double expression tree on
+    both engines.
+
+    Scale: counts are one map-side-combined agg; quotas are a 4-row
+    broadcast; selection is one window rank per source partition (at
+    100 TB, rank-free variant: keep hash(doc_id) below a per-source
+    threshold found by quantile — no per-partition sort; documented trade,
+    exact quotas need the rank)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    wdf = spark.createDataFrame(
+        [(s, float(v)) for s, v in _MIX_WEIGHTS], "source string, w double"
+    )
+    j = d.join(F.broadcast(wdf), "source").select("doc_id", "source", "w")
+    counts = j.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    scale = counts.agg(F.min(F.col("cnt") / F.col("w")).alias("s"))
+    quota = counts.crossJoin(F.broadcast(scale)).select(
+        "source",
+        F.floor(F.col("w") * F.col("s")).cast("long").alias("source_quota"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = j.select(
+        "doc_id", "source", F.row_number().over(w_rank).cast("long").alias("mix_rank")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("mix_rank") <= F.col("source_quota"))
+        .select("doc_id", "source", "mix_rank", "source_quota")
+    )

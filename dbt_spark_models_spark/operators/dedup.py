@@ -265,6 +265,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tid"),
     )
+    # the shingle relation feeds three plan branches (minhash agg + both
+    # sides of candidate verification); Spark evaluates each branch from
+    # scratch, re-tokenizing and re-hashing every document. Materialize it
+    # once — locally a disk-spillable persist; at 100 TB this is the
+    # "write the shingle table, then join against it" stage a production
+    # pipeline runs anyway. LRU eviction reclaims it; results unchanged.
+    shingle = shingle.persist()
     hashed = shingle
     # all 16 minhashes in ONE aggregate pass (no 16× row expansion, no
     # second shuffle): min((a_i*tid + b_i) % p) as 16 parallel agg columns
