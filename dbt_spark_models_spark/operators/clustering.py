@@ -143,6 +143,98 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Every node's strictly-larger neighbors re-attach to its
+    neighborhood minimum (neighborhoods are undirected: symmetrize)."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Star-collapse the (larger→smaller) edges onto each minimum."""
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    attach = (
+        e.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    own = m.select("u", F.col("m").alias("v"))
+    return attach.unionByName(own).distinct()
+
+
+def two_star_components(
+    und: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Alternate large-star/small-star to a fixpoint; returns
+    (doc_id, cluster_id) with cluster_id = component minimum. ``und`` is
+    an edge list (u, v) — one direction per edge is enough. Exposed for
+    tests (adversarial graph shapes) and reuse; O(log² n) rounds."""
+    e = _small_star(_large_star(und)).localCheckpoint()
+    for _ in range(max_rounds):
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        changed = (
+            new_e.exceptAll(e).limit(1).count()
+            + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    roots = e.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(roots)
+        .distinct()
+    )
+
+
+@query(
+    "dedup_cc_twostar",
+    oracle=f"""
+WITH RECURSIVE {_EDGES_DUCK},
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM edge
+    UNION
+    SELECT doc_b, doc_a FROM edge
+),
+nodes AS (SELECT DISTINCT a AS node FROM und),
+labels(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT u.b AS node, l.lbl FROM labels l JOIN und u ON u.a = l.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id
+FROM labels GROUP BY node
+""",
+)
+def dedup_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-graph scale path beside plain label propagation
+    (``dedup_connected_components``): label-prop needs diameter-many
+    rounds (a path graph of chained near-dups needs O(n)), two-star
+    converges in O(log² n) rounds on ANY graph shape, each round two
+    keyed aggregates + joins.
+
+    large-star: every node's strictly-larger neighbors re-attach to its
+    neighborhood minimum; small-star: remaining (larger→smaller) edges
+    star-collapse onto the minimum. Fixpoint = forest of stars, every
+    node pointing at its component minimum — identical output to the
+    label-prop operator and the recursive-CTE oracle."""
+    # _large_star symmetrizes internally, so one direction suffices here
+    und = _edges_spark(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    return two_star_components(und)
+
+
 @query(
     "text_tfidf_top_terms",
     oracle="""
