@@ -569,7 +569,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — this query demonstrates exactly that pruning, with the
     in-cell search reusing the brute-force kernel."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
-    assigned = _ivf_assigned(e)
+    # the assigned corpus feeds both the query side and the search side of
+    # the in-cell join; without materialization Spark re-trains the
+    # centroids and re-scans the corpus for each branch (4 parquet scans).
+    # Production writes `assigned` partitioned by cell (see docstring);
+    # the persist is the in-query equivalent. Results unchanged.
+    assigned = _ivf_assigned(e).persist()
     q = (
         assigned.filter(F.col("vec_id") < 5)
         .select(
