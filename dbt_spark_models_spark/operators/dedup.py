@@ -19,7 +19,7 @@ used in non-oracle paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_spark_models_spark.operators import query
@@ -332,6 +332,104 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         verified.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
         .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_jaccard_prefix_filter",
+    oracle="""
+WITH tok AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS token
+    FROM documents
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.9
+""",
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-Jaccard join over the WHOLE corpus via prefix filtering
+    (PPJoin family) — the lossless fix for the posting-join quadratic
+    blowup that forces ``dedup_token_jaccard_pairs`` onto a demo slice.
+
+    Tokens get a global rarity order (document frequency asc, token asc);
+    each document only indexes its first ``sz - ceil(t*sz) + 1`` tokens in
+    that order. Any pair with Jaccard >= t MUST share a token inside both
+    prefixes (the globally-smallest common token is provably in each), so
+    joining prefix postings loses nothing — while hot tokens (stopwords)
+    land in almost no prefix, removing exactly the postings that explode.
+    The oracle is the unfiltered ground truth, so the driver verifies the
+    losslessness claim itself, not a replica of the pruning.
+
+    Scale: candidate volume is bounded by rare-token postings (df-ordered
+    prefixes), the classic all-pairs design that survives corpus-sized
+    joins; verification joins only candidate pairs. The prefix length is
+    integer arithmetic (ceil(0.9*sz) = floor((9*sz+9)/10)) so plans are
+    engine-exact."""
+    t_num, t_den = 9, 10  # threshold 0.9 as integers: boundary-safe
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    # the posting list feeds five branches (document frequency, sizes,
+    # ranked prefixes, and both verification sides) — materialize once,
+    # the same write-then-join staging a production all-pairs job uses
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    ).persist()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "token")
+    ranked = (
+        tok.join(dfreq, "token")
+        .withColumn("rk", F.row_number().over(w_rank))
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn(
+            "p",
+            F.col("sz")
+            - F.floor((t_num * F.col("sz") + t_den - 1) / t_den).cast("long")
+            + 1,
+        )
+    )
+    prefix = ranked.filter(F.col("rk") <= F.col("p")).select("doc_id", "token")
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.token") == F.col("pb.token"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    common = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.token") == F.col("ta.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= t_num / t_den)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
