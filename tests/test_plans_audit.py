@@ -181,3 +181,24 @@ def test_chunk_dedup_scan_prunes_columns(spark, sf_dir):
     read = plan.split("ReadSchema")[1][:400]
     assert "text" in read
     assert "lang" not in read and "source" not in read
+
+
+def test_new_ops_no_cartesian_no_sortmerge(spark, sf_dir):
+    """Round-2 operators: candidate generation must stay bucketed/keyed —
+    no CartesianProduct or BroadcastNestedLoopJoin may appear in the
+    near-dup pair or mixture plans."""
+    for q in (
+        "dedup_simhash_hamming_pairs",
+        "dedup_jaccard_prefix_filter",
+        "pipeline_domain_mixture",
+    ):
+        plan = _plan(spark, q, sf_dir)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_quantized_cosine_broadcasts_queries(spark, sf_dir):
+    """The int8 query set must broadcast against the corpus scan."""
+    plan = _plan(spark, "similarity_quantized_cosine_topk", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
