@@ -114,6 +114,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(20):  # graph diameter bound; converges far earlier
         neigh_min = (
             und.join(labels, F.col("a") == F.col("node"))
@@ -139,7 +140,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "label propagation did not converge in 20 rounds (graph diameter "
+            "exceeds the bound); use dedup_cc_twostar for high-diameter graphs"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
@@ -176,6 +183,7 @@ def two_star_components(
     an edge list (u, v) — one direction per edge is enough. Exposed for
     tests (adversarial graph shapes) and reuse; O(log² n) rounds."""
     e = _small_star(_large_star(und)).localCheckpoint()
+    converged = False
     for _ in range(max_rounds):
         new_e = _small_star(_large_star(e)).localCheckpoint()
         changed = (
@@ -184,7 +192,17 @@ def two_star_components(
         )
         e = new_e
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A truncated run silently yields WRONG cluster labels (nodes still
+        # pointing at non-minimum parents); callers can't tell a converged
+        # result from a truncated one, so fail loudly instead.
+        raise RuntimeError(
+            f"two_star_components did not reach a fixpoint in {max_rounds} "
+            "rounds; raise max_rounds (O(log^2 n) rounds suffice for any "
+            "graph shape, so this indicates a far larger graph than sized for)"
+        )
     roots = e.select(F.col("v").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )

@@ -439,8 +439,9 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator), and the quota math is the same double expression tree on
     both engines.
 
-    Scale: counts are one map-side-combined agg; quotas are a 4-row
-    broadcast; selection is one window rank per source partition (at
+    Scale: counts are one map-side-combined agg; quotas come from a
+    constant-key window over the #sources-row counts (then broadcast);
+    selection is one window rank per source partition (at
     100 TB, rank-free variant: keep hash(doc_id) below a per-source
     threshold found by quantile — no per-partition sort; documented trade,
     exact quotas need the rank)."""
@@ -450,10 +451,19 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = d.join(F.broadcast(wdf), "source").select("doc_id", "source", "w")
     counts = j.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    scale = counts.agg(F.min(F.col("cnt") / F.col("w")).alias("s"))
-    quota = counts.crossJoin(F.broadcast(scale)).select(
+    # Global min over the #sources-row counts via a constant-valued window.
+    # The partition key must be non-foldable (a plain literal is folded away,
+    # reintroducing either the "No Partition Defined" warning or — for a
+    # literal equi-join — a BroadcastNestedLoopJoin): `source IS NOT NULL`
+    # is constant-true here but references a column, so it survives as a
+    # partition spec. counts is post-agg (one row per mixture source), so
+    # the single partition holds only #sources rows.
+    scale_w = Window.partitionBy(F.col("source").isNotNull())
+    quota = counts.select(
         "source",
-        F.floor(F.col("w") * F.col("s")).cast("long").alias("source_quota"),
+        F.floor(F.col("w") * F.min(F.col("cnt") / F.col("w")).over(scale_w))
+        .cast("long")
+        .alias("source_quota"),
     )
     w_rank = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"

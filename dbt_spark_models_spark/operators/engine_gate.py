@@ -48,14 +48,20 @@ def _fresh_db(spark: SparkSession, db: str) -> None:
     spark.sql(f"CREATE DATABASE {db} LOCATION '/tmp/spark_models_engine/{db}'")
 
 
-# (session id, sf_dir) → db of an already-built mini-mart. Two gate
+# (session id, sf_dir) → db of an already-built mini-mart. Several gate
 # queries verify different tables of the SAME project build; rebuilding it
 # per query doubled the driver's per-round grading cost for nothing.
 _MART_CACHE: dict[tuple[int, str], str] = {}
 
 
 def _shared_mini_mart(spark: SparkSession, sf_dir: str) -> str:
-    db = "engine_gate_mart"
+    # The db name is derived from sf_dir so interleaved grading across
+    # scale factors (A, B, A) can never serve A's queries from a mart
+    # built on B's data: each sf_dir owns its own physical db, and the
+    # tableExists probe checks the right one.
+    import hashlib
+
+    db = "engine_gate_mart_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     key = (id(spark), sf_dir)
     if _MART_CACHE.get(key) != db or not spark.catalog.tableExists(
         f"{db}.daily_user_stats"

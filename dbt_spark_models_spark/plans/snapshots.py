@@ -74,8 +74,18 @@ def snapshot(
     if bool(config.get("dedupe_source", True)):
         from pyspark.sql import Window
 
+        # Null-sensitive row encoding: concat_ws silently DROPS null fields,
+        # so (a, NULL, b) and (a, b, NULL) would hash identically and the
+        # tie-break would become nondeterministic. Encode NULL as a sentinel
+        # no real cast-to-string value contains.
         tie = F.md5(
-            F.concat_ws("|", *[F.col(c).cast("string") for c in source_df.columns])
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+                    for c in source_df.columns
+                ],
+            )
         )
         w_dedupe = Window.partitionBy(key).orderBy(
             updated_at.desc_nulls_last(), tie

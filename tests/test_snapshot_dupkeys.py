@@ -68,3 +68,26 @@ def test_equal_updated_at_ties_are_deterministic(spark):
         snapshot(spark, "t", b, cfg, db)
         picked.append(spark.table(f"{db}.t").select("val").first()[0])
     assert picked[0] == picked[1]  # input order must not matter
+
+
+def test_null_shifted_ties_are_deterministic(spark):
+    """(a, NULL, b) vs (a, b, NULL): concat_ws drops NULLs, so a naive row
+    hash makes these distinct rows collide and the tie-break degenerate to
+    input order. The null-sentinel encoding must keep them distinct."""
+    from dbt_spark_models_spark.plans.snapshots import snapshot
+
+    cfg = dict(unique_key="id", strategy="timestamp", updated_at="upd")
+    rows = [
+        (1, None, "x", "2024-01-01 00:00:00"),
+        (1, "x", None, "2024-01-01 00:00:00"),  # tie; differs only by NULL slot
+    ]
+    picked = []
+    for i, order in enumerate((rows, rows[::-1])):
+        db = f"snap_nulltie_{i}"
+        _fresh_db(spark, db)
+        b = spark.createDataFrame(
+            order, "id INT, a STRING, b STRING, upd STRING"
+        ).withColumn("upd", F.col("upd").cast("timestamp"))
+        snapshot(spark, "t", b, cfg, db)
+        picked.append(spark.table(f"{db}.t").select("a", "b").first())
+    assert picked[0] == picked[1]  # input order must not matter

@@ -66,6 +66,26 @@ def main() -> None:
         if srows == orows:
             print(f"EXACT {name}: {len(srows)} rows identical")
             continue
+        if len(srows) != len(orows):
+            # Count mismatch first: positional zip would truncate and
+            # misalign every per-row diff after the first missing row.
+            # Diff as multisets instead so the reported rows are the ones
+            # actually unique to each side.
+            print(f"DIFF  {name}: row counts {len(srows)} vs {len(orows)}")
+            from collections import Counter
+
+            sc, oc = Counter(srows), Counter(orows)
+            only_s = list((sc - oc).elements())
+            only_o = list((oc - sc).elements())
+            for r in only_s[:5]:
+                print(f"DIFF  {name} spark-only row: {r}")
+            for r in only_o[:5]:
+                print(f"DIFF  {name} oracle-only row: {r}")
+            print(
+                f"DIFF  {name}: {len(only_s)} spark-only rows, "
+                f"{len(only_o)} oracle-only rows"
+            )
+            continue
         ndiff = 0
         for i, (sr, orow) in enumerate(zip(srows, orows)):
             if sr != orow:
@@ -74,8 +94,6 @@ def main() -> None:
                         ndiff += 1
                         if ndiff <= 5:
                             print(f"DIFF  {name} row {i} col {c}: spark={sv} oracle={ov}")
-        if len(srows) != len(orows):
-            print(f"DIFF  {name}: row counts {len(srows)} vs {len(orows)}")
         print(f"DIFF  {name}: {ndiff} differing cells")
 
 
