@@ -202,22 +202,32 @@ SELECT doc_id, lang, est_tokens,
 FROM packed
 """,
 )
-def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_token_budget_bins(
+    spark: SparkSession, sf_dir: str, n_subshards: int = 1
+) -> DataFrame:
     """Deterministic sequence packing: greedy contiguous fill of documents
     (ordered by doc_id) into {_PACK_BUDGET}-token training shards, one pack
     stream per language.
 
-    Scale: the window partitions by ``lang`` (at 100 TB you'd sub-shard the
-    key, e.g. ``(lang, hash(doc_id) % k)``, the same one-line change noted
-    on the flagship pipeline); no global ordering is required."""
+    Scale: the pack-stream key is ``(lang, xxhash64(doc_id) % n_subshards)``
+    — ``lang`` alone has a handful of values, so at 100 TB a per-lang
+    prefix sum is a near-global window; sub-sharding bounds every window
+    partition at corpus/(|lang|·k) rows while keeping each stream's packing
+    exact and deterministic. The registry entry uses the default k=1, which
+    degenerates to per-lang packing, for byte-parity with the SQL oracle;
+    ``tests/test_operators.py`` covers k>1 invariants (partition of the
+    corpus, per-stream budget respected)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     est = d.select(
         "doc_id",
         "lang",
         F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens"),
+        (F.abs(F.xxhash64(F.col("doc_id"))) % F.lit(int(n_subshards))).alias(
+            "sub_shard"
+        ),
     )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "sub_shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -225,9 +235,10 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_before", F.coalesce(F.sum("est_tokens").over(w), F.lit(0))
     )
     bin_id = F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long")
-    return packed.select(
+    out = packed.select(
         "doc_id",
         "lang",
+        "sub_shard",
         "est_tokens",
         bin_id.alias("bin_id"),
         (
@@ -236,6 +247,9 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             - bin_id * _PACK_BUDGET
         ).alias("bin_fill"),
     )
+    if n_subshards == 1:
+        out = out.drop("sub_shard")  # oracle-parity schema
+    return out
 
 
 @query(

@@ -639,12 +639,12 @@ def segment_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles via NTILE with custkey tie-breaks (deterministic despite
     duplicate metric values), rolled up to segment-cell counts.
 
-    Scale: one groupBy on custkey, then three global NTILE windows over
-    the (customers-sized, not orders-sized) rollup — at 100 TB replace
-    global NTILE with percentile_approx cut-points (the same segment
-    semantics, no single-partition sort); documented trade, small data
-    here keeps the exact form."""
-    from pyspark.sql import Window
+    Scale: one groupBy on custkey, then three DISTRIBUTED exact-NTILE
+    passes (``windows.exact_ntile``): each is a range shuffle +
+    partitioned windows + a broadcast of per-partition rank offsets —
+    bit-identical bucket assignment to the oracle's global NTILE, with no
+    single-partition sort anywhere in the plan."""
+    from dbt_spark_models_spark.operators.windows import exact_ntile
 
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     # monetary stays DECIMAL (totalprice is an exact 2-decimal value):
@@ -655,12 +655,15 @@ def segment_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_quartile"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_quartile"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_quartile"),
+    scored = rfm
+    for metric, out in (
+        ("last_order", "r_quartile"),
+        ("frequency", "f_quartile"),
+        ("monetary", "m_quartile"),
+    ):
+        scored = exact_ntile(scored, [metric, "o_custkey"], 4, out)
+    scored = scored.select(
+        "o_custkey", "monetary", "r_quartile", "f_quartile", "m_quartile"
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),

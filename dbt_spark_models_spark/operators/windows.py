@@ -298,6 +298,116 @@ def window_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n_buckets: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global NTILE without a single-partition sort.
+
+    A bare ``NTILE(k) OVER (ORDER BY ...)`` moves the whole relation to ONE
+    partition — the classic 100 TB scale-killer. This computes the identical
+    bucket assignment distributed:
+
+    1. ``repartitionByRange`` on the order keys (the same distributed range
+       shuffle a global ``ORDER BY`` uses — TeraSort-scalable);
+    2. per-partition ``ROW_NUMBER`` (partitioned window, bounded state);
+    3. per-partition counts → prefix-sum offsets (tiny: one row per
+       partition) broadcast back, giving each row its exact global rank;
+    4. SQL NTILE's bucket formula from (rank, n): the first ``n % k``
+       buckets get ``n div k + 1`` rows, the rest ``n div k``.
+
+    Range boundaries come from sampling, but the global rank is exact and
+    deterministic for any boundary placement (ranges are ordered and
+    disjoint; make the order key unique with a tie-break column, as NTILE
+    determinism demands anyway).
+    """
+    spark = df.sparkSession
+    nparts = int(
+        num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(nparts, *order_cols)
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__lrn", F.row_number().over(w_local)
+    )
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # Prefix sums over the per-partition counts: one row per range
+    # partition, so a single-partition window is O(num_partitions). The
+    # partition key must be non-foldable (a plain literal is folded away
+    # and Spark warns "No Partition Defined"; __pid IS NOT NULL folds too
+    # since spark_partition_id() is non-nullable): __pid % 1 is constant 0
+    # but survives as a partition spec.
+    one = F.col("__pid") % F.lit(1)
+    w_cum = (
+        Window.partitionBy(one)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(one).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "__pid",
+        (F.sum("__cnt").over(w_cum) - F.col("__cnt")).alias("__off"),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    )
+    rank = F.col("__lrn") + F.col("__off")
+    n, k = F.col("__n"), F.lit(n_buckets)
+    base, extra = (n / k).cast("long"), n % k
+    cut = extra * (base + F.lit(1))
+    bucket = F.when(
+        rank <= cut, ((rank - 1) / (base + 1)).cast("long") + 1
+    ).otherwise(
+        # base can only be 0 when n < k, and then every rank <= cut = n,
+        # so this branch never divides by it — but guard for ANSI mode.
+        extra + ((rank - cut - 1) / F.greatest(base, F.lit(1))).cast("long") + 1
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__pid", "__lrn", "__off", "__n")
+    )
+
+
+@query(
+    "window_exact_ntile_distributed",
+    oracle="""
+SELECT quartile,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey
+FROM (
+    SELECT o_orderkey, o_totalprice,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+)
+GROUP BY quartile
+""",
+)
+def window_exact_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact NTILE (see ``exact_ntile``): bucket assignment is
+    bit-identical to SQL ``NTILE(4) OVER (ORDER BY ...)`` — the oracle IS
+    the plain NTILE — but the plan has no single-partition sort: a range
+    shuffle + partitioned windows + a broadcast of per-partition offsets.
+    The primitive behind scale-safe quantile segmentation
+    (``segment_rfm_quartiles``)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    bucketed = exact_ntile(
+        o.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        4,
+        "quartile",
+    )
+    return bucketed.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderkey").cast("long").alias("min_orderkey"),
+    )
+
+
 @query(
     "window_nested_agg_share",
     oracle="""

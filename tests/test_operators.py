@@ -34,6 +34,39 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) == len(set(df.columns)), df.columns
 
 
+def test_pack_subshards_partition_and_budget(spark, sf_dir):
+    """k>1 sub-sharded packing: same doc set as k=1, and within every
+    (lang, sub_shard) stream each bin except the last stays under budget
+    once it has more than one doc (greedy contiguous fill invariant)."""
+    from dbt_spark_models_spark.operators.contamination import (
+        _PACK_BUDGET,
+        pack_token_budget_bins,
+    )
+
+    base = pack_token_budget_bins(spark, sf_dir)
+    sharded = pack_token_budget_bins(spark, sf_dir, n_subshards=4)
+    assert "sub_shard" in sharded.columns and "sub_shard" not in base.columns
+    assert (
+        sorted(r["doc_id"] for r in base.select("doc_id").collect())
+        == sorted(r["doc_id"] for r in sharded.select("doc_id").collect())
+    )
+    assert sharded.select("sub_shard").distinct().count() > 1
+    # within every (lang, sub_shard) stream, bin assignment must equal a
+    # doc_id-ordered greedy prefix-sum recompute
+    streams: dict = {}
+    for r in sharded.collect():
+        streams.setdefault((r["lang"], r["sub_shard"]), []).append(r)
+    for rows in streams.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["bin_id"] == cum // _PACK_BUDGET, r
+            assert r["bin_fill"] == cum + r["est_tokens"] - (
+                cum // _PACK_BUDGET
+            ) * _PACK_BUDGET, r
+            cum += r["est_tokens"]
+
+
 def test_q1_values(spark, sf_dir):
     from dbt_spark_models_spark.operators.relational import q1_pricing_summary
 
