@@ -126,7 +126,6 @@ WITH tok AS (
            unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                               x -> len(x) > 0)) AS token
     FROM documents
-    WHERE doc_id < 100
 ), sizes AS (
     SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
 ), common AS (
@@ -143,39 +142,16 @@ WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.6
 """,
 )
 def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard near-dup pairs via inverted-index join: explode
-    distinct (doc, token), self-join postings on token, count intersections,
-    Jaccard = |A∩B| / (|A|+|B|-|A∩B|). Restricted to a doc_id slice here to
-    bound the demo; the unrestricted scale path is dedup_minhash_lsh, which
-    prunes candidates by banding instead of a full posting join."""
-    d = (
-        spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-        .filter(F.col("doc_id") < 100)
-    )
-    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
-    return (
-        common.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.6)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    """Exact token-set Jaccard near-dup pairs at threshold 0.6 over the
+    WHOLE corpus — same lossless prefix-filter join as
+    ``dedup_jaccard_prefix_filter`` (see ``jaccard_prefix_join``), at a
+    moderate threshold (larger prefixes, more candidates — the PPJoin
+    trade). The oracle is the UNFILTERED posting self-join ground truth,
+    so the driver verifies losslessness at this threshold too. (The
+    historical demo-slice posting join this replaces lives on as the
+    reference implementation inside tests/test_property_differential.py.)"""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return jaccard_prefix_join(d, 3, 5)
 
 
 def _perm_values_sql() -> str:
@@ -361,8 +337,17 @@ WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.9
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT token-Jaccard join over the WHOLE corpus via prefix filtering
-    (PPJoin family) — the lossless fix for the posting-join quadratic
-    blowup that forces ``dedup_token_jaccard_pairs`` onto a demo slice.
+    (PPJoin family) at threshold 0.9 — see ``jaccard_prefix_join``. The
+    oracle is the unfiltered ground truth, so the driver verifies the
+    losslessness claim itself, not a replica of the pruning."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return jaccard_prefix_join(d, 9, 10)
+
+
+def jaccard_prefix_join(d: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """EXACT token-Jaccard self-join at threshold ``t_num/t_den`` via
+    prefix filtering (PPJoin family) — the lossless fix for the
+    posting-join quadratic blowup.
 
     Tokens get a global rarity order (document frequency asc, token asc);
     each document only indexes its first ``sz - ceil(t*sz) + 1`` tokens in
@@ -370,16 +355,12 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes (the globally-smallest common token is provably in each), so
     joining prefix postings loses nothing — while hot tokens (stopwords)
     land in almost no prefix, removing exactly the postings that explode.
-    The oracle is the unfiltered ground truth, so the driver verifies the
-    losslessness claim itself, not a replica of the pruning.
 
     Scale: candidate volume is bounded by rare-token postings (df-ordered
     prefixes), the classic all-pairs design that survives corpus-sized
     joins; verification joins only candidate pairs. The prefix length is
-    integer arithmetic (ceil(0.9*sz) = floor((9*sz+9)/10)) so plans are
-    engine-exact."""
-    t_num, t_den = 9, 10  # threshold 0.9 as integers: boundary-safe
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    integer arithmetic (ceil(t*sz) = floor((t_num*sz + t_den - 1)/t_den))
+    so plans are engine-exact."""
     # the posting list feeds five branches (document frequency, sizes,
     # ranked prefixes, and both verification sides) — materialize once,
     # the same write-then-join staging a production all-pairs job uses

@@ -205,3 +205,46 @@ def test_retention_range_frame_differential(spark, rows):
         """
     ).fetchall()
     assert _norm([tuple(r) for r in got]) == _norm(want)
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta eta theta".split()),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=20,
+    ),
+    t=st.sampled_from([(1, 2), (3, 5), (9, 10)]),
+)
+def test_jaccard_prefix_join_lossless(spark, docs, t):
+    """The PPJoin prefix-filter join must equal the brute-force all-pairs
+    token Jaccard at any threshold — losslessness is the whole claim.
+    Adversarial inputs: tiny overlapping vocab → hot tokens everywhere,
+    duplicate docs, single-token docs."""
+    from pyspark.sql import functions as F
+
+    from dbt_spark_models_spark.operators.dedup import jaccard_prefix_join
+
+    t_num, t_den = t
+    d = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = _norm(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_prefix_join(d, t_num, t_den).collect()
+    )
+    sets = [set(words) for words in docs]
+    want = []
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * t_den >= t_num * union:
+                want.append((a, b, round(inter / union, 4)))
+    assert got == _norm(want)
