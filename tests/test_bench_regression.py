@@ -1,0 +1,34 @@
+"""Bench regression gate (VERDICT r2 #7): the headline bench must not
+regress >1.5x per-query against the committed round baseline
+(BENCH_r02.json). Runs bench.py end-to-end at sf0.1 in a subprocess so
+the measurement matches what the driver records."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_bench_no_regressions_vs_round_baseline():
+    sys.path.insert(0, REPO)
+    from tools.benchgate import BASELINE_PATH, compare, load_bench_json
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=900,
+        check=True,
+    )
+    current = load_bench_json(out.stdout)
+    with open(BASELINE_PATH) as f:
+        baseline = load_bench_json(f.read())
+    regs = compare(current, baseline)
+    assert not regs, f"bench regressions vs BENCH_r02: {regs}"
