@@ -393,17 +393,26 @@ def engine_curation_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark_models_spark.sources.testdata import register_views
 
     register_views(spark, sf_dir, ("documents",))
-    db = "engine_gate_curation"
-    _fresh_db(spark, db)
-    project = Project.load(_CURATION_PROJECT)
-    runner = Runner(
-        spark=spark, project=project, database=db, vars={"sf_dir": sf_dir}
-    )
-    results = runner.run()
-    bad = [r for r in results if r.status != "success"]
-    if bad:
-        raise RuntimeError(f"curation run failed: {bad}")
-    tests = runner.test()
-    if any(t.status != "success" for t in tests):
-        raise RuntimeError(f"curation tests failed: {tests}")
+    # same memoization (and same sf_dir-derived db name) as the mini-mart:
+    # repeat gradings of this query reuse the built project
+    import hashlib
+
+    db = "engine_gate_cur_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    key = (id(spark), sf_dir, "curation")
+    if _MART_CACHE.get(key) != db or not spark.catalog.tableExists(
+        f"{db}.corpus_report"
+    ):
+        _fresh_db(spark, db)
+        project = Project.load(_CURATION_PROJECT)
+        runner = Runner(
+            spark=spark, project=project, database=db, vars={"sf_dir": sf_dir}
+        )
+        results = runner.run()
+        bad = [r for r in results if r.status != "success"]
+        if bad:
+            raise RuntimeError(f"curation run failed: {bad}")
+        tests = runner.test()
+        if any(t.status != "success" for t in tests):
+            raise RuntimeError(f"curation tests failed: {tests}")
+        _MART_CACHE[key] = db
     return spark.table(f"{db}.corpus_report")

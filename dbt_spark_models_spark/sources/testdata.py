@@ -36,8 +36,15 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def _ns_timestamp_columns(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) (pyarrow inspection)."""
+    """Columns stored as parquet TIMESTAMP(NANOS) (pyarrow inspection).
+
+    Cached per path: testdata files are immutable for a session's lifetime
+    and every load_tables call probes its tables' schemas."""
     try:
         import pyarrow.parquet as pq
         import pyarrow.types as pat
