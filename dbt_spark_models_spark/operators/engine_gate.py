@@ -168,6 +168,73 @@ def engine_lifetime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MERGE_CUTOFF = "1996-01-01"
+_MERGE_B1 = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend_dec,
+       MAX(o_orderdate) AS last_order
+FROM orders
+WHERE o_orderdate < DATE '{_MERGE_CUTOFF}'
+GROUP BY o_custkey
+"""
+_MERGE_SRC = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend_dec,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_custkey
+HAVING MAX(o_orderdate) >= DATE '{_MERGE_CUTOFF}'
+"""
+
+
+@query(
+    "engine_merge_incremental",
+    oracle=f"""
+WITH b1 AS ({_MERGE_B1}), src AS ({_MERGE_SRC})
+SELECT o_custkey, n_orders,
+       ROUND(CAST(total_spend_dec AS DOUBLE), 2) AS total_spend, last_order
+FROM src
+UNION ALL
+SELECT o_custkey, n_orders,
+       ROUND(CAST(total_spend_dec AS DOUBLE), 2) AS total_spend, last_order
+FROM b1
+WHERE o_custkey NOT IN (SELECT o_custkey FROM src)
+""",
+)
+def engine_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ``merge`` strategy under the oracle (dbt-spark MERGE,
+    the reference's delta-target upsert path —
+    ``macros/spark_adapter_patch/create_table.sql:21-38``; here the
+    parquet anti-join staging-swap fallback, same semantics): build the
+    per-customer rollup below a cutoff, then MERGE a recomputed increment
+    of every customer active after the cutoff — matched keys replaced
+    wholesale, new keys inserted, untouched keys preserved. The oracle
+    reconstructs the expected post-merge state from scratch."""
+    from dbt_spark_models_spark.plans.materialize import materialize
+    from dbt_spark_models_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    import hashlib
+
+    db = "engine_gate_merge_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    _fresh_db(spark, db)
+    cfg = dict(
+        materialized="incremental",
+        incremental_strategy="merge",
+        unique_key="o_custkey",
+    )
+    materialize(spark, "cust_rollup", _MERGE_SRC, cfg, db, first_run_sql=_MERGE_B1)
+    materialize(spark, "cust_rollup", _MERGE_SRC, cfg, db)
+    return spark.table(f"{db}.cust_rollup").select(
+        "o_custkey",
+        "n_orders",
+        F.round(F.col("total_spend_dec").cast("double"), 2).alias("total_spend"),
+        "last_order",
+    )
+
+
 @query(
     "engine_scd2_snapshot",
     oracle="""

@@ -142,6 +142,50 @@ def materialize(
         if strategy == "append":
             df.write.mode("append").insertInto(ident)
             return MaterializeResult(ident, "appended")
+        if strategy == "merge":
+            # dbt-spark MERGE semantics (delta targets in the reference,
+            # macros/spark_adapter_patch/create_table.sql:21-38): matched
+            # keys update every column, unmatched insert. With delta jars
+            # this is a real MERGE INTO; on parquet the same result comes
+            # from an anti-join staging swap.
+            key = config.get("unique_key")
+            if not key:
+                raise ValueError(f"merge strategy for {name} needs unique_key")
+            keys = [key] if isinstance(key, str) else list(key)
+            # delta MERGE throws on duplicate-key sources; enforce the same
+            # contract so parquet and delta paths agree
+            dup = df.groupBy(*keys).count().filter("count > 1").limit(1).count()
+            if dup:
+                raise ValueError(
+                    f"merge source for {name} has duplicate unique_key rows"
+                )
+            if config.get("file_format") == "delta" and _delta_available(spark):
+                tmp = f"__merge_src_{name}"
+                df.createOrReplaceTempView(tmp)
+                on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+                spark.sql(
+                    f"MERGE INTO {ident} t USING {tmp} s ON {on} "
+                    "WHEN MATCHED THEN UPDATE SET * "
+                    "WHEN NOT MATCHED THEN INSERT *"
+                )
+                spark.catalog.dropTempView(tmp)
+                return MaterializeResult(ident, "merged")
+            target = spark.table(ident)
+            result = target.join(df, on=keys, how="left_anti").unionByName(
+                df.select(*target.columns)
+            )
+            staging = f"{ident}__merge_staging"
+
+            def write(src_df, dest):
+                w = src_df.write.mode("overwrite").format(file_format)
+                if partition_by:
+                    w = w.partitionBy(*partition_by)
+                w.saveAsTable(dest)
+
+            write(result, staging)
+            write(spark.table(staging), ident)
+            spark.sql(f"DROP TABLE {staging}")
+            return MaterializeResult(ident, "merged")
         # insert_overwrite: dynamic mode replaces only partitions present
         # in the increment; without partition_by this overwrites the table
         # (dbt-spark parity, SURVEY.md §7)

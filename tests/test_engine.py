@@ -321,3 +321,35 @@ def test_lint_policy(project_dir):
     # loose mode drops the style rules
     loose = lint_project(project, require_owner=False, require_file_format=False)
     assert {i.rule for i in loose} <= {"unused_source", "unknown_ref"}
+
+
+def test_merge_strategy_upsert(spark):
+    """incremental_strategy='merge': matched keys replaced wholesale, new
+    keys inserted, untouched keys preserved; duplicate-key sources are
+    rejected (the delta MERGE contract, mirrored by the parquet swap)."""
+    import pytest
+
+    from dbt_spark_models_spark.plans.materialize import materialize
+
+    db = "merge_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db}")
+    cfg = dict(
+        materialized="incremental", incremental_strategy="merge", unique_key="k"
+    )
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, name string, v int"
+    ).createOrReplaceTempView("merge_b1")
+    spark.createDataFrame(
+        [(2, "B", 200), (3, "c", 30)], "k int, name string, v int"
+    ).createOrReplaceTempView("merge_b2")
+    materialize(spark, "t", "SELECT * FROM merge_b1", cfg, db)
+    materialize(spark, "t", "SELECT * FROM merge_b2", cfg, db)
+    got = {r["k"]: (r["name"], r["v"]) for r in spark.table(f"{db}.t").collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30)}
+
+    spark.createDataFrame(
+        [(4, "d", 40), (4, "dd", 44)], "k int, name string, v int"
+    ).createOrReplaceTempView("merge_dup")
+    with pytest.raises(ValueError, match="duplicate unique_key"):
+        materialize(spark, "t", "SELECT * FROM merge_dup", cfg, db)
