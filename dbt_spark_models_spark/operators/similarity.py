@@ -617,3 +617,154 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("q_id", "cell", "neighbor_id", "cosine", "rnk")
     )
+
+
+_KM_K = 8  # clusters; seeds = the K smallest vec_ids (deterministic init)
+_KM_CODES_DUCK = """
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)
+                         * (127.0 / list_max(list_transform(embedding,
+                                y -> abs(CAST(y AS DOUBLE)))))) AS DOUBLE))
+               AS c
+    FROM embeddings
+"""
+# squared L2 on integer code vectors via |v|^2 + |c|^2 - 2 v.c (every term
+# an exact small integer in float64)
+_KM_D2_DUCK = (
+    "list_dot_product(v.c, v.c) + list_dot_product(t.ce, t.ce)"
+    " - 2 * list_dot_product(v.c, t.ce)"
+)
+
+
+def _km_assign_duck(cent: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT v.vec_id, t.cid, {_KM_D2_DUCK} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_KM_D2_DUCK}, t.cid) AS rn
+        FROM codes v CROSS JOIN {cent} t
+    ) WHERE rn = 1
+)"""
+
+
+def _km_update_duck(assign: str, out: str) -> str:
+    return f"""{out}_pos AS (
+    SELECT a.cid, i, FLOOR(SUM(v.c[i]) / COUNT(*)) AS cv
+    FROM {assign} a JOIN codes v USING (vec_id),
+         LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY a.cid, i
+), {out} AS (
+    SELECT cid, LIST(cv ORDER BY i) AS ce FROM {out}_pos GROUP BY cid
+)"""
+
+
+@query(
+    "similarity_kmeans_ivf_train",
+    oracle=f"""
+WITH codes AS ({_KM_CODES_DUCK}),
+cent0 AS (
+    SELECT vec_id AS cid, c AS ce FROM codes WHERE vec_id < {_KM_K}
+),
+{_km_assign_duck("cent0", "a1")},
+{_km_update_duck("a1", "cent1")},
+{_km_assign_duck("cent1", "a2")},
+{_km_update_duck("a2", "cent2")},
+{_km_assign_duck("cent2", "a3")}
+SELECT cid AS cluster_id,
+       COUNT(*) AS n_vecs,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(SUM(d2) AS BIGINT) AS inertia
+FROM a3 GROUP BY cid
+""",
+)
+def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED IVF centroid training: Lloyd's k-means over
+    int8-quantized embeddings — 3 assignment rounds with 2 centroid
+    updates, K=8, deterministic seeds (the K smallest vec_ids).
+    Complements ``similarity_ivf_assign`` (which uses label-derived
+    centroids): this is how the coarse quantizer is actually trained when
+    no labels exist.
+
+    Exactness: codes are integers (max-abs int8, as
+    ``similarity_quantized_cosine_topk``), squared-L2 uses the
+    |v|^2+|c|^2-2v.c expansion (every term an exact small integer in
+    float64), and centroid updates are FLOOR(sum/count) integer division —
+    so the iterative algorithm is bit-identical between Spark and the
+    unrolled 3-iteration SQL oracle: a HARD hash gate for an iterative ML
+    training loop, not a rows-only check.
+
+    Scale: each round is one broadcast of K tiny centroid rows against the
+    corpus (no shuffle for assignment — the crossJoin build side is K
+    rows), plus one (cid, dim)-keyed agg for the update; the driver loop
+    holds only the 8-row centroid table (localCheckpoint cuts lineage).
+    At 100 TB you train on a sampled slice and assign the full corpus once
+    — the assignment pass is exactly ``similarity_ivf_assign``'s plan."""
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(
+            x.cast("double")
+            * (
+                F.lit(127.0)
+                / F.array_max(
+                    F.transform(
+                        F.col("embedding"), lambda y: F.abs(y.cast("double"))
+                    )
+                )
+            ),
+            0,
+        ).cast("double"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    v = (
+        e.select("vec_id", codes.alias("c"))
+        .withColumn("vv", dot(F.col("c"), F.col("c")))
+        .persist()
+    )
+    cents = v.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("c").alias("ce")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = None
+    for it in range(3):
+        scored = v.crossJoin(
+            F.broadcast(cents.withColumn("cc", dot(F.col("ce"), F.col("ce"))))
+        ).select(
+            "vec_id",
+            "c",
+            "cid",
+            (
+                F.col("vv")
+                + F.col("cc")
+                - 2 * dot(F.col("c"), F.col("ce"))
+            ).alias("d2"),
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if it < 2:
+            pos = assigned.select("cid", F.posexplode("c").alias("i", "x"))
+            newc = pos.groupBy("cid", "i").agg(
+                F.floor(F.sum("x") / F.count(F.lit(1))).cast("double").alias("cv")
+            )
+            cents = newc.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                    lambda s: s.getField("cv"),
+                ).alias("ce")
+            ).localCheckpoint()
+    return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+        F.sum("d2").cast("long").alias("inertia"),
+    )

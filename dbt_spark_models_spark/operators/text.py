@@ -278,3 +278,42 @@ def pipeline_llm_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 20000)
         .select("doc_id", "lang", "source", "n_tokens", "cum_tokens")
     )
+
+
+# GPT-2-style pre-tokenizer, simplified to the RE2/Java common subset (no
+# lookahead): contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, residual whitespace. Alternation order matters and both
+# engines use leftmost-first semantics, so counts agree exactly.
+_BPE_RE = "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9's ]+"
+
+
+@query(
+    "text_token_counts_bpe",
+    oracle=f"""
+SELECT doc_id, lang,
+       len(regexp_extract_all(lower(text), '{_BPE_RE.replace("'", "''")}'))
+           AS n_bpe_tokens,
+       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0)) AS n_ws_tokens,
+       CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_tokens
+FROM documents
+""",
+)
+def text_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways per document: a BPE-ish pre-tokenizer
+    regex (GPT-2 family pattern — contractions, space-glued word/number/
+    punctuation runs), plain word splitting, and the chars/4 estimate.
+    The regex stays in the RE2/Java common subset so Spark and DuckDB
+    tokenize identically. Row-local column math — no shuffle at any
+    scale; the regex runs once per document inside codegen, not per
+    token."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(f"regexp_extract_all(lower(text), \"{_BPE_RE}\", 0)")).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(_tokens()).alias("n_ws_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens"),
+    )
