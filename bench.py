@@ -59,6 +59,15 @@ HEADLINE = [
     "dedup_chunk_substring_overlap",
     "dedup_semantic_survivors",
     "text_quality_linear_score",
+    # round-3 additions: distributed exact NTILE, k-means IVF training,
+    # BPE tokenization. (The exact-Jaccard joins are deliberately NOT
+    # benched: the synthetic corpus is adversarially dense — 7M qualifying
+    # pairs from 5k docs at t=0.6 — so their runtime is output-volume-bound,
+    # not plan-bound; sf0.01 oracle gates cover their correctness.)
+    "window_exact_ntile_distributed",
+    "segment_rfm_quartiles",
+    "similarity_kmeans_ivf_train",
+    "text_token_counts_bpe",
 ]
 
 

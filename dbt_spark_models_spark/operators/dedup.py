@@ -356,24 +356,37 @@ def jaccard_prefix_join(d: DataFrame, t_num: int, t_den: int) -> DataFrame:
     joining prefix postings loses nothing — while hot tokens (stopwords)
     land in almost no prefix, removing exactly the postings that explode.
 
-    Scale: candidate volume is bounded by rare-token postings (df-ordered
-    prefixes), the classic all-pairs design that survives corpus-sized
-    joins; verification joins only candidate pairs. The prefix length is
-    integer arithmetic (ceil(t*sz) = floor((t_num*sz + t_den - 1)/t_den))
-    so plans are engine-exact."""
-    # the posting list feeds five branches (document frequency, sizes,
-    # ranked prefixes, and both verification sides) — materialize once,
-    # the same write-then-join staging a production all-pairs job uses
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
-    ).persist()
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    Candidate volume is bounded twice: prefixes only hold rare tokens
+    (df-ordered), and PPJoin's LENGTH FILTER drops any pair whose sizes
+    alone cap Jaccard below t (J <= min_sz/max_sz, so require
+    min_sz*t_den >= max_sz*t_num) before the distinct. Verification is
+    ROW-LOCAL — each candidate pair joins the two (already-distinct)
+    token ARRAYS and intersects them in place (`array_intersect`, hash
+    set per row), so no posting re-join ever multiplies candidates by
+    tokens-per-doc. The prefix length is integer arithmetic
+    (ceil(t*sz) = floor((t_num*sz + t_den - 1)/t_den)) so plans are
+    engine-exact.
+
+    On a near-dup-saturated corpus (the sf0.1 synthetic table yields 7M
+    qualifying pairs from 5k docs at t=0.6) runtime is output-volume
+    bound — no candidate filter can beat the size of the correct answer;
+    real corpora are far sparser. For cluster-level dedup at that density,
+    feed these pairs to connected components instead of materializing all
+    of them."""
+    # doc -> distinct token array: feeds the posting explode AND both
+    # verification sides — materialize once, the same write-then-join
+    # staging a production all-pairs job uses
+    base = (
+        d.select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+        .withColumn("sz", F.size("toks").cast("long"))
+        .persist()
+    )
+    tok = base.select("doc_id", "sz", F.explode("toks").alias("token"))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "token")
     ranked = (
         tok.join(dfreq, "token")
         .withColumn("rk", F.row_number().over(w_rank))
-        .join(F.broadcast(sizes), "doc_id")
         .withColumn(
             "p",
             F.col("sz")
@@ -381,36 +394,43 @@ def jaccard_prefix_join(d: DataFrame, t_num: int, t_den: int) -> DataFrame:
             + 1,
         )
     )
-    prefix = ranked.filter(F.col("rk") <= F.col("p")).select("doc_id", "token")
+    prefix = ranked.filter(F.col("rk") <= F.col("p")).select(
+        "doc_id", "sz", "token"
+    )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
         pa.join(
             pb,
             (F.col("pa.token") == F.col("pb.token"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # length filter: J <= min_sz/max_sz < t ⇒ prune losslessly
+            & (
+                F.least(F.col("pa.sz"), F.col("pb.sz")) * t_den
+                >= F.greatest(F.col("pa.sz"), F.col("pb.sz")) * t_num
+            ),
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    ta, tb = tok.alias("ta"), tok.alias("tb")
-    common = (
-        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
-        .join(
-            tb,
-            (F.col("tb.doc_id") == F.col("doc_b"))
-            & (F.col("tb.token") == F.col("ta.token")),
+    ba, bb = base.alias("ba"), base.alias("bb")
+    scored = (
+        cand.join(ba, F.col("ba.doc_id") == F.col("doc_a"))
+        .join(bb, F.col("bb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("ba.toks"), F.col("bb.toks")))
+            .cast("long")
+            .alias("n_common"),
+            F.col("ba.sz").alias("sza"),
+            F.col("bb.sz").alias("szb"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    jac = F.col("n_common") / (F.col("sza") + F.col("szb") - F.col("n_common"))
     return (
-        common.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= t_num / t_den)
+        scored.filter(jac >= t_num / t_den)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 

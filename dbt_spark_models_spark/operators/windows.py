@@ -330,8 +330,14 @@ def exact_ntile(
     )
     ranged = df.repartitionByRange(nparts, *order_cols)
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
-    local = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__lrn", F.row_number().over(w_local)
+    # persist: the ranked relation feeds both the output rows and the
+    # per-partition counts; without it each branch re-scans AND re-range-
+    # shuffles the input (the branches prune different columns, so AQE
+    # can't reuse the exchange)
+    local = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .persist()
     )
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # Prefix sums over the per-partition counts: one row per range
