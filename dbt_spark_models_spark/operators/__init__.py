@@ -54,8 +54,8 @@ def load_all() -> dict[str, Query]:
         relational2,
         relational3,
         joins,
-        windows,
         formats,
+        windows,
         scalars,
         nested,
         funnels,

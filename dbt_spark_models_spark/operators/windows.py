@@ -109,32 +109,6 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_rank_parts_by_price",
-    oracle="""
-SELECT p_partkey, p_type,
-       RANK()       OVER (PARTITION BY p_type ORDER BY p_retailprice DESC) AS price_rank,
-       DENSE_RANK() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC) AS price_dense_rank,
-       NTILE(4)     OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS price_quartile
-FROM part
-""",
-)
-def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANK / DENSE_RANK / NTILE within groups."""
-    p = load_tables(spark, sf_dir, ("part",))["part"]
-    w = Window.partitionBy("p_type").orderBy(F.col("p_retailprice").desc())
-    wt = Window.partitionBy("p_type").orderBy(
-        F.col("p_retailprice").desc(), F.col("p_partkey")
-    )
-    return p.select(
-        "p_partkey",
-        "p_type",
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
-        F.ntile(4).over(wt).alias("price_quartile"),
-    )
-
-
-@query(
     "window_first_last_event",
     oracle="""
 SELECT DISTINCT user_id,
@@ -411,6 +385,32 @@ def window_exact_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         F.min("o_orderkey").cast("long").alias("min_orderkey"),
+    )
+
+
+@query(
+    "window_rank_parts_by_price",
+    oracle="""
+SELECT p_partkey, p_type,
+       RANK()       OVER (PARTITION BY p_type ORDER BY p_retailprice DESC) AS price_rank,
+       DENSE_RANK() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC) AS price_dense_rank,
+       NTILE(4)     OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS price_quartile
+FROM part
+""",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE within groups."""
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    w = Window.partitionBy("p_type").orderBy(F.col("p_retailprice").desc())
+    wt = Window.partitionBy("p_type").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return p.select(
+        "p_partkey",
+        "p_type",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(wt).alias("price_quartile"),
     )
 
 
