@@ -202,3 +202,46 @@ def test_quantized_cosine_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, "similarity_quantized_cosine_topk", sf_dir)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin: every
+# build side is a tiny broadcast relation (a scalar threshold, a K-row
+# centroid/query/regex table, or an intentional dimension grid), where a
+# nested-loop against a handful of broadcast rows IS the right plan at any
+# corpus size. Everything else in the registry must stay equi-keyed.
+BNLJ_ALLOWED = {
+    "dynamic_regex_from_table",  # regex rules table (few rows, non-equi match)
+    "q22_global_sales_opportunity",  # global AVG scalar threshold
+    "q11_important_parts",  # global SUM scalar threshold
+    "join_cross_region_status_grid",  # intentional dim-grid cross join
+    "funnel_signup_view_purchase",  # step-definition rows vs event stream
+    "similarity_bruteforce_topk",  # broadcast query set, non-equi (!=)
+    "similarity_ivf_assign",  # K-row centroid broadcast
+    "similarity_quantized_cosine_topk",  # broadcast query set
+    "similarity_ivf_topk",  # K-row centroid broadcast
+    "similarity_kmeans_ivf_train",  # K-row centroid broadcast per round
+    "dedup_semantic_survivors",  # centroid-cell broadcast
+    "text_tfidf_top_terms",  # 1-row corpus doc-count scalar
+    "text_unigram_logprob_score",  # 1-row corpus token-total scalar
+}
+
+
+def test_registry_wide_no_cartesian_no_unexpected_bnlj(spark):
+    """EVERY registry query: no CartesianProduct ever; BNLJ only where a
+    tiny broadcast build side makes nested-loop the correct plan
+    (allow-listed above with rationale). Catches any future operator that
+    silently plans an all-pairs join."""
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, q in REGISTRY.items():
+        df = q.fn(spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
