@@ -108,6 +108,34 @@ def spread(df: DataFrame) -> DataFrame:
     of splits and this becomes a cheap no-op-ish rebalance; AQE coalesces
     any excess. Never changes results — only physical layout."""
     sc = df.sparkSession.sparkContext
+    # Estimate the scan's partition count from file sizes (Spark splits
+    # files at maxPartitionBytes): ~25ms vs ~600ms for materializing the
+    # plan's RDD just to ask its partition count — that probe dominated
+    # per-query overhead in the oracle harness. Fall back to the RDD probe
+    # for non-file sources; unreadable (non-local) files mean a real
+    # cluster fs, where inputs arrive pre-split anyway.
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        files = []
+    if files:
+        from urllib.parse import unquote, urlparse
+
+        conf = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+        max_bytes = int("".join(ch for ch in conf if ch.isdigit()) or "134217728")
+        est = 0
+        for f in files:
+            path = unquote(urlparse(f).path) if "://" in f else f
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                return df
+            est += max(1, -(-size // max_bytes))
+        if est < sc.defaultParallelism:
+            return df.repartition(sc.defaultParallelism)
+        return df
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
