@@ -345,3 +345,84 @@ def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "pipeline_fuzzy_dedup_survivors",
+    oracle="""
+WITH RECURSIVE tok AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS token
+    FROM documents
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+), edge AS (
+    SELECT doc_a, doc_b FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.9
+), und AS (
+    SELECT doc_a AS a, doc_b AS b FROM edge
+    UNION
+    SELECT doc_b, doc_a FROM edge
+), labels(node, lbl) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM und)
+    UNION
+    SELECT u.b, l.lbl FROM labels l JOIN und u ON u.a = l.node
+), comp AS (
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM labels GROUP BY node
+), final AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       (doc_id = cluster_id) AS is_survivor,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM final
+""",
+)
+def pipeline_fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship fuzzy-dedup composition, WHOLE corpus, end to end: exact
+    token-Jaccard near-dup pairs at t=0.9 via the lossless prefix-filter
+    join (``dedup.jaccard_prefix_join``) → connected components via
+    large-star/small-star (``two_star_components``, O(log² n) rounds on
+    any graph shape) → one canonical survivor per cluster (the component
+    minimum), singletons kept. This is the standard pretraining-corpus
+    dedup recipe as ONE lazy-plus-fixpoint pipeline; the oracle recomputes
+    everything from the UNFILTERED pair ground truth with a recursive CTE,
+    so the driver checks the composition, not a replica.
+
+    Scale: pair generation is prefix-filter bounded, CC rounds are keyed
+    aggs/joins with localCheckpoint lineage cuts, survivor selection is a
+    broadcast-size join back to the corpus — no stage is all-pairs or
+    single-partition."""
+    from dbt_spark_models_spark.operators.dedup import jaccard_prefix_join
+    from dbt_spark_models_spark.sources.testdata import spread
+
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    # materialize the pair join once: the star rounds reference their input
+    # several times per round (symmetrize union + neighborhood join), which
+    # would re-execute the whole prefix-filter join subtree each time
+    edges = jaccard_prefix_join(d, 9, 10).select("doc_a", "doc_b").localCheckpoint()
+    und = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    comp = two_star_components(und)
+    final = (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("cluster_id", "cc"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cc"), F.col("doc_id")))
+        .drop("cc")
+    )
+    w = Window.partitionBy("cluster_id")
+    return final.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    )
