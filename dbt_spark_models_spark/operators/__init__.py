@@ -64,6 +64,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         reshape,
         grouped_pandas,
+        skew,
         quality,
         text,
         aggregates,

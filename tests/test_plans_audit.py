@@ -245,3 +245,11 @@ def test_registry_wide_no_cartesian_no_unexpected_bnlj(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_salted_join_is_shuffled_hash(spark, sf_dir):
+    """The salted replicated join must demonstrate the shuffled form —
+    broadcast would bypass the very skew pattern under test."""
+    plan = _plan(spark, "skew_salted_replicated_join", sf_dir)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
