@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.operators import REGISTRY, query
 from dbt_spark_models_spark.sources.testdata import load_tables, spread
 
 _DIM = 64
@@ -439,19 +439,10 @@ def similarity_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-def _ivf_assigned(e: DataFrame, sub_bits: int = 0) -> DataFrame:
-    """IVF coarse quantizer shared by train/query/test paths: per-label
-    centroids → each vector assigned to its nearest cell by cosine
-    (rounded to 6dp + label tie-break for determinism). Returns
-    (vec_id, embedding, cell).
-
-    ``sub_bits`` is the cell-count SIZING KNOB (see SCALE.md): per-label
-    cells alone cap out at k≈n_labels, far too coarse at 100 TB. Each
-    extra sub-bit splits every cell in two via the shared sign-LSH planes
-    (an inverted-multi-index-style refinement), so cell count is
-    n_labels·2^sub_bits and expected cell size N/(n_labels·2^sub_bits) —
-    pick sub_bits so a cell fits one executor's search budget. sub_bits=0
-    keeps oracle parity for the registry queries."""
+def _ivf_cell_scored(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, c_label, c_cosine) — every vector scored
+    against every per-label centroid (tiny broadcast); the shared front
+    half of IVF assignment and multi-probe cell selection."""
     pos = (
         e.select("label", F.posexplode("embedding").alias("i", "x"))
         .groupBy("label", "i")
@@ -466,7 +457,7 @@ def _ivf_assigned(e: DataFrame, sub_bits: int = 0) -> DataFrame:
     c_norm = F.sqrt(
         F.aggregate(F.col("c_emb"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    cell_scored = (
+    return (
         e.withColumn("e_norm", _norm_spark("embedding"))
         .crossJoin(F.broadcast(centroids.withColumn("c_norm", c_norm)))
         .select(
@@ -488,6 +479,22 @@ def _ivf_assigned(e: DataFrame, sub_bits: int = 0) -> DataFrame:
             ).alias("c_cosine"),
         )
     )
+
+
+def _ivf_assigned(e: DataFrame, sub_bits: int = 0) -> DataFrame:
+    """IVF coarse quantizer shared by train/query/test paths: per-label
+    centroids → each vector assigned to its nearest cell by cosine
+    (rounded to 6dp + label tie-break for determinism). Returns
+    (vec_id, embedding, cell).
+
+    ``sub_bits`` is the cell-count SIZING KNOB (see SCALE.md): per-label
+    cells alone cap out at k≈n_labels, far too coarse at 100 TB. Each
+    extra sub-bit splits every cell in two via the shared sign-LSH planes
+    (an inverted-multi-index-style refinement), so cell count is
+    n_labels·2^sub_bits and expected cell size N/(n_labels·2^sub_bits) —
+    pick sub_bits so a cell fits one executor's search budget. sub_bits=0
+    keeps oracle parity for the registry queries."""
+    cell_scored = _ivf_cell_scored(e)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("c_cosine").desc(), F.col("c_label")
     )
@@ -768,3 +775,207 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").cast("long").alias("min_vec_id"),
         F.sum("d2").cast("long").alias("inertia"),
     )
+
+
+
+
+_IVF_CELLS_DUCK = """
+pos AS (
+    SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c
+    FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i
+), centroids AS (
+    SELECT label AS c_label, LIST(c ORDER BY i) AS c_emb FROM pos GROUP BY label
+), cell_scored AS (
+    SELECT e.vec_id, e.embedding, c.c_label,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], c.c_emb)
+                 / (SQRT(list_sum(list_transform(e.embedding,
+                                                 x -> CAST(x AS DOUBLE) * x)))
+                    * SQRT(list_sum(list_transform(c.c_emb, x -> x * x)))), 6)
+               AS c_cosine
+    FROM embeddings e CROSS JOIN centroids c
+), assigned AS (
+    SELECT vec_id, embedding, c_label AS cell
+    FROM (
+        SELECT vec_id, embedding, c_label, c_cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY c_cosine DESC, c_label) AS rn
+        FROM cell_scored
+    ) WHERE rn = 1
+)"""
+
+
+@query(
+    "similarity_ivf_topk_multiprobe",
+    oracle=f"""
+WITH {_IVF_CELLS_DUCK}, probes AS (
+    SELECT q_id, cell FROM (
+        SELECT vec_id AS q_id, c_label AS cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY c_cosine DESC, c_label) AS prn
+        FROM cell_scored WHERE vec_id < 5
+    ) WHERE prn <= 3
+), q AS (
+    SELECT vec_id AS q_id, embedding AS q_emb,
+           SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+               AS q_norm
+    FROM embeddings WHERE vec_id < 5
+), pair_scored AS (
+    SELECT q.q_id, a.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.q_emb::DOUBLE[], a.embedding::DOUBLE[])
+                 / (q.q_norm *
+                    SQRT(list_sum(list_transform(a.embedding,
+                                                 x -> CAST(x AS DOUBLE) * x)))), 4)
+               AS cosine
+    FROM q
+    JOIN probes p ON p.q_id = q.q_id
+    JOIN assigned a ON a.cell = p.cell AND a.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, cosine, rnk
+FROM (
+    SELECT q_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM pair_scored
+) WHERE rnk <= 3
+""",
+)
+def similarity_ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-k (nprobe=3): each query searches its THREE
+    nearest centroid cells instead of one — the standard recall lever when
+    the coarse quantizer splits a cosine neighborhood across cell
+    boundaries (see ``similarity_ivf_recall`` for the measured curve).
+
+    Scale: probe selection is the same tiny centroid broadcast; the
+    in-cell search reads nprobe partitions instead of one — cost scales
+    linearly in nprobe, still ~nprobe/n_cells of a full scan. No candidate
+    can repeat (a corpus vector lives in exactly one cell), so the union
+    of probe scans needs no dedup."""
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    cell_scored = _ivf_cell_scored(e)
+    assigned = _ivf_assigned(e).persist()
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cosine").desc(), F.col("c_label")
+    )
+    probes = (
+        cell_scored.filter(F.col("vec_id") < 5)
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= 3)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("c_label").alias("probe_cell")
+        )
+    )
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .withColumn("q_norm", _norm_spark("q_emb"))
+        .join(probes, "q_id")
+    )
+    pair_scored = (
+        F.broadcast(q)
+        .join(
+            assigned.alias("a"),
+            (F.col("a.cell") == F.col("probe_cell"))
+            & (F.col("a.vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("a.vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q_emb"),
+                        F.col("a.embedding"),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("q_norm") * _norm_spark("a.embedding")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w_topk = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pair_scored.withColumn("rnk", F.row_number().over(w_topk))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+@query(
+    "similarity_ivf_recall",
+    oracle=None,  # set below: composes the two gated oracles verbatim
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 CURVE of the IVF cell-pruned top-k against the exact
+    brute-force top-k, per query, at nprobe=1 and nprobe=3 — the
+    accuracy-vs-work trade of the approximate path, measured by the engine
+    itself (the standard ANN evaluation loop; more probes -> higher recall
+    at proportionally more scan). All inputs are themselves hash-gated
+    queries; this composes their results, and its oracle composes their
+    oracle SQL verbatim, so the driver checks the measurement too.
+
+    Scale: the two top-k results are k-rows-per-query tables — the join is
+    query-set-sized, trivially broadcast; the expensive parts are the
+    underlying searches, already audited."""
+    bf = similarity_bruteforce_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    iv1 = similarity_ivf_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    iv3 = similarity_ivf_topk_multiprobe(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    )
+
+    def hits(iv, out):
+        return (
+            bf.join(iv, ["q_id", "neighbor_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    return (
+        bf.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits(iv1, "h1"), "q_id", "left")
+        .join(hits(iv3, "h3"), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("h1"), F.lit(0)).cast("long").alias("hits_nprobe1"),
+            F.round(F.coalesce(F.col("h1"), F.lit(0)) / F.col("k"), 4).alias(
+                "recall_nprobe1"
+            ),
+            F.coalesce(F.col("h3"), F.lit(0)).cast("long").alias("hits_nprobe3"),
+            F.round(F.coalesce(F.col("h3"), F.lit(0)) / F.col("k"), 4).alias(
+                "recall_nprobe3"
+            ),
+        )
+    )
+
+
+# oracle: nest the two component oracles as table subqueries (DuckDB
+# supports WITH inside a parenthesized subquery), join, count overlaps
+REGISTRY["similarity_ivf_recall"].oracle = f"""
+WITH bf AS ({REGISTRY["similarity_bruteforce_topk"].oracle}),
+ivf1 AS ({REGISTRY["similarity_ivf_topk"].oracle}),
+ivf3 AS ({REGISTRY["similarity_ivf_topk_multiprobe"].oracle}),
+h1 AS (
+    SELECT bf.q_id, COUNT(*) AS n
+    FROM bf JOIN ivf1 ON bf.q_id = ivf1.q_id AND bf.neighbor_id = ivf1.neighbor_id
+    GROUP BY bf.q_id
+),
+h3 AS (
+    SELECT bf.q_id, COUNT(*) AS n
+    FROM bf JOIN ivf3 ON bf.q_id = ivf3.q_id AND bf.neighbor_id = ivf3.neighbor_id
+    GROUP BY bf.q_id
+)
+SELECT k.q_id,
+       COALESCE(h1.n, 0) AS hits_nprobe1,
+       ROUND(COALESCE(h1.n, 0) / k.k, 4) AS recall_nprobe1,
+       COALESCE(h3.n, 0) AS hits_nprobe3,
+       ROUND(COALESCE(h3.n, 0) / k.k, 4) AS recall_nprobe3
+FROM (SELECT q_id, COUNT(*) AS k FROM bf GROUP BY q_id) k
+LEFT JOIN h1 ON h1.q_id = k.q_id
+LEFT JOIN h3 ON h3.q_id = k.q_id
+"""
