@@ -219,6 +219,8 @@ BNLJ_ALLOWED = {
     "similarity_ivf_assign",  # K-row centroid broadcast
     "similarity_quantized_cosine_topk",  # broadcast query set
     "similarity_ivf_topk",  # K-row centroid broadcast
+    "similarity_ivf_topk_multiprobe",  # K-row centroid broadcast
+    "similarity_ivf_recall",  # composes the two above
     "similarity_kmeans_ivf_train",  # K-row centroid broadcast per round
     "dedup_semantic_survivors",  # centroid-cell broadcast
     "text_tfidf_top_terms",  # 1-row corpus doc-count scalar
