@@ -403,3 +403,47 @@ def pipeline_pretraining_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_doc_id"),
         )
     )
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle="""
+WITH h AS (
+    SELECT doc_id, lang,
+           md5('1:' || CAST(doc_id AS VARCHAR)) AS hh
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(ascii(substr(hh, 1, 1)) % 8 AS BIGINT) AS loader_shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY ascii(substr(hh, 1, 1)) % 8
+           ORDER BY hh, doc_id) AS BIGINT) AS shard_seq
+FROM h
+""",
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffling for training data loaders: each doc
+    hashes (epoch seed || doc_id) to one of 8 loader shards and a
+    pseudo-random position within its shard — the standard trick for a
+    reproducible global shuffle without a global sort: shard assignment is
+    row-local, ordering is one window per shard (hex md5 first chars are
+    uniform over 16 values, so %8 is exactly uniform). A new epoch seed
+    re-permutes everything deterministically.
+
+    Scale: no global order anywhere; at 100 TB write partitioned by
+    ``loader_shard`` and each trainer rank reads its shard sorted by
+    ``shard_seq`` — the same layout this query's plan produces."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    h = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit("1:"), F.col("doc_id").cast("string"))).alias("hh"),
+    )
+    shard = (F.ascii(F.substring("hh", 1, 1)) % 8).cast("long")
+    w = Window.partitionBy(shard).orderBy("hh", "doc_id")
+    return h.select(
+        "doc_id",
+        "lang",
+        shard.alias("loader_shard"),
+        F.row_number().over(w).cast("long").alias("shard_seq"),
+    )
