@@ -248,3 +248,34 @@ def test_jaccard_prefix_join_lossless(spark, docs, t):
             if inter * t_den >= t_num * union:
                 want.append((a, b, round(inter / union, 4)))
     assert got == _norm(want)
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=40
+    ),
+    k=st.sampled_from([2, 3, 4, 7]),
+)
+def test_exact_ntile_matches_sql_ntile(spark, vals, k):
+    """Distributed exact_ntile must equal SQL NTILE for every n/k shape:
+    n < k, n % k != 0, heavy duplicate order keys (tie-broken by id)."""
+    from dbt_spark_models_spark.operators.windows import exact_ntile
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    sdf = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["b"]
+        for r in exact_ntile(sdf, ["v", "id"], k, "b", num_partitions=5).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT id, NTILE({k}) OVER (ORDER BY v, id) FROM t"
+        ).fetchall()
+    }
+    assert got == want
