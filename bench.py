@@ -67,6 +67,7 @@ HEADLINE = [
     "window_exact_ntile_distributed",
     "segment_rfm_quartiles",
     "similarity_kmeans_ivf_train",
+    "similarity_pq_adc_topk",
     "text_token_counts_bpe",
 ]
 

@@ -979,3 +979,202 @@ FROM (SELECT q_id, COUNT(*) AS k FROM bf GROUP BY q_id) k
 LEFT JOIN h1 ON h1.q_id = k.q_id
 LEFT JOIN h3 ON h3.q_id = k.q_id
 """
+
+
+_PQ_S = 8  # subspaces (64 dims -> 8 x 8)
+_PQ_D = 8  # dims per subspace
+_PQ_K = 16  # centroids per subspace codebook; seeds = 16 smallest vec_ids
+_PQ_D2_DUCK = (
+    "list_dot_product(v.sub, v.sub) + list_dot_product(t.ce, t.ce)"
+    " - 2 * list_dot_product(v.sub, t.ce)"
+)
+
+
+def _pq_assign_duck(cent: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT vec_id, s, cid, d2 FROM (
+        SELECT v.vec_id, v.s, t.cid, {_PQ_D2_DUCK} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                                  ORDER BY {_PQ_D2_DUCK}, t.cid) AS rn
+        FROM sub v JOIN {cent} t ON t.s = v.s
+    ) WHERE rn = 1
+)"""
+
+
+def _pq_update_duck(assign: str, out: str) -> str:
+    return f"""{out}_pos AS (
+    SELECT a.s, a.cid, i, FLOOR(SUM(v.sub[i]) / COUNT(*)) AS cv
+    FROM {assign} a JOIN sub v ON v.vec_id = a.vec_id AND v.s = a.s,
+         LATERAL (SELECT unnest(generate_series(1, {_PQ_D})) AS i)
+    GROUP BY a.s, a.cid, i
+), {out} AS (
+    SELECT s, cid, LIST(cv ORDER BY i) AS ce FROM {out}_pos GROUP BY s, cid
+)"""
+
+
+@query(
+    "similarity_pq_adc_topk",
+    oracle=f"""
+WITH codes AS ({_KM_CODES_DUCK}),
+sub AS (
+    SELECT vec_id, s.s AS s,
+           list_slice(c, s.s * {_PQ_D} + 1, s.s * {_PQ_D} + {_PQ_D}) AS sub
+    FROM codes, LATERAL (SELECT unnest(generate_series(0, {_PQ_S - 1})) AS s) s
+),
+cent0 AS (
+    SELECT s, vec_id AS cid, sub AS ce FROM sub WHERE vec_id < {_PQ_K}
+),
+{_pq_assign_duck("cent0", "a1")},
+{_pq_update_duck("a1", "cent1")},
+{_pq_assign_duck("cent1", "a2")},
+qd AS (
+    SELECT v.vec_id AS q_id, t.s, t.cid, {_PQ_D2_DUCK} AS d2
+    FROM sub v JOIN cent1 t ON t.s = v.s
+    WHERE v.vec_id < 5
+),
+adc AS (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+           CAST(SUM(q.d2) AS BIGINT) AS adc_dist
+    FROM a2 e JOIN qd q ON q.s = e.s AND q.cid = e.cid
+    WHERE e.vec_id <> q.q_id
+    GROUP BY q.q_id, e.vec_id
+    HAVING COUNT(*) = {_PQ_S}
+)
+SELECT q_id, neighbor_id, adc_dist, rnk
+FROM (
+    SELECT q_id, neighbor_id, adc_dist,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY adc_dist, neighbor_id) AS rnk
+    FROM adc
+) WHERE rnk <= 3
+""",
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end to end — the memory-bound ANN scale path
+    (Jegou et al.): int8 codes split into 8 subspaces of 8 dims; per
+    subspace, a 16-centroid codebook is Lloyd-trained (2 assignment
+    rounds, 1 integer-floor update, seeds = the 16 smallest vec_ids);
+    every vector encodes to 8 codebook ids (8 BYTES per vector instead of
+    256 — a 32x scan-bandwidth cut); queries score candidates by
+    asymmetric distance (ADC): per-query distance table to all 128
+    centroids, then each candidate's distance is a SUM of 8 table
+    lookups. Every arithmetic step (squared-L2 expansion over integer
+    codes, floor-divided centroid updates, integer ADC sums) is exact in
+    float64, so train + encode + search all hash-match the unrolled SQL
+    oracle.
+
+    Scale: codebooks are 128 tiny rows (broadcast); encoding is one pass;
+    the ADC scan reads ONLY the 8-byte code column joined to a broadcast
+    distance table — the plan shape that makes 1e11-vector search fit in
+    RAM. The HAVING/count guard keeps semantics identical when a codebook
+    cell empties (both engines drop it)."""
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(
+            x.cast("double")
+            * (
+                F.lit(127.0)
+                / F.array_max(
+                    F.transform(
+                        F.col("embedding"), lambda y: F.abs(y.cast("double"))
+                    )
+                )
+            ),
+            0,
+        ).cast("double"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    c8 = e.select("vec_id", codes.alias("c"))
+    sub = (
+        c8.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_S - 1))).alias("s"),
+            "c",
+        )
+        .select(
+            "vec_id",
+            "s",
+            F.slice(F.col("c"), F.col("s") * _PQ_D + 1, _PQ_D).alias("sub"),
+        )
+        .withColumn("vv", dot(F.col("sub"), F.col("sub")))
+        .persist()
+    )
+    cents = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "s", F.col("vec_id").cast("long").alias("cid"), F.col("sub").alias("ce")
+    )
+    w_assign = Window.partitionBy("vec_id", "s").orderBy("d2", "cid")
+    assigned = None
+    for it in range(2):
+        scored = sub.join(
+            F.broadcast(cents.withColumn("cc", dot(F.col("ce"), F.col("ce")))),
+            "s",
+        ).select(
+            "vec_id",
+            "s",
+            "sub",
+            "cid",
+            (
+                F.col("vv") + F.col("cc") - 2 * dot(F.col("sub"), F.col("ce"))
+            ).alias("d2"),
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if it < 1:
+            pos = assigned.select("s", "cid", F.posexplode("sub").alias("i", "x"))
+            newc = pos.groupBy("s", "cid", "i").agg(
+                F.floor(F.sum("x") / F.count(F.lit(1))).cast("double").alias("cv")
+            )
+            cents = (
+                newc.groupBy("s", "cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                        lambda st: st.getField("cv"),
+                    ).alias("ce")
+                )
+                .localCheckpoint()
+            )
+    qd = (
+        sub.filter(F.col("vec_id") < 5)
+        .join(
+            F.broadcast(cents.withColumn("cc", dot(F.col("ce"), F.col("ce")))),
+            "s",
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "s",
+            "cid",
+            (
+                F.col("vv") + F.col("cc") - 2 * dot(F.col("sub"), F.col("ce"))
+            ).alias("qd2"),
+        )
+    )
+    adc = (
+        assigned.select("vec_id", "s", "cid")
+        .join(F.broadcast(qd), ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum("qd2").cast("long").alias("adc_dist"),
+            F.count(F.lit(1)).alias("n_sub"),
+        )
+        .filter(F.col("n_sub") == _PQ_S)
+        .drop("n_sub")
+    )
+    w_topk = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w_topk))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "neighbor_id", "adc_dist", "rnk")
+    )
