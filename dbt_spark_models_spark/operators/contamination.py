@@ -447,3 +447,66 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("loader_shard"),
         F.row_number().over(w).cast("long").alias("shard_seq"),
     )
+
+
+@query(
+    "text_bigram_logprob_score",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKENIZE_SQL} AS tokens FROM documents
+), bg AS (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, len(tokens) - 1),
+                  i -> tokens[i] || ' ' || tokens[i+1])) AS bigram,
+           UNNEST(list_transform(generate_series(1, len(tokens) - 1),
+                  i -> tokens[i])) AS w1
+    FROM toks WHERE len(tokens) >= 2
+), bcnt AS (
+    SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram
+), ucnt AS (
+    SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(-LN(b.cb / u.cu)), 4) AS avg_neg_logprob,
+       ROUND(MAX(-LN(b.cb / u.cu)), 4) AS max_neg_logprob
+FROM bg g JOIN bcnt b ON g.bigram = b.bigram JOIN ucnt u ON g.w1 = u.w1
+GROUP BY g.doc_id
+""",
+)
+def text_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: average per-transition surprisal
+    -ln P(w2|w1) under the corpus's own bigram MLE (one order deeper than
+    ``text_unigram_logprob_score`` — catches scrambled word salad that
+    unigram statistics cannot, since it scores transitions, not words).
+
+    Scale: bigram and unigram-context vocabularies are bounded (Heaps'
+    law); both count passes are map-side-combined keyed aggs and the
+    re-joins broadcast the vocab tables — the same 100 TB plan shape as
+    the unigram scorer."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    toks = d.select("doc_id", _tokens().alias("tokens")).filter(
+        F.size("tokens") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 1),"
+                " i -> struct(concat(element_at(tokens, i), ' ',"
+                " element_at(tokens, i + 1)) AS bigram,"
+                " element_at(tokens, i) AS w1))"
+            )
+        ).alias("i", "p"),
+    ).select("doc_id", F.col("p.bigram").alias("bigram"), F.col("p.w1").alias("w1"))
+    bcnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    ucnt = bg.groupBy(F.col("w1").alias("u1")).agg(F.count(F.lit(1)).alias("cu"))
+    neg_lp = -F.log(F.col("cb") / F.col("cu"))
+    scored = bg.join(F.broadcast(bcnt), "bigram").join(
+        F.broadcast(ucnt), F.col("w1") == F.col("u1")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(neg_lp), 4).alias("avg_neg_logprob"),
+        F.round(F.max(neg_lp), 4).alias("max_neg_logprob"),
+    )

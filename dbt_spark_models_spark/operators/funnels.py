@@ -357,3 +357,67 @@ def session_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+@query(
+    "anomaly_robust_mad_daily_counts",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+    FROM events GROUP BY day, event_type
+), med AS (
+    SELECT event_type, MEDIAN(n) AS med_n FROM daily GROUP BY event_type
+), mad AS (
+    SELECT d.event_type, MEDIAN(ABS(d.n - m.med_n)) AS mad_n
+    FROM daily d JOIN med m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+)
+SELECT d.day, d.event_type, d.n,
+       CASE WHEN mad.mad_n = 0 THEN NULL
+            ELSE ROUND(0.6745 * (d.n - m.med_n) / mad.mad_n, 4) END
+           AS robust_z,
+       CASE WHEN mad.mad_n <> 0
+                 AND ABS(0.6745 * (d.n - m.med_n) / mad.mad_n) > 3.5
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM daily d
+JOIN med m ON d.event_type = m.event_type
+JOIN mad ON d.event_type = mad.event_type
+""",
+)
+def anomaly_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly flags — the outlier-resistant variant
+    of the z-score detector: a single wild day cannot shift the median or
+    the MAD, so real spikes stand out where mean/stddev would be dragged
+    toward them (the Iglewicz-Hoaglin modified z-score, |z| > 3.5).
+
+    Scale: two keyed aggregates over the (days x event_types)-sized
+    rollup plus broadcast re-joins — the rollup, not the fact table, pays
+    the exact medians."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy(F.col("event_type").alias("et1")).agg(
+        F.expr("percentile(n, 0.5)").alias("med_n")
+    )
+    with_med = daily.join(
+        F.broadcast(med), F.col("event_type") == F.col("et1")
+    )
+    mad = with_med.groupBy(F.col("event_type").alias("et2")).agg(
+        F.expr("percentile(abs(n - med_n), 0.5)").alias("mad_n")
+    )
+    z = 0.6745 * (F.col("n") - F.col("med_n")) / F.col("mad_n")
+    return (
+        with_med.join(F.broadcast(mad), F.col("event_type") == F.col("et2"))
+        .select(
+            "day",
+            "event_type",
+            "n",
+            F.when(F.col("mad_n") == 0, F.lit(None)).otherwise(
+                F.round(z, 4)
+            ).alias("robust_z"),
+            F.when((F.col("mad_n") != 0) & (F.abs(z) > 3.5), 1)
+            .otherwise(0)
+            .alias("is_anomaly"),
+        )
+    )
