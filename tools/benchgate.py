@@ -44,14 +44,19 @@ def load_bench_json(text: str) -> dict:
     raise ValueError("no bench JSON found in input")
 
 
-def compare(current: dict, baseline: dict) -> list[tuple[str, float, float]]:
+def compare(
+    current: dict,
+    baseline: dict,
+    ratio: float = RATIO,
+    min_abs: float = MIN_ABS,
+) -> list[tuple[str, float, float]]:
     """[(query, baseline_sec, current_sec)] for every regressed query."""
     regressions = []
     for name, base_t in baseline.get("queries", {}).items():
         cur_t = current.get("queries", {}).get(name)
         if cur_t is None:
             continue  # query renamed/removed; coverage is the judge's job
-        if cur_t > base_t * RATIO and cur_t - base_t > MIN_ABS:
+        if cur_t > base_t * ratio and cur_t - base_t > min_abs:
             regressions.append((name, base_t, cur_t))
     return regressions
 
