@@ -64,3 +64,59 @@ def grouped_pandas_znormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.select("event_id", "user_id", F.round("zvalue", 6).alias("zvalue"))
+
+
+@query(
+    "pandas_udf_nfc_normalize",
+    oracle="""
+WITH mixed AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 2 = 1
+                        THEN ' caf' || 'e' || chr(769)   -- decomposed e + U+0301
+                        ELSE ' caf' || chr(233) END      -- precomposed U+00E9
+               AS raw
+    FROM documents
+)
+SELECT doc_id,
+       md5(nfc_normalize(raw)) AS norm_md5,
+       length(raw) AS raw_len,
+       length(nfc_normalize(raw)) AS norm_len,
+       nfc_normalize(raw) <> raw AS changed
+FROM mixed
+""",
+)
+def pandas_udf_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization through a VECTORIZED scalar Pandas UDF —
+    the sanctioned Python escape hatch for logic Spark has no builtin for
+    (JVM SQL exposes no Unicode normalizer), hash-gated against DuckDB's
+    ``nfc_normalize`` so the Arrow round-trip and Python logic get the
+    same hard driver signal as JVM operators. Half the docs get a
+    DECOMPOSED suffix (e + combining acute), half the precomposed é —
+    NFC collapses both to identical strings, so the oracle discriminates
+    real normalization from a pass-through.
+
+    Scale: Arrow-batched columnar transfer (not per-row pickling);
+    row-local, so the UDF stage fuses into the scan with no shuffle."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    raw = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit(" café")).otherwise(
+            F.lit(" café")
+        ),
+    )
+    mixed = d.select("doc_id", raw.alias("raw"))
+    return mixed.select(
+        "doc_id",
+        F.md5(nfc(F.col("raw"))).alias("norm_md5"),
+        F.length("raw").cast("long").alias("raw_len"),
+        F.length(nfc(F.col("raw"))).cast("long").alias("norm_len"),
+        (nfc(F.col("raw")) != F.col("raw")).alias("changed"),
+    )
