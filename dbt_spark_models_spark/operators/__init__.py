@@ -65,6 +65,7 @@ def load_all() -> dict[str, Query]:
         reshape,
         grouped_pandas,
         skew,
+        pysource_gate,
         quality,
         text,
         aggregates,
