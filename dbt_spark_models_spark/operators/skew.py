@@ -137,3 +137,69 @@ def skew_salted_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_value"
         ),
     )
+
+
+def _morton_spark(xcol: str, ycol: str, bits: int = 16):
+    """Interleave the low ``bits`` of two ints: x in even positions, y in
+    odd — pure integer expression, identical in any engine."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((({xcol}) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((({ycol}) >> {b}) & 1) << {2 * b + 1})")
+    return F.expr(" + ".join(terms))
+
+
+def _morton_duck(xcol: str, ycol: str, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((({xcol}) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((({ycol}) >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_morton_buckets",
+    oracle=f"""
+WITH k AS (
+    SELECT user_id,
+           CAST(user_id % 256 AS BIGINT) AS xk,
+           CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 256 AS BIGINT) AS yk
+    FROM events
+), m AS (
+    SELECT user_id, xk, yk, {_morton_duck("xk", "yk", 8)} AS morton FROM k
+)
+SELECT CAST(morton >> 8 AS BIGINT) AS zbucket,
+       COUNT(*) AS n_rows,
+       CAST(MIN(morton) AS BIGINT) AS min_morton,
+       CAST(MAX(morton) AS BIGINT) AS max_morton,
+       COUNT(DISTINCT user_id) AS n_users
+FROM m GROUP BY zbucket
+""",
+)
+def layout_zorder_morton_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys for multi-column data skipping: interleave
+    the bits of (user_id, day) into a Morton code, then range-bucket on
+    it — rows close in BOTH dimensions land in the same file, so min/max
+    footer stats prune scans filtered on either column (the open-source
+    equivalent of Delta OPTIMIZE ZORDER, done at write time with
+    ``repartitionByRange(morton)``). The gate verifies the interleave
+    arithmetic and the bucket histogram exactly; the bit-twiddling is the
+    same integer expression in both engines.
+
+    Scale: the morton key is row-local math fused into the scan; the only
+    exchange is the range partition you were going to do anyway to lay
+    out files."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = ev.select(
+        "user_id",
+        (F.col("user_id") % 256).cast("long").alias("xk"),
+        (F.unix_date(F.col("ts").cast("date")) % 256).cast("long").alias("yk"),
+    )
+    m = k.withColumn("morton", _morton_spark("xk", "yk", 8))
+    zbucket = F.shiftright(F.col("morton"), 8).cast("long")
+    return m.groupBy(zbucket.alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("morton").cast("long").alias("min_morton"),
+        F.max("morton").cast("long").alias("max_morton"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
