@@ -14,11 +14,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.slow
-def test_bench_no_regressions_vs_round_baseline():
-    sys.path.insert(0, REPO)
-    from tools.benchgate import BASELINE_PATH, compare, load_bench_json
-
+def _run_bench():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -27,11 +23,26 @@ def test_bench_no_regressions_vs_round_baseline():
         timeout=900,
         check=True,
     )
-    current = load_bench_json(out.stdout)
+    return out.stdout
+
+
+@pytest.mark.slow
+def test_bench_no_regressions_vs_round_baseline():
+    sys.path.insert(0, REPO)
+    from tools.benchgate import BASELINE_PATH, compare, load_bench_json
+
     with open(BASELINE_PATH) as f:
         baseline = load_bench_json(f.read())
     # looser thresholds than the standalone benchgate CLI (1.5x/0.3s):
     # inside the suite the bench subprocess shares the machine with the
     # suite's own live Spark JVM, which adds scheduler-contention jitter
-    regs = compare(current, baseline, ratio=2.0, min_abs=0.75)
-    assert not regs, f"bench regressions vs BENCH_r02: {regs}"
+    regs = compare(load_bench_json(_run_bench()), baseline, ratio=2.0, min_abs=0.75)
+    if regs:
+        # one retry: a regression must REPRODUCE to fail the gate, else it
+        # was a transient scheduling blip on the shared box
+        regs2 = compare(
+            load_bench_json(_run_bench()), baseline, ratio=2.0, min_abs=0.75
+        )
+        flagged2 = {q for q, _, _ in regs2}
+        regs = [r for r in regs if r[0] in flagged2]
+    assert not regs, f"reproduced bench regressions vs BENCH_r02: {regs}"
