@@ -627,6 +627,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KM_K = 8  # clusters; seeds = the K smallest vec_ids (deterministic init)
+_KM_DIM = _DIM  # embedding dimensionality of the code vectors
 _KM_CODES_DUCK = """
     SELECT vec_id,
            list_transform(embedding,
@@ -701,12 +702,16 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled 3-iteration SQL oracle: a HARD hash gate for an iterative ML
     training loop, not a rows-only check.
 
-    Scale: each round is one broadcast of K tiny centroid rows against the
-    corpus (no shuffle for assignment — the crossJoin build side is K
-    rows), plus one (cid, dim)-keyed agg for the update; the driver loop
-    holds only the 8-row centroid table (localCheckpoint cuts lineage).
-    At 100 TB you train on a sampled slice and assign the full corpus once
-    — the assignment pass is exactly ``similarity_ivf_assign``'s plan."""
+    Scale: each round broadcasts ONE aggregated row carrying all K centroid
+    structs; assignment is a row-local ``array_min`` argmin over that array
+    — zero shuffle and zero row blowup (the old form crossJoined K rows per
+    vector then window-sorted N*K rows per round). The update is a single
+    map-side-combined groupBy(cid) with 64 per-dimension SUM columns (only
+    K rows per partition reach the shuffle), not a 64x posexplode. The
+    driver loop holds only the 8-row centroid table (localCheckpoint cuts
+    lineage). At 100 TB you train on a sampled slice and assign the full
+    corpus once — the assignment pass is exactly ``similarity_ivf_assign``'s
+    plan."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     codes = F.transform(
         F.col("embedding"),
@@ -739,36 +744,46 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = v.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").cast("long").alias("cid"), F.col("c").alias("ce")
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     assigned = None
     for it in range(3):
-        scored = v.crossJoin(
-            F.broadcast(cents.withColumn("cc", dot(F.col("ce"), F.col("ce"))))
-        ).select(
-            "vec_id",
-            "c",
-            "cid",
-            (
-                F.col("vv")
-                + F.col("cc")
-                - 2 * dot(F.col("c"), F.col("ce"))
-            ).alias("d2"),
+        # all K centroids (with their precomputed |c|^2) packed into ONE
+        # broadcast row -> assignment is a row-local argmin, no shuffle
+        cent_row = (
+            cents.withColumn("cc", dot(F.col("ce"), F.col("ce")))
+            .agg(F.collect_list(F.struct("cid", "ce", "cc")).alias("cents"))
         )
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda t: F.struct(
+                    (
+                        F.col("vv") + t["cc"] - 2 * dot(F.col("c"), t["ce"])
+                    ).alias("d2"),
+                    t["cid"].alias("cid"),
+                ),
+            )
+        )
+        assigned = v.crossJoin(F.broadcast(cent_row)).select(
+            "vec_id", "c", best["cid"].alias("cid"), best["d2"].alias("d2")
         )
         if it < 2:
-            pos = assigned.select("cid", F.posexplode("c").alias("i", "x"))
-            newc = pos.groupBy("cid", "i").agg(
-                F.floor(F.sum("x") / F.count(F.lit(1))).cast("double").alias("cv")
+            # one hash agg, 64 sum columns: partial (map-side) combine means
+            # only K rows per input partition hit the shuffle
+            sums = assigned.groupBy("cid").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("c", i + 1)).alias(f"s{i}")
+                    for i in range(_KM_DIM)
+                ],
             )
-            cents = newc.groupBy("cid").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "cv"))),
-                    lambda s: s.getField("cv"),
-                ).alias("ce")
+            cents = sums.select(
+                "cid",
+                F.array(
+                    *[
+                        F.floor(F.col(f"s{i}") / F.col("n")).cast("double")
+                        for i in range(_KM_DIM)
+                    ]
+                ).alias("ce"),
             ).localCheckpoint()
     return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -1110,41 +1125,55 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sub.filter(F.col("vec_id") < _PQ_K).select(
         "s", F.col("vec_id").cast("long").alias("cid"), F.col("sub").alias("ce")
     )
-    w_assign = Window.partitionBy("vec_id", "s").orderBy("d2", "cid")
     assigned = None
     for it in range(2):
-        scored = sub.join(
-            F.broadcast(cents.withColumn("cc", dot(F.col("ce"), F.col("ce")))),
-            "s",
-        ).select(
+        # each subspace's 16-centroid codebook packed into ONE row keyed by
+        # s -> broadcast HASH join (equi on s), then a row-local argmin:
+        # no window shuffle and no 16x candidate row blowup per round
+        cent_rows = (
+            cents.withColumn("cc", dot(F.col("ce"), F.col("ce")))
+            .groupBy("s")
+            .agg(F.collect_list(F.struct("cid", "ce", "cc")).alias("cents"))
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda t: F.struct(
+                    (
+                        F.col("vv") + t["cc"] - 2 * dot(F.col("sub"), t["ce"])
+                    ).alias("d2"),
+                    t["cid"].alias("cid"),
+                ),
+            )
+        )
+        assigned = sub.join(F.broadcast(cent_rows), "s").select(
             "vec_id",
             "s",
             "sub",
-            "cid",
-            (
-                F.col("vv") + F.col("cc") - 2 * dot(F.col("sub"), F.col("ce"))
-            ).alias("d2"),
-        )
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            best["cid"].alias("cid"),
+            best["d2"].alias("d2"),
         )
         if it < 1:
-            pos = assigned.select("s", "cid", F.posexplode("sub").alias("i", "x"))
-            newc = pos.groupBy("s", "cid", "i").agg(
-                F.floor(F.sum("x") / F.count(F.lit(1))).cast("double").alias("cv")
+            # single (s, cid)-keyed hash agg with 8 per-dim SUMs: map-side
+            # combine ships only S*K rows per partition, vs the old 8x
+            # posexplode shuffling every element row
+            sums = assigned.groupBy("s", "cid").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("sub", i + 1)).alias(f"s{i}")
+                    for i in range(_PQ_D)
+                ],
             )
-            cents = (
-                newc.groupBy("s", "cid")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "cv"))),
-                        lambda st: st.getField("cv"),
-                    ).alias("ce")
-                )
-                .localCheckpoint()
-            )
+            cents = sums.select(
+                "s",
+                "cid",
+                F.array(
+                    *[
+                        F.floor(F.col(f"s{i}") / F.col("n")).cast("double")
+                        for i in range(_PQ_D)
+                    ]
+                ).alias("ce"),
+            ).localCheckpoint()
     qd = (
         sub.filter(F.col("vec_id") < 5)
         .join(
