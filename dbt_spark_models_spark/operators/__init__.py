@@ -66,6 +66,7 @@ def load_all() -> dict[str, Query]:
         grouped_pandas,
         skew,
         pysource_gate,
+        udtf_gate,
         quality,
         text,
         aggregates,

@@ -106,6 +106,32 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "streaming_stateful_user_gaps",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, value,
+           date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COALESCE(MAX(gap_us), 0) // 1000000 AS max_gap_seconds,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM gaps
+GROUP BY user_id
+""",
+)
+def streaming_stateful_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary keyed state via ``applyInPandasWithState`` (per-user max
+    inter-event gap — inexpressible with windowed/session aggregates) ≡
+    the batch LAG + group-by oracle, exact to the cent."""
+    from dbt_spark_models_spark.streaming import stream_user_gap_stats
+
+    return stream_user_gap_stats(spark, sf_dir)
+
+
+@query(
     "streaming_stream_static_join",
     oracle="""
 SELECT c.c_mktsegment, e.event_type,

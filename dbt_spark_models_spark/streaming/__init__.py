@@ -5,6 +5,7 @@ from dbt_spark_models_spark.streaming.pipelines import (
     stream_sliding_window_counts,
     stream_static_enriched_counts,
     stream_into_partitioned_table,
+    stream_user_gap_stats,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "stream_sliding_window_counts",
     "stream_static_enriched_counts",
     "stream_into_partitioned_table",
+    "stream_user_gap_stats",
 ]

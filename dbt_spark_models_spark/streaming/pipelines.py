@@ -184,6 +184,88 @@ def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return _run_to_memory(agg, "complete")
 
 
+def stream_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user inter-event-gap statistics (event count, max gap between
+    consecutive events in seconds, rounded total value).
+
+    Max-inter-event-gap is the canonical "needs arbitrary keyed state"
+    metric: windowed/session aggregates can't carry "timestamp of the
+    previous event" across micro-batches, so the operator keeps
+    (last_ts, n, max_gap, total) per user in the state store and folds each
+    Arrow batch into it with pandas.
+
+    Scale notes: state is four scalars per user (bounded by key
+    cardinality, not stream length); each micro-batch group arrives as
+    Arrow-batched pandas (sorted in-func — Spark guarantees grouping, not
+    order). Emission per batch keeps append-mode semantics; the driver runs
+    the finite source as a single micro-batch (one file), so the emitted
+    rows ARE the final per-user stats and hash-match the batch LAG oracle.
+    Production variant: GroupStateTimeout.ProcessingTimeTimeout to emit on
+    key quiescence instead of per batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_gap_seconds", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts_us", LongType()),
+            StructField("n", LongType()),
+            StructField("max_gap_us", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+
+    def fold_gaps(key, pdf_iter, state: GroupState):
+        if state.exists:
+            last_ts_us, n, max_gap_us, cents = state.get
+        else:
+            last_ts_us, n, max_gap_us, cents = None, 0, 0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            ts_us = (
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+            )  # epoch micros regardless of pandas datetime resolution
+            for t in ts_us:
+                if last_ts_us is not None:
+                    gap = int(t) - last_ts_us
+                    if gap > max_gap_us:
+                        max_gap_us = gap
+                last_ts_us = int(t)
+            n += len(pdf)
+            # 2-decimal doubles -> exact integer cents: associative, no
+            # float summation-order drift vs the oracle
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((last_ts_us, n, max_gap_us, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_gap_seconds": [max_gap_us // 1_000_000],
+                "total_cents": [cents],
+            }
+        )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        fold_gaps,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(stats, "append")
+
+
 def stream_into_partitioned_table(
     spark: SparkSession, sf_dir: str, table: str
 ) -> DataFrame:

@@ -92,6 +92,90 @@ def test_apply_in_pandas_with_state_running_counts(spark, sf_dir):
     assert got == want
 
 
+def test_user_gap_state_carries_across_micro_batches(spark, tmp_path):
+    """The per-user gap tracker must remember last_ts ACROSS micro-batches:
+    with maxFilesPerTrigger=1 and a gap that spans the file boundary, the
+    final emission only sees that gap if GroupState carried the previous
+    batch's last timestamp."""
+    import os
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    t0 = 1_700_000_000  # epoch seconds
+    batch1 = [(1, t0, 1.0), (1, t0 + 10, 2.0), (2, t0, 5.0)]
+    batch2 = [(1, t0 + 100, 3.0), (2, t0 + 7, 1.5)]
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "gap-src")
+    os.makedirs(src)
+    import datetime as dt
+
+    for i, rows in enumerate((batch1, batch2)):
+        df = spark.createDataFrame(
+            [(u, dt.datetime.utcfromtimestamp(ts), v) for u, ts, v in rows],
+            schema,
+        )
+        df.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+
+    from dbt_spark_models_spark.streaming.pipelines import _run_to_memory
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_gap_seconds", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("max_gap_us", T.LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        last_ts_us, n, max_gap_us = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for t in pdf["ts"].astype("datetime64[us]").astype("int64"):
+                if last_ts_us is not None:
+                    max_gap_us = max(max_gap_us, int(t) - last_ts_us)
+                last_ts_us = int(t)
+            n += len(pdf)
+        state.update((last_ts_us, n, max_gap_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_gap_seconds": [max_gap_us // 1_000_000],
+            }
+        )
+
+    stats = stream.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    rows = _run_to_memory(stats, "append").collect()
+    # multiple micro-batches -> multiple emissions; final = max n_events
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["max_gap_seconds"])
+    # user 1: gaps 10s then 90s ACROSS the file boundary; user 2: 7s across
+    assert final == {1: (3, 90), 2: (2, 7)}
+    # and the per-batch emission count proves >1 micro-batch actually ran
+    assert len(rows) > len(final)
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     """Skew mitigation by salting: explode the small side × salt, add a
     deterministic salt on the big side, join on (key, salt) — result must
