@@ -476,3 +476,90 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mix_rank") <= F.col("source_quota"))
         .select("doc_id", "source", "mix_rank", "source_quota")
     )
+
+
+_TEMP_ALPHA = 0.5
+
+
+@query(
+    "curation_temperature_resample",
+    oracle=f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+), powed AS (
+    SELECT lang, cnt,
+           POW(cnt / SUM(cnt) OVER (), {_TEMP_ALPHA}) AS pa,
+           SUM(cnt) OVER () AS total
+    FROM counts
+), scaled AS (
+    SELECT lang, cnt, pa / SUM(pa) OVER () AS q, total FROM powed
+), quota AS (
+    SELECT lang, cnt,
+           CAST(FLOOR(q * total) AS BIGINT) AS target_n
+    FROM scaled
+), ranked AS (
+    SELECT d.doc_id, d.lang,
+           ROW_NUMBER() OVER (PARTITION BY d.lang
+                              ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                       d.doc_id) AS r
+    FROM documents d
+), repeats AS (
+    SELECT r.lang,
+           q.target_n // q.cnt
+               + CASE WHEN r.r <= q.target_n % q.cnt THEN 1 ELSE 0 END
+               AS n_repeats
+    FROM ranked r JOIN quota q USING (lang)
+)
+SELECT lang, CAST(n_repeats AS BIGINT) AS n_repeats,
+       COUNT(*) AS n_docs
+FROM repeats
+GROUP BY lang, n_repeats
+""",
+)
+def curation_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual resampling (the XLM-R / mT5
+    p^alpha scheme, alpha=0.5): per-language sampling weights
+    q_l = p_l^a / sum(p^a) flatten the language distribution, the total
+    token budget stays the corpus size, and each language's target count
+    is met by integer per-document repeat factors — low-resource languages
+    are up-sampled (repeats > 1), high-resource down-weighted. The
+    remainder after the integral repeat is assigned deterministically to
+    the md5(doc_id)-first-ranked documents, so the epoch plan is exactly
+    reproducible. Output: (lang, n_repeats) histogram — the full repeat
+    plan compressed to its audit form.
+
+    Scale: language counts are one map-side-combined agg; the weight math
+    runs on the #langs-row table (constant-key windows over a post-agg
+    frame, same device as ``pipeline_domain_mixture``); the per-doc rank
+    is one window per lang partition, and the quota table joins back by
+    broadcast. No global sort, no driver round-trip."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    # constant-true but non-foldable partition key (see pipeline_domain_mixture)
+    all_w = Window.partitionBy(F.col("lang").isNotNull())
+    p = F.col("cnt") / F.sum("cnt").over(all_w)
+    quota = counts.select(
+        "lang",
+        "cnt",
+        F.floor(
+            F.pow(p, F.lit(_TEMP_ALPHA))
+            / F.sum(F.pow(p, F.lit(_TEMP_ALPHA))).over(all_w)
+            * F.sum("cnt").over(all_w)
+        )
+        .cast("long")
+        .alias("target_n"),
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("doc_id", "lang", F.row_number().over(w_rank).alias("r"))
+    rep = ranked.join(F.broadcast(quota), "lang").select(
+        "lang",
+        (
+            (F.col("target_n") / F.col("cnt")).cast("long")
+            + F.when(F.col("r") <= F.col("target_n") % F.col("cnt"), 1).otherwise(0)
+        ).alias("n_repeats"),
+    )
+    return rep.groupBy("lang", "n_repeats").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -648,3 +648,79 @@ def dedup_chunk_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@query(
+    "dedup_span_removal_reassembled",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), chunks AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(
+               list_slice(tokens, i * {_CHUNK} + 1, (i + 1) * {_CHUNK}),
+               ' ') AS chunk
+    FROM tok, UNNEST(generate_series(0,
+             CAST(CEIL(len(tokens) / {_CHUNK}) AS BIGINT) - 1)) AS t(i)
+    WHERE len(tokens) > 0
+), kept AS (
+    SELECT doc_id, pos, chunk,
+           ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                              ORDER BY doc_id, pos) AS occ
+    FROM chunks
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN occ = 1 THEN chunk END, ' '
+                           ORDER BY pos), '') AS clean_text,
+       COUNT(*) FILTER (occ = 1) AS n_kept_chunks,
+       COUNT(*) FILTER (occ > 1) AS n_dropped_chunks
+FROM kept
+GROUP BY doc_id
+""",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-SPAN removal with document reassembly: the corpus
+    is cut into fixed 20-token spans, every span that occurred earlier
+    anywhere in the corpus (global keep-FIRST by (doc_id, position)) is
+    deleted, and each document's surviving spans are stitched back together
+    in order — producing the cleaned corpus itself, not just overlap
+    scores (that's ``dedup_chunk_substring_overlap``). This is the
+    operation C4 runs at sentence/3-line granularity and the reference
+    approximates with downstream row dedup
+    (``models/spark/gold/gold_orders.sql:24``).
+
+    Scale: span hashing is row-local; keep-first is ONE window shuffle
+    partitioned by the span hash (high-cardinality, uniform by
+    construction — per-partition state is the tiny occurrence list of one
+    span); reassembly is ONE shuffle back on doc_id building a bounded
+    per-document array. No pairwise comparisons, cost linear in corpus
+    size — the plan at 100 TB is the same two exchanges."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    tok = d.select("doc_id", _tokens().alias("tokens")).filter(
+        F.size("tokens") > 0
+    )
+    chunks = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(tokens) / {_CHUNK})) - 1),"
+                f" i -> array_join(slice(tokens, i * {_CHUNK} + 1, {_CHUNK}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "pos")
+    kept = chunks.withColumn("occ", F.row_number().over(w))
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN occ = 1 THEN"
+                " struct(pos, chunk) END)), s -> s.chunk)"
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.when(F.col("occ") == 1, 1)).alias("n_kept_chunks"),
+        F.count(F.when(F.col("occ") > 1, 1)).alias("n_dropped_chunks"),
+    )

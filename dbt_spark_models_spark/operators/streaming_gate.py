@@ -147,3 +147,26 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark_models_spark.streaming import stream_static_enriched_counts
 
     return stream_static_enriched_counts(spark, sf_dir)
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id,
+       e.ts AS err_ts, c.ts AS click_ts
+FROM events e
+JOIN events c
+  ON e.user_id = c.user_id
+ AND e.event_type = 'error' AND c.event_type = 'click'
+ AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join (error events ⋈ same-user
+    clicks in the preceding 30 min, BOTH sides unbounded) ≡ the batch
+    self-interval-join — the join shape where the engine must buffer both
+    sides in bounded state and the reference's nightly batch has no
+    continuous equivalent."""
+    from dbt_spark_models_spark.streaming import stream_stream_error_click_join
+
+    return stream_stream_error_click_join(spark, sf_dir)

@@ -4,6 +4,7 @@ from dbt_spark_models_spark.streaming.pipelines import (
     stream_session_counts,
     stream_sliding_window_counts,
     stream_static_enriched_counts,
+    stream_stream_error_click_join,
     stream_into_partitioned_table,
     stream_user_gap_stats,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "stream_session_counts",
     "stream_sliding_window_counts",
     "stream_static_enriched_counts",
+    "stream_stream_error_click_join",
     "stream_into_partitioned_table",
     "stream_user_gap_stats",
 ]

@@ -159,6 +159,54 @@ def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each error event joined to the click
+    events of the same user in the preceding 30 minutes ("which
+    interaction preceded this failure"), both sides watermarked.
+
+    This is the one join shape only Structured Streaming can run
+    continuously: BOTH inputs are unbounded, so the engine must buffer
+    each side in the state store just long enough for the other side's
+    matching rows to arrive. The time-range predicate plus the two
+    watermarks is what makes that buffer finite — Spark derives a state
+    eviction bound from (watermark, join interval) and drops buffered
+    rows once they can no longer match.
+
+    Scale notes: state per side is bounded by (watermark + interval)
+    worth of events, partitioned by user_id (the equi-key), regardless of
+    total stream length; append mode emits each pair exactly once when
+    the watermark passes the join window.
+    """
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    pairs = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "inner",
+    ).select("user_id", "err_id", "click_id", "err_ts", "click_ts")
+    return _run_to_memory(pairs, "append")
+
+
 def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the (batch)
     customer dimension, then aggregated by market segment — the canonical
