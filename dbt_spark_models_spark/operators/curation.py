@@ -563,3 +563,55 @@ def curation_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame
     return rep.groupBy("lang", "n_repeats").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "curation_stratified_split",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS r,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN r <= CEIL(0.8 * n) THEN 'train'
+            WHEN r <= CEIL(0.9 * n) THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
+""",
+)
+def curation_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (80/10/10 WITHIN each
+    language stratum, exact to the ceiling — not the approximate
+    hash-threshold split, which only hits proportions in expectation):
+    documents are ranked by md5(doc_id) inside their stratum and the rank
+    cut at ceil(0.8n)/ceil(0.9n). Reproducible (pure function of doc_id),
+    leakage-free (each doc in exactly one split), and auditable — the
+    standard corpus split a training pipeline freezes before any
+    experimentation.
+
+    Scale: one window per stratum partition (rank + count share a single
+    exchange on lang); for mega-strata the same distributed rank device as
+    ``windows.exact_ntile`` applies. No global sort, no driver loop."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("r") <= F.ceil(0.8 * F.col("n")), "train")
+        .when(F.col("r") <= F.ceil(0.9 * F.col("n")), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
