@@ -426,3 +426,128 @@ def pipeline_fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
     )
+
+
+_PR_ITERS = 6
+_PR_D = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB has no
+    aggregate-in-recursive-term, so the driver-loop iterations are spelled
+    out one CTE each — the SQL is generated, the math is identical)."""
+    head = """
+WITH e AS (
+    SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+    SELECT 's' || s AS src, 'c' || c AS dst FROM e
+    UNION ALL
+    SELECT 'c' || c AS src, 's' || s AS dst FROM e
+), deg AS (
+    SELECT src, COUNT(*) AS d,
+           (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) FROM edges) AS n
+    FROM edges GROUP BY src
+), pr0 AS (
+    SELECT src AS node, d, n, CAST(1.0 AS DOUBLE) / n AS r FROM deg
+)"""
+    its = []
+    for i in range(_PR_ITERS):
+        its.append(f""", pr{i + 1} AS (
+    SELECT p.node, p.d, p.n,
+           CAST({1 - _PR_D} AS DOUBLE) / p.n
+             + CAST({_PR_D} AS DOUBLE) * COALESCE(cb.s, 0) AS r
+    FROM pr0 p LEFT JOIN (
+        SELECT e.dst, SUM(q.r / q.d) AS s
+        FROM edges e JOIN pr{i} q ON e.src = q.node
+        GROUP BY e.dst
+    ) cb ON cb.dst = p.node
+)""")
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT node, CAST(d AS BIGINT) AS degree, ROUND(r, 6) AS pagerank
+FROM pr{_PR_ITERS}"""
+    )
+
+
+@query("graph_pagerank_supplier_customer", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 6 fixed iterations) over the undirected
+    supplier↔customer trade graph from lineitem⋈orders — graph centrality
+    as a first-class iterative operator next to connected components (the
+    reference's closest shape is the customer-interaction graphs behind
+    ``models/spark/b2b_mart/``' s account-linking marts). Fixed iteration
+    count keeps the computation a pure function, so the DuckDB oracle is
+    the same math unrolled (one CTE per iteration) and the values match to
+    the rounded 6th decimal — the float drift between engines is only
+    summation order, ~1e-15 per round.
+
+    Scale (Pregel-in-DataFrames): per iteration exactly ONE shuffle — the
+    contribution aggregate keyed by dst (map-side combined); the rank
+    frame re-joins edges by broadcast-friendly node key; ``localCheckpoint``
+    truncates the lineage each round (same device as connected components)
+    so the plan stays O(1) deep over any iteration count. Edges partition
+    once and are reused every round from cache. No driver collects — the
+    node-count scalar comes from a constant-key window."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    e = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .select("l_suppkey", "o_custkey")
+        .distinct()
+    )
+    sup = F.concat(F.lit("s"), F.col("l_suppkey"))
+    cus = F.concat(F.lit("c"), F.col("o_custkey"))
+    # Pre-partition edges ON THE JOIN KEY once and cache that layout: every
+    # iteration's join then reuses the exchange (only the rank side moves).
+    # Partition count tracks the edge count (1 per ~1M edges locally;
+    # cluster-sized at 100 TB) — the per-round cost is task overhead times
+    # iterations, so small graphs must not inherit the batch shuffle width.
+    edges = (
+        e.select(sup.alias("src"), cus.alias("dst"))
+        .unionAll(e.select(cus.alias("src"), sup.alias("dst")))
+        .repartition(8, "src")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # node count via constant-key window (non-foldable key — see
+    # pipeline_domain_mixture) instead of a driver collect
+    nw = Window.partitionBy(F.col("src").isNotNull())
+    nodes = deg.withColumn("n", F.count(F.lit(1)).over(nw).cast("double"))
+    ranks = (
+        nodes.select(
+            F.col("src").alias("node"), "d", "n", (F.lit(1.0) / F.col("n")).alias("r")
+        )
+        .repartition(8, "node")
+        .localCheckpoint()
+    )
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", (F.col("r") / F.col("d")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.src == contribs.dst, "left")
+            .select(
+                F.col("src").alias("node"),
+                "d",
+                "n",
+                (
+                    F.lit(1 - _PR_D) / F.col("n")
+                    + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .repartition(8, "node")
+            .localCheckpoint()
+        )
+    out = ranks.select(
+        "node",
+        F.col("d").cast("long").alias("degree"),
+        F.round("r", 6).alias("pagerank"),
+    )
+    edges.unpersist()
+    return out
