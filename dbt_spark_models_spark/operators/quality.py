@@ -287,3 +287,145 @@ def agg_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
     return per_type.unionByName(merged)
+
+
+_GD_LR = 0.5
+_GD_ITERS = 5
+
+
+def _logreg_feats_sql() -> str:
+    return """
+toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), feats AS (
+    SELECT LN(1 + len(tokens)) AS f1,
+           len(list_distinct(tokens)) / len(tokens) AS f2,
+           len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+               / len(tokens) AS f3,
+           CASE WHEN lang IN ('en', 'es') THEN CAST(1 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS y
+    FROM toks WHERE len(tokens) > 0
+)"""
+
+
+def _logreg_oracle() -> str:
+    """Unrolled batch-gradient-descent CTEs (same device as the PageRank
+    oracle: a fixed iteration count makes training a pure function both
+    engines evaluate identically up to summation-order float drift)."""
+    head = (
+        "WITH "
+        + _logreg_feats_sql().strip()
+        + """, w0 AS (
+    SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1,
+           CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3
+)"""
+    )
+    sig = "1.0 / (1.0 + EXP(-(w.b + w.w1 * f.f1 + w.w2 * f.f2 + w.w3 * f.f3)))"
+    its = []
+    for i in range(_GD_ITERS):
+        its.append(f""", w{i + 1} AS (
+    SELECT MIN(b) - {_GD_LR} * AVG(p - y) AS b,
+           MIN(w1) - {_GD_LR} * AVG((p - y) * f1) AS w1,
+           MIN(w2) - {_GD_LR} * AVG((p - y) * f2) AS w2,
+           MIN(w3) - {_GD_LR} * AVG((p - y) * f3) AS w3
+    FROM (
+        SELECT w.b, w.w1, w.w2, w.w3, f.f1, f.f2, f.f3, f.y, {sig} AS p
+        FROM feats f CROSS JOIN w{i} w
+    )
+)""")
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT ROUND(MIN(b), 6) AS bias,
+       ROUND(MIN(w1), 6) AS w_len,
+       ROUND(MIN(w2), 6) AS w_dist,
+       ROUND(MIN(w3), 6) AS w_dig,
+       ROUND(AVG(-(y * LN(p) + (1 - y) * LN(1 - p))), 6) AS log_loss
+FROM (
+    SELECT w.b, w.w1, w.w2, w.w3, f.y, {sig} AS p
+    FROM feats f CROSS JOIN w{_GD_ITERS} w
+)"""
+    )
+
+
+@query("train_logreg_quality_weights", oracle=_logreg_oracle())
+def train_logreg_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE classifier training: batch-gradient-descent logistic
+    regression (5 fixed rounds, lr=0.5, w0=0) learning the weights that
+    ``text_quality_linear_score`` consumes as frozen literals — closing
+    the train→score loop entirely inside the engine. Features are the
+    same engineered columns (log token count, lexical diversity, digit
+    ratio); the label marks the en/es slice. Output: the learned weight
+    vector + final training log-loss, one row, matched to the unrolled-CTE
+    oracle at the rounded 6th decimal.
+
+    Scale: each GD round is ONE map-side-combined aggregate over the
+    feature scan (gradient = 4 running sums — no per-row state, no
+    shuffle of the corpus itself) with the current 1-row weight vector
+    broadcast into the scan (BNLJ on a 1-row build side — the correct
+    plan at any corpus size, allow-listed in the plan audit). Features
+    persist once across rounds; 100 TB cost = 5 scans of a cached narrow
+    projection, or 1 scan with the rounds fused via treeAggregate-style
+    partial batching if the cache doesn't fit."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    feats = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            F.log(F.lit(1) + n_tok).alias("f1"),
+            (F.size(F.array_distinct("tokens")) / n_tok).alias("f2"),
+            (
+                F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$"))) / n_tok
+            ).alias("f3"),
+            F.when(F.col("lang").isin("en", "es"), 1.0).otherwise(0.0).alias("y"),
+        )
+        .persist()
+    )
+    w = spark.range(1).select(
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+        F.lit(0.0).alias("w3"),
+    )
+    sig = 1.0 / (
+        1.0
+        + F.exp(
+            -(
+                F.col("b")
+                + F.col("w1") * F.col("f1")
+                + F.col("w2") * F.col("f2")
+                + F.col("w3") * F.col("f3")
+            )
+        )
+    )
+    for _ in range(_GD_ITERS):
+        j = feats.crossJoin(F.broadcast(w)).withColumn("p", sig)
+        err = F.col("p") - F.col("y")
+        w = j.agg(
+            (F.min("b") - _GD_LR * F.avg(err)).alias("b"),
+            (F.min("w1") - _GD_LR * F.avg(err * F.col("f1"))).alias("w1"),
+            (F.min("w2") - _GD_LR * F.avg(err * F.col("f2"))).alias("w2"),
+            (F.min("w3") - _GD_LR * F.avg(err * F.col("f3"))).alias("w3"),
+        )
+    final = feats.crossJoin(F.broadcast(w)).withColumn("p", sig)
+    out = final.agg(
+        F.round(F.min("b"), 6).alias("bias"),
+        F.round(F.min("w1"), 6).alias("w_len"),
+        F.round(F.min("w2"), 6).alias("w_dist"),
+        F.round(F.min("w3"), 6).alias("w_dig"),
+        F.round(
+            F.avg(
+                -(
+                    F.col("y") * F.log("p")
+                    + (1 - F.col("y")) * F.log(1.0 - F.col("p"))
+                )
+            ),
+            6,
+        ).alias("log_loss"),
+    )
+    return out

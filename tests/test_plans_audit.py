@@ -225,6 +225,7 @@ BNLJ_ALLOWED = {
     "dedup_semantic_survivors",  # centroid-cell broadcast
     "text_tfidf_top_terms",  # 1-row corpus doc-count scalar
     "text_unigram_logprob_score",  # 1-row corpus token-total scalar
+    "train_logreg_quality_weights",  # 1-row GD weight vector per round
 }
 
 
