@@ -69,6 +69,13 @@ HEADLINE = [
     "similarity_kmeans_ivf_train",
     "similarity_pq_adc_topk",
     "text_token_counts_bpe",
+    # round-3 continuation: cleaned-corpus span dedup, epoch resampling
+    # plans, iterative graph centrality, in-engine classifier training
+    "dedup_span_removal_reassembled",
+    "curation_temperature_resample",
+    "curation_stratified_split",
+    "graph_pagerank_supplier_customer",
+    "train_logreg_quality_weights",
 ]
 
 

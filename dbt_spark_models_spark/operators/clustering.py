@@ -502,13 +502,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cus = F.concat(F.lit("c"), F.col("o_custkey"))
     # Pre-partition edges ON THE JOIN KEY once and cache that layout: every
     # iteration's join then reuses the exchange (only the rank side moves).
-    # Partition count tracks the edge count (1 per ~1M edges locally;
-    # cluster-sized at 100 TB) — the per-round cost is task overhead times
-    # iterations, so small graphs must not inherit the batch shuffle width.
+    # Iteration frames get half the default parallelism (cluster-sized on a
+    # real deployment, a handful locally): per-round cost is task overhead
+    # × iterations, so small graphs must not inherit the batch shuffle
+    # width, while wide clusters still spread the edge scan.
+    parts = max(8, spark.sparkContext.defaultParallelism // 2)
     edges = (
         e.select(sup.alias("src"), cus.alias("dst"))
         .unionAll(e.select(cus.alias("src"), sup.alias("dst")))
-        .repartition(8, "src")
+        .repartition(parts, "src")
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -520,7 +522,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.select(
             F.col("src").alias("node"), "d", "n", (F.lit(1.0) / F.col("n")).alias("r")
         )
-        .repartition(8, "node")
+        .repartition(parts, "node")
         .localCheckpoint()
     )
     for _ in range(_PR_ITERS):
@@ -541,7 +543,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("r"),
             )
-            .repartition(8, "node")
+            .repartition(parts, "node")
             .localCheckpoint()
         )
     out = ranks.select(
