@@ -553,3 +553,95 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+@query(
+    "graph_triangle_copurchase",
+    oracle="""
+WITH co AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM co UNION ALL SELECT v AS node FROM co
+    ) GROUP BY node
+), oriented AS (
+    -- orient each edge from the degree-order-lower endpoint: bounds each
+    -- node's out-neighborhood, so the wedge join is O(m^1.5) total
+    SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+           CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst
+    FROM co JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+), tri AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM oriented e1
+    JOIN oriented e2 ON e2.src = e1.src AND e2.dst > e1.dst
+    JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+)
+GROUP BY node
+""",
+)
+def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph (parts
+    bought together in one order) — the clustering-coefficient primitive
+    behind community/bot detection in the reference's account-graph marts.
+
+    The degree-ORDERED orientation is the load-bearing trick: every edge
+    points from its degree-order-lower endpoint, so each node's
+    out-neighborhood is O(sqrt(m)) and the wedge self-join totals
+    O(m^1.5) instead of sum-of-deg² — hub nodes (the skew killers in a
+    naive neighbor join) get their wedges charged to their low-degree
+    neighbors. Orientation is a pure tuple comparison on (deg, node) —
+    deterministic, no global rank needed.
+
+    Scale: three equi-keyed hash joins (wedge join keyed on the shared
+    low node, closure probe keyed on (src, dst)); the oriented edge list
+    is built once and reused for both sides. No all-pairs stage anywhere;
+    DISTINCT co-occurrence is one map-side-combined shuffle."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        co.select(F.col("u").alias("node"))
+        .unionAll(co.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        co.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .persist()
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("c") > F.col("b"))
+    e3 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(e3, ["b", "c"])
+    return (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
