@@ -724,3 +724,114 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("occ") == 1, 1)).alias("n_kept_chunks"),
         F.count(F.when(F.col("occ") > 1, 1)).alias("n_dropped_chunks"),
     )
+
+
+@query(
+    "dedup_incremental_vs_corpus",
+    oracle="""
+WITH tok AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS token
+    FROM documents
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+), common AS (
+    SELECT c.doc_id AS corpus_doc, i.doc_id AS incr_doc, COUNT(*) AS n_common
+    FROM tok c JOIN tok i ON c.token = i.token
+    WHERE c.doc_id % 10 != 7 AND i.doc_id % 10 = 7
+    GROUP BY corpus_doc, incr_doc
+)
+SELECT corpus_doc, incr_doc,
+       ROUND(n_common / (sc.sz + si.sz - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sc ON sc.doc_id = corpus_doc
+JOIN sizes si ON si.doc_id = incr_doc
+WHERE n_common / (sc.sz + si.sz - n_common) >= 0.6
+""",
+)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection: today's crawl (the doc_id%10==7
+    slice) checked against the frozen corpus (the rest) WITHOUT re-pairing
+    the corpus with itself — the operation a daily ingest actually runs at
+    100 TB, where corpus×corpus all-pairs would redo yesterday's work.
+
+    Same lossless prefix-filter machinery as ``jaccard_prefix_join``, made
+    asymmetric: the corpus side's prefix postings are the persistent INDEX
+    (built once under the corpus-frozen token-rarity order; increment
+    tokens unseen in the corpus take df=0, i.e. maximally rare — they sort
+    first and can only shrink candidate lists, never lose a pair, since a
+    qualifying pair must share a corpus-known token whose rank clears both
+    prefixes); the increment side probes it. Candidate volume scales with
+    |increment| × avg-prefix, not |corpus|²; verification is row-local
+    array intersection on candidate pairs only. The oracle is the
+    UNFILTERED cross-set ground truth, so the driver verifies the index
+    loses nothing."""
+    t_num, t_den = 3, 5
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    base = (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % 10 == 7).alias("is_incr"),
+            F.array_distinct(_tokens()).alias("toks"),
+        )
+        .withColumn("sz", F.size("toks").cast("long"))
+        .persist()
+    )
+    tok = base.select("doc_id", "is_incr", "sz", F.explode("toks").alias("token"))
+    # token rarity order frozen on the CORPUS postings only
+    dfreq = (
+        tok.filter(~F.col("is_incr"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "token")
+    ranked = (
+        tok.join(dfreq, "token", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "p",
+            F.col("sz")
+            - F.floor((t_num * F.col("sz") + t_den - 1) / t_den).cast("long")
+            + 1,
+        )
+    )
+    prefix = ranked.filter(F.col("rk") <= F.col("p")).select(
+        "doc_id", "is_incr", "sz", "token"
+    )
+    idx = prefix.filter(~F.col("is_incr")).alias("pc")
+    probe = prefix.filter(F.col("is_incr")).alias("pi")
+    cand = (
+        idx.join(
+            probe,
+            (F.col("pc.token") == F.col("pi.token"))
+            & (
+                F.least(F.col("pc.sz"), F.col("pi.sz")) * t_den
+                >= F.greatest(F.col("pc.sz"), F.col("pi.sz")) * t_num
+            ),
+        )
+        .select(
+            F.col("pc.doc_id").alias("corpus_doc"),
+            F.col("pi.doc_id").alias("incr_doc"),
+        )
+        .distinct()
+    )
+    bc, bi = base.alias("bc"), base.alias("bi")
+    scored = (
+        cand.join(bc, F.col("bc.doc_id") == F.col("corpus_doc"))
+        .join(bi, F.col("bi.doc_id") == F.col("incr_doc"))
+        .select(
+            "corpus_doc",
+            "incr_doc",
+            F.size(F.array_intersect(F.col("bc.toks"), F.col("bi.toks")))
+            .cast("long")
+            .alias("n_common"),
+            F.col("bc.sz").alias("szc"),
+            F.col("bi.sz").alias("szi"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("szc") + F.col("szi") - F.col("n_common"))
+    return scored.filter(jac >= t_num / t_den).select(
+        "corpus_doc", "incr_doc", F.round(jac, 4).alias("jaccard")
+    )
