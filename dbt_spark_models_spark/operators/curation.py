@@ -615,3 +615,103 @@ def curation_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+_RRF_K = 60
+
+
+@query(
+    "curation_rrf_ensemble",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), feats AS (
+    SELECT doc_id, lang,
+           len(list_distinct(tokens)) / len(tokens) AS diversity,
+           len(tokens) AS n_tok
+    FROM toks WHERE len(tokens) > 0
+), ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY diversity DESC, doc_id) AS r_div,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY n_tok DESC, doc_id) AS r_len
+    FROM feats
+), fused AS (
+    SELECT doc_id, lang,
+           CAST(1 AS DOUBLE) / ({_RRF_K} + r_div)
+             + CAST(1 AS DOUBLE) / ({_RRF_K} + r_len) AS rrf,
+           r_div, r_len
+    FROM ranked
+)
+SELECT doc_id, lang, ROUND(rrf, 6) AS rrf_score,
+       CAST(r_div AS BIGINT) AS rank_diversity,
+       CAST(r_len AS BIGINT) AS rank_length,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY rrf DESC, doc_id) AS BIGINT)
+           AS rank_fused
+FROM fused
+QUALIFY rank_fused <= 20
+""",
+)
+def curation_rrf_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank-fusion ensemble selection: two independent quality
+    rankings per language (lexical diversity; document length) fused with
+    the standard RRF formula Σ 1/(60+rank), top-20 per language kept —
+    how a curation pipeline combines incommensurable quality signals
+    (model scores, heuristics, retrieval ranks) without calibrating them
+    onto one scale. Ties broken by doc_id at every ranking stage, so the
+    selection is fully deterministic.
+
+    Scale: all three rankings are windows PARTITIONED by lang (bounded
+    per-partition state, no global sort); the two source ranks share one
+    exchange. RRF math is pure column arithmetic; 1/(k+rank) with
+    integer rank is exact enough that both engines agree at the rounded
+    6th decimal without float-order concerns."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+    )
+    feats = (
+        d.withColumn("tokens", toks)
+        .filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            (F.size(F.array_distinct("tokens")) / F.size("tokens")).alias(
+                "diversity"
+            ),
+            F.size("tokens").alias("n_tok"),
+        )
+    )
+    w_div = Window.partitionBy("lang").orderBy(
+        F.col("diversity").desc(), "doc_id"
+    )
+    w_len = Window.partitionBy("lang").orderBy(F.col("n_tok").desc(), "doc_id")
+    ranked = feats.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w_div).alias("r_div"),
+        F.row_number().over(w_len).alias("r_len"),
+    )
+    rrf = (
+        F.lit(1.0) / (_RRF_K + F.col("r_div"))
+        + F.lit(1.0) / (_RRF_K + F.col("r_len"))
+    ).alias("rrf")
+    fused = ranked.select("doc_id", "lang", rrf, "r_div", "r_len")
+    w_f = Window.partitionBy("lang").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rank_fused", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("rank_fused") <= 20)
+        .select(
+            "doc_id",
+            "lang",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("r_div").cast("long").alias("rank_diversity"),
+            F.col("r_len").cast("long").alias("rank_length"),
+            "rank_fused",
+        )
+    )
