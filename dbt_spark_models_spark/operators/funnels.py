@@ -421,3 +421,107 @@ def anomaly_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "funnel_path_regex_match",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_seq
+    FROM flagged
+), paths AS (
+    SELECT user_id, session_seq,
+           string_agg(CASE event_type WHEN 'signup' THEN 'S'
+                                      WHEN 'view' THEN 'V'
+                                      WHEN 'click' THEN 'C'
+                                      WHEN 'purchase' THEN 'P'
+                                      ELSE 'E' END, '' ORDER BY ts, event_id)
+               AS path,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, path,
+       CAST(n_events AS BIGINT) AS n_events,
+       regexp_matches(path, 'V.*P') AS browsed_then_bought,
+       regexp_matches(path, '^[^P]*E[^P]*$') AS errored_never_bought
+FROM paths
+WHERE regexp_matches(path, 'V.*P') OR regexp_matches(path, '^[^P]*E[^P]*$')
+""",
+)
+def funnel_path_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-equivalent path analysis without the operator Spark
+    lacks: sessionize (30-min gaps), encode each session's ordered event
+    types as a compact path string, then run PATTERN REGEXES over the
+    paths — 'V.*P' (browsed then bought) and '^[^P]*E[^P]*$' (hit an
+    error and never purchased). This covers the row-pattern-matching
+    family (Trino/Flink MATCH_RECOGNIZE, funnel path analysis) with two
+    portable primitives: gaps-and-islands + ordered string aggregation.
+
+    Scale: both windows and the path aggregation partition by user_id
+    (bounded per-user state); the regex scan is row-local over one
+    compact string per session — at 100 TB the paths table is ~1000×
+    smaller than the event log, and any new pattern is a regex change,
+    not a new shuffle."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                >= 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    letter = (
+        F.when(F.col("event_type") == "signup", "S")
+        .when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .otherwise("E")
+    )
+    paths = (
+        sess.withColumn("sym", letter)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(ts, event_id, sym))),"
+                    " s -> s.sym)"
+                ),
+                "",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    out = paths.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "path",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("path").rlike("V.*P").alias("browsed_then_bought"),
+        F.col("path").rlike("^[^P]*E[^P]*$").alias("errored_never_bought"),
+    )
+    return out.filter(
+        F.col("browsed_then_bought") | F.col("errored_never_bought")
+    )
