@@ -56,3 +56,57 @@ def source_python_datasource_jsonl(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("doc_id").cast("long").alias("min_doc_id"),
         F.max("doc_id").cast("long").alias("max_doc_id"),
     )
+
+
+@query(
+    "sink_python_datasource_roundtrip",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom Python DataSource's WRITER
+    (`sources/pydatasource.py:JsonlWriter` — the Spark 4
+    `DataSourceWriter` contract): documents are written by
+    `df.write.format("jsonl_lines")` with a real two-phase commit (tasks
+    stage `.tmp-` files, the driver's `commit()` renames them; `abort()`
+    cleans up), then read back through the connector's reader and rolled
+    up per language. The oracle aggregates the ORIGINAL parquet, so the
+    gate proves the write is exactly-once (no lost/duplicated partitions:
+    doc_id_sum would catch either) across distributed tasks.
+
+    Scale: the commit protocol is the part that matters at 1000
+    executors — speculative or retried tasks leave only unreferenced tmp
+    files, and visibility is atomic at driver commit, the same contract
+    JVM file committers give parquet."""
+    from dbt_spark_models_spark.sources.pydatasource import JsonlDataSource
+
+    try:
+        spark.dataSource.register(JsonlDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = "/tmp/spark_models_engine/pyds_sink_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        d.select("doc_id", "lang", "text")
+        .write.format("jsonl_lines")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("jsonl_lines").option("path", out).load()
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
