@@ -429,3 +429,97 @@ def train_logreg_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("log_loss"),
     )
     return out
+
+
+@query(
+    "eval_classifier_auc",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT ROUND(LN(1 + len(tokens)) * 0.5
+                 + (len(list_distinct(tokens)) / len(tokens)) * 1.5
+                 - (len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+                    / len(tokens)) * 3.0, 6) AS s,
+           CASE WHEN lang IN ('en', 'es') THEN 1 ELSE 0 END AS y
+    FROM toks WHERE len(tokens) > 0
+), buckets AS (
+    SELECT s, SUM(y) AS n_pos, SUM(1 - y) AS n_neg
+    FROM scored GROUP BY s
+), cum AS (
+    SELECT n_pos, n_neg,
+           COALESCE(SUM(n_neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+    FROM buckets
+)
+SELECT ROUND(SUM(n_pos * neg_below + 0.5 * n_pos * n_neg)
+             / (SUM(n_pos) * SUM(n_neg)), 6) AS auc,
+       CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg
+FROM cum
+""",
+)
+def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a quality classifier via the rank-sum identity
+    AUC = P(score_pos > score_neg) + ½·P(tie) — computed WITHOUT a
+    per-document global sort: scores are quantized to 6 decimals (the
+    published-metric precision), bucketed by one map-side-combined
+    groupBy, and the pair-counting runs as a cumulative window over the
+    BUCKET table. Ties (same bucket) take the standard ½ credit, so the
+    quantization is part of the metric definition, not an approximation
+    error.
+
+    Scale: the doc-level stage is scan + one agg keyed by score bucket
+    (≤10⁶ distinct values by construction at ANY corpus size — that's the
+    point of quantizing first); the ordered cumulative runs over the
+    bounded bucket frame. This is how AUC stays computable at 100 TB
+    where a global rank of every document would single-partition sort
+    the corpus."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    scored = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            F.round(
+                F.log(F.lit(1) + n_tok) * 0.5
+                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
+                - (
+                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
+                    / n_tok
+                )
+                * 3.0,
+                6,
+            ).alias("s"),
+            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
+        )
+    )
+    buckets = scored.groupBy("s").agg(
+        F.sum("y").alias("n_pos"), F.sum(1 - F.col("y")).alias("n_neg")
+    )
+    # ordered cumulative over the bounded bucket frame (constant-key
+    # partition — non-foldable, see pipeline_domain_mixture)
+    w = (
+        Window.partitionBy(F.col("s").isNotNull())
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = buckets.withColumn(
+        "neg_below", F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+    )
+    return cum.agg(
+        F.round(
+            F.sum(
+                F.col("n_pos") * F.col("neg_below")
+                + 0.5 * F.col("n_pos") * F.col("n_neg")
+            )
+            / (F.sum("n_pos") * F.sum("n_neg")),
+            6,
+        ).alias("auc"),
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+    )
