@@ -480,9 +480,11 @@ def funnel_path_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new",
         F.when(
             F.lag("ts").over(w).isNull()
+            # exact micros, not cast("long") (whole-second truncation flips
+            # gaps within 1s of the boundary vs the oracle's INTERVAL math)
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-                >= 1800
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                >= 1800 * 1_000_000
             ),
             1,
         ).otherwise(0),
