@@ -430,6 +430,7 @@ def pipeline_fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFram
 
 _PR_ITERS = 6
 _PR_D = 0.85
+_PR_CKPT_EVERY = 8  # lineage cut cadence for long runs; no-op at 6 rounds
 
 
 def _pagerank_oracle() -> str:
@@ -485,12 +486,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order, ~1e-15 per round.
 
     Scale (Pregel-in-DataFrames): per iteration exactly ONE shuffle — the
-    contribution aggregate keyed by dst (map-side combined); the rank
-    frame re-joins edges by broadcast-friendly node key; ``localCheckpoint``
-    truncates the lineage each round (same device as connected components)
-    so the plan stays O(1) deep over any iteration count. Edges partition
-    once and are reused every round from cache. No driver collects — the
-    node-count scalar comes from a constant-key window."""
+    contribution aggregate keyed by dst (map-side combined); edges and the
+    node frame partition once on the join key and are reused every round
+    from cache. The rank chain stays LAZY between lineage cuts: forcing a
+    materialization every round (the connected-components device) costs 3×
+    here — a fixed 6-round plan is shallow enough for Catalyst to evaluate
+    in one job, so ``localCheckpoint`` fires only every ``_PR_CKPT_EVERY``
+    rounds (a no-op at 6 rounds; the guard that matters for 50-round
+    runs, where unbounded lineage would blow up planning and recovery).
+    No driver collects — the node-count scalar comes from a constant-key
+    window."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     e = (
         t["lineitem"]
@@ -517,7 +522,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node count via constant-key window (non-foldable key — see
     # pipeline_domain_mixture) instead of a driver collect
     nw = Window.partitionBy(F.col("src").isNotNull())
-    nodes = deg.withColumn("n", F.count(F.lit(1)).over(nw).cast("double"))
+    nodes = deg.withColumn(
+        "n", F.count(F.lit(1)).over(nw).cast("double")
+    ).persist()
     ranks = (
         nodes.select(
             F.col("src").alias("node"), "d", "n", (F.lit(1.0) / F.col("n")).alias("r")
@@ -525,7 +532,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(parts, "node")
         .localCheckpoint()
     )
-    for _ in range(_PR_ITERS):
+    for i in range(_PR_ITERS):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
             .select("dst", (F.col("r") / F.col("d")).alias("w"))
@@ -544,8 +551,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
             .repartition(parts, "node")
-            .localCheckpoint()
         )
+        if (i + 1) % _PR_CKPT_EVERY == 0:
+            ranks = ranks.localCheckpoint()
     out = ranks.select(
         "node",
         F.col("d").cast("long").alias("degree"),
