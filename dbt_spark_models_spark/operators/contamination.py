@@ -510,3 +510,137 @@ def text_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(neg_lp), 4).alias("avg_neg_logprob"),
         F.round(F.max(neg_lp), 4).alias("max_neg_logprob"),
     )
+
+
+# Bloom filter geometry for the decontamination probe: m bits, k hashes.
+# Hash j of shingle g = int(md5(g || '#' || j)[:8 hex]) % m — portable
+# (identical in Spark and DuckDB), so the filter's false positives are
+# deterministic and the oracle reproduces them bit-for-bit.
+_BLOOM_M = 65536
+_BLOOM_K = 3
+
+
+def _bloom_pos_spark(gram_col, j: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(gram_col, F.lit(f"#{j}"))), 1, 8), 16, 10
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+def _bloom_pos_duckdb(gram_expr: str, j: int) -> str:
+    return (
+        f"(('0x' || substr(md5({gram_expr} || '#{j}'), 1, 8))::BIGINT"
+        f" % {_BLOOM_M})"
+    )
+
+
+@query(
+    "contamination_bloom_probe",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source, {_TOKENIZE_SQL} AS tokens
+    FROM documents
+), shingled AS (
+    SELECT doc_id, source, {_shingles_duckdb()} AS shingles
+    FROM toks WHERE len(tokens) >= {_N}
+), eval_grams AS (
+    SELECT DISTINCT UNNEST(shingles) AS g
+    FROM shingled WHERE source = '{_EVAL_SOURCE}'
+), bloom AS (
+    SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(f"SELECT {_bloom_pos_duckdb('g', j)} AS pos FROM eval_grams" for j in range(_BLOOM_K))}
+    )
+), cand AS (
+    SELECT DISTINCT doc_id, UNNEST(shingles) AS g
+    FROM shingled WHERE source <> '{_EVAL_SOURCE}'
+), probes AS (
+    {" UNION ALL ".join(f"SELECT doc_id, g, {_bloom_pos_duckdb('g', j)} AS pos FROM cand" for j in range(_BLOOM_K))}
+), per_gram AS (
+    SELECT p.doc_id, p.g,
+           (COUNT(b.pos) = {_BLOOM_K}) AS bloom_positive
+    FROM probes p LEFT JOIN bloom b ON p.pos = b.pos
+    GROUP BY p.doc_id, p.g
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS n_bloom_hits,
+       ROUND(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) / COUNT(*), 4)
+           AS bloom_hit_ratio
+FROM per_gram
+GROUP BY doc_id
+""",
+)
+def contamination_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination probe: membership of candidate shingles
+    against a 65536-bit / 3-hash Bloom filter built from the eval set's
+    word 3-grams.
+
+    Why a Bloom filter when ``text_contamination_ngram_overlap`` already
+    broadcasts the exact eval shingle set: at a real eval-suite scale the
+    exact distinct-shingle table can be tens of GB (too big to broadcast),
+    while the Bloom bitset is m bits FOREVER — 8 KB here, a few hundred MB
+    for billions of eval grams — and merges across eval shards with bitwise
+    OR (build is a map-side ``bit_or`` aggregate; the driver never sees
+    per-gram rows). The probe is then a broadcast of the bitset and one
+    row-local k-hash check per candidate shingle: zero shuffle of the
+    corpus side beyond the per-doc groupBy. False positives are the
+    documented price (here ~5% at this fill ratio) and are DETERMINISTIC:
+    the oracle recomputes the same md5-derived bit positions, so the
+    driver's hash gate verifies the filter's exact semantics, FPs included.
+
+    Representation note: the registry query models the bitset as a
+    distinct-positions table (joinable, bounded by m rows) because a
+    DataFrame join against ≤ m keys IS the broadcast-bitset probe in
+    relational form; ``tests/test_bloom_bitset.py`` builds the packed
+    ``array<long>`` bitmap via ``bit_or`` aggregation and proves the two
+    representations decide membership identically.
+    """
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    shingled = (
+        d.select("doc_id", "source", _tokens().alias("tokens"))
+        .filter(F.size("tokens") >= _N)
+        .select("doc_id", "source", F.expr(_shingles_expr()).alias("shingles"))
+    )
+    eval_grams = (
+        shingled.filter(F.col("source") == _EVAL_SOURCE)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    bloom = None
+    for j in range(_BLOOM_K):
+        part = eval_grams.select(_bloom_pos_spark(F.col("g"), j).alias("pos"))
+        bloom = part if bloom is None else bloom.unionAll(part)
+    bloom = bloom.distinct()
+
+    cand = (
+        shingled.filter(F.col("source") != _EVAL_SOURCE)
+        .select("doc_id", F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    # k probe positions per gram, row-local (posexplode of a k-array beats
+    # k unioned scans of the candidate side)
+    probes = cand.select(
+        "doc_id",
+        "g",
+        F.explode(
+            F.array(*[_bloom_pos_spark(F.col("g"), j) for j in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    per_gram = (
+        probes.join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "g")
+        .agg((F.count("hit") == _BLOOM_K).alias("bloom_positive"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("bloom_positive"), 1).otherwise(0)).alias(
+            "n_bloom_hits"
+        ),
+        F.round(
+            F.sum(F.when(F.col("bloom_positive"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("bloom_hit_ratio"),
+    )

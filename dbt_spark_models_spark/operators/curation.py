@@ -715,3 +715,206 @@ def curation_rrf_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_fused",
         )
     )
+
+
+@query(
+    "sample_weighted_without_replacement",
+    oracle="""
+WITH keyed AS (
+    SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w,
+           -LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'), 1, 8))::BIGINT + 1)
+               / 4294967296.0) / CAST(n_chars AS DOUBLE) AS k
+    FROM documents
+    WHERE n_chars > 0
+),
+ranked AS (
+    SELECT doc_id, lang, w,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+    FROM keyed
+)
+SELECT lang, doc_id, CAST(w AS BIGINT) AS weight, rn
+FROM ranked WHERE rn <= 5
+""",
+)
+def sample_weighted_without_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    exponential race): 5 docs per language, inclusion probability
+    proportional to ``n_chars``. Each doc draws u = md5-uniform in (0,1]
+    and races with key = −ln(u)/w; the k smallest keys per group are the
+    sample. Deterministic and seedable (the ':wsamp' salt is the seed), so
+    curation samples are auditable and reproducible on any engine — the
+    DuckDB oracle reproduces the EXACT same sample.
+
+    One window shuffle on ``lang`` (WindowGroupLimit prunes to the top-k
+    per partition before the sort spills); the race key is row-local math.
+    At 100 TB this is THE way to draw a weighted eval slice: no
+    ``sample()`` nondeterminism, no driver-side reservoir.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wsamp"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("double").alias("w"),
+        (-F.log(u) / F.col("n_chars").cast("double")).alias("k"),
+    )
+    w = Window.partitionBy("lang").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", F.col("w").cast("bigint").alias("weight"), "rn")
+    )
+
+
+# DSIR (Data Selection via Importance Resampling, Xie et al. 2023): score
+# raw documents by how target-like their hashed n-gram profile is.
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_SOURCE = "src0"
+
+
+@query(
+    "curation_dsir_importance",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), bigrams AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(tokens[i] || ' ' || tokens[i + 1]), 1, 8))::BIGINT
+               % {_DSIR_BUCKETS} AS b
+    FROM toks, UNNEST(generate_series(1, len(tokens) - 1)) AS g(i)
+    WHERE len(tokens) >= 2
+), tgt AS (
+    SELECT b, COUNT(*) AS c FROM bigrams
+    WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY b
+), raw AS (
+    SELECT b, COUNT(*) AS c FROM bigrams
+    WHERE source <> '{_DSIR_TARGET_SOURCE}' GROUP BY b
+), totals AS (
+    SELECT (SELECT SUM(c) FROM tgt) AS nt, (SELECT SUM(c) FROM raw) AS nr
+), llr AS (
+    SELECT b.b,
+           LN((COALESCE(t.c, 0) + 1.0) / (tt.nt + {_DSIR_BUCKETS}))
+           - LN((COALESCE(r.c, 0) + 1.0) / (tt.nr + {_DSIR_BUCKETS})) AS w
+    FROM (SELECT DISTINCT b FROM bigrams) b
+    LEFT JOIN tgt t ON t.b = b.b
+    LEFT JOIN raw r ON r.b = b.b
+    CROSS JOIN totals tt
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(SUM(l.w) / COUNT(*), 4) AS avg_loglik_ratio
+FROM bigrams g JOIN llr l ON g.b = l.b
+WHERE g.source <> '{_DSIR_TARGET_SOURCE}'
+GROUP BY g.doc_id
+""",
+)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per raw document, the mean hashed-bigram
+    log-likelihood ratio between a target-domain LM (docs from
+    ``source='src0'``) and the raw-corpus LM — the standard
+    importance-resampling score for "pick raw data that looks like the
+    target domain" (Xie et al. 2023, used for domain-targeted pre-training
+    mixes).
+
+    Structure: bigrams hash into 1024 buckets (portable md5 hash, so the
+    oracle reproduces the exact buckets); both LMs are 1024-row tables with
+    add-one smoothing → the LLR table is broadcast; scoring the 100 TB raw
+    side is then one BroadcastHashJoin + per-doc aggregate. Nothing scales
+    with vocabulary: the hashed feature space is FIXED — that is DSIR's
+    whole scale trick, and it maps 1:1 onto a broadcast join.
+    """
+    from dbt_spark_models_spark.sources.testdata import spread
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda x: F.length(x) > 0,
+        ).alias("tokens"),
+    )
+    bigrams = (
+        toks.filter(F.size("tokens") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1), "
+                    "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+                )
+            ).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+                % _DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    bigrams = bigrams.persist()
+    tgt = (
+        bigrams.filter(F.col("source") == _DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    raw = (
+        bigrams.filter(F.col("source") != _DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    # 1024-row LM tables: join them on b, then take the corpus totals as a
+    # window over the joined (<=1024-row) table itself — every observed
+    # bucket appears in the distinct-b spine, so sum(tc)/sum(rc) over it ARE
+    # nt/nr, and no 1-row crossJoin (=> BNLJ) is needed. The partition key
+    # must be non-foldable (see pipeline_domain_mixture).
+    tot_w = Window.partitionBy(F.col("b").isNotNull())
+    llr = (
+        bigrams.select("b")
+        .distinct()
+        .join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b", "left")
+        .withColumn("nt", F.sum(F.coalesce(F.col("tc"), F.lit(0))).over(tot_w))
+        .withColumn("nr", F.sum(F.coalesce(F.col("rc"), F.lit(0))).over(tot_w))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + _DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.coalesce(F.col("rc"), F.lit(0)) + 1.0)
+                    / (F.col("nr") + _DSIR_BUCKETS)
+                )
+            ).alias("w"),
+        )
+    )
+    return (
+        bigrams.filter(F.col("source") != _DSIR_TARGET_SOURCE)
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("w") / F.count(F.lit(1)), 4).alias("avg_loglik_ratio"),
+        )
+    )

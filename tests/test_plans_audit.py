@@ -256,3 +256,14 @@ def test_salted_join_is_shuffled_hash(spark, sf_dir):
     plan = _plan(spark, "skew_salted_replicated_join", sf_dir)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_engine_bucketed_gate_join_exchange_free(spark, sf_dir):
+    """The registry's bucketed-join gate: the SortMergeJoin itself must be
+    exchange-free (both children read pre-bucketed tables); the only
+    Exchange allowed is the final small groupBy on o_orderpriority."""
+    plan = _plan(spark, "engine_bucketed_colocated_join", sf_dir)
+    assert "SortMergeJoin" in plan
+    # exactly one exchange: the post-join re-agg, never the join inputs
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(o_orderpriority" in plan
