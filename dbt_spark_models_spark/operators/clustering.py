@@ -505,17 +505,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = F.concat(F.lit("s"), F.col("l_suppkey"))
     cus = F.concat(F.lit("c"), F.col("o_custkey"))
-    # Pre-partition edges ON THE JOIN KEY once and cache that layout: every
-    # iteration's join then reuses the exchange (only the rank side moves).
-    # Iteration frames get half the default parallelism (cluster-sized on a
-    # real deployment, a handful locally): per-round cost is task overhead
-    # × iterations, so small graphs must not inherit the batch shuffle
-    # width, while wide clusters still spread the edge scan.
+    # Edges are cached in whatever layout the distinct left them in — with
+    # the rank vector broadcast every round, edge partitioning is
+    # IRRELEVANT to the join, so pre-partitioning on src would be a wasted
+    # full shuffle of the big side. (On the co-partitioned fallback path
+    # for rank vectors too big to broadcast, reinstate repartition(src)
+    # here — that's the one layout the loop would reuse.)
     parts = max(8, spark.sparkContext.defaultParallelism // 2)
+    # symmetrize in ONE pass over e (a unionAll of two selects would run
+    # the join+distinct subtree twice)
     edges = (
-        e.select(sup.alias("src"), cus.alias("dst"))
-        .unionAll(e.select(cus.alias("src"), sup.alias("dst")))
-        .repartition(parts, "src")
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(sup.alias("src"), cus.alias("dst")),
+                    F.struct(cus.alias("src"), sup.alias("dst")),
+                )
+            ).alias("x")
+        )
+        .select("x.src", "x.dst")
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -525,35 +533,36 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = deg.withColumn(
         "n", F.count(F.lit(1)).over(nw).cast("double")
     ).persist()
-    ranks = (
-        nodes.select(
-            F.col("src").alias("node"), "d", "n", (F.lit(1.0) / F.col("n")).alias("r")
-        )
-        .repartition(parts, "node")
-        .localCheckpoint()
+    ranks = nodes.select(
+        F.col("src").alias("node"), "d", "n", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for i in range(_PR_ITERS):
+        # The rank vector is NODE-sized (16 bytes/node) while edges are the
+        # big side: broadcast ranks into the edge join and the contribution
+        # sum back into the node join, leaving exactly ONE exchange per
+        # round — the dst-keyed aggregate. (Broadcast holds while the rank
+        # vector fits an executor — billions of edges, tens of millions of
+        # nodes; past that, drop the hints and this loop degrades to the
+        # co-partitioned join path via the repartition below.)
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
             .select("dst", (F.col("r") / F.col("d")).alias("w"))
             .groupBy("dst")
             .agg(F.sum("w").alias("s"))
         )
-        ranks = (
-            nodes.join(contribs, nodes.src == contribs.dst, "left")
-            .select(
-                F.col("src").alias("node"),
-                "d",
-                "n",
-                (
-                    F.lit(1 - _PR_D) / F.col("n")
-                    + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("r"),
-            )
-            .repartition(parts, "node")
+        ranks = nodes.join(
+            F.broadcast(contribs), nodes.src == contribs.dst, "left"
+        ).select(
+            F.col("src").alias("node"),
+            "d",
+            "n",
+            (
+                F.lit(1 - _PR_D) / F.col("n")
+                + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
         )
         if (i + 1) % _PR_CKPT_EVERY == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.repartition(parts, "node").localCheckpoint()
     out = ranks.select(
         "node",
         F.col("d").cast("long").alias("degree"),
