@@ -84,6 +84,9 @@ HEADLINE = [
     "curation_dsir_importance",
     "sample_weighted_without_replacement",
     "engine_bucketed_colocated_join",
+    "agg_countmin_heavy_hitters",
+    "graph_bfs_hops_from_cohort",
+    "funnel_attribution_models",
 ]
 
 

@@ -662,3 +662,107 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+_BFS_ROUNDS = 4
+
+
+def _bfs_oracle() -> str:
+    """Unrolled min-hop BFS (one CTE per round, same math as the Spark
+    frontier loop: a frontier expansion is exactly the min-aggregate
+    unrolling)."""
+    head = """
+WITH e AS (
+    SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+    SELECT 's' || s AS src, 'c' || c AS dst FROM e
+    UNION ALL
+    SELECT 'c' || c AS src, 's' || s AS dst FROM e
+), d0 AS (
+    SELECT DISTINCT 's' || s_suppkey AS node, 0 AS h
+    FROM supplier WHERE s_suppkey % 7 = 1
+)"""
+    its = []
+    for r in range(1, _BFS_ROUNDS + 1):
+        its.append(f""", d{r} AS (
+    SELECT node, MIN(h) AS h FROM (
+        SELECT node, h FROM d{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, {r} AS h
+        FROM edges e JOIN d{r - 1} p ON e.src = p.node
+    ) GROUP BY node
+)""")
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT node, CAST(h AS BIGINT) AS hops
+FROM d{_BFS_ROUNDS}"""
+    )
+
+
+@query("graph_bfs_hops_from_cohort", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (capped at 4 rounds) from
+    a supplier seed cohort (s_suppkey % 7 = 1 — present at every scale
+    factor) across the supplier↔customer trade graph —
+    the "blast radius" query shape (which accounts are within k hops of
+    this cohort), third member of the iterative-graph family after
+    connected components and PageRank.
+
+    Frontier form: each round expands ONLY the newly-reached frontier
+    (edges ⨝ broadcast(frontier), anti-join against the settled set), so
+    per-round work is proportional to the frontier's edge cut, not the
+    whole reached set — on a 100 TB graph with a small seed cohort the
+    early rounds touch a tiny fraction of edges. The settled set is
+    localCheckpoint'ed per round (each round references it twice: anti
+    join + union — unbounded lineage would double the subtree per round).
+    The oracle unrolls the equivalent min-aggregate recursion one CTE per
+    round; frontier expansion and min-unrolling are the same fixpoint.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    e = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .select("l_suppkey", "o_custkey")
+        .distinct()
+    )
+    sup = F.concat(F.lit("s"), F.col("l_suppkey"))
+    cus = F.concat(F.lit("c"), F.col("o_custkey"))
+    edges = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(sup.alias("src"), cus.alias("dst")),
+                    F.struct(cus.alias("src"), sup.alias("dst")),
+                )
+            ).alias("x")
+        )
+        .select("x.src", "x.dst")
+        .persist()
+    )
+    seeds = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") % 7 == 1)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+            F.lit(0).alias("h"),
+        )
+        .distinct()
+    )
+    dist = seeds.localCheckpoint()
+    frontier = dist
+    for r in range(1, _BFS_ROUNDS + 1):
+        nxt = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("h", F.lit(r))
+        )
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = dist.filter(F.col("h") == r)
+    out = dist.select("node", F.col("h").cast("long").alias("hops"))
+    edges.unpersist()
+    return out

@@ -13,7 +13,7 @@ aggregate over the daily rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_spark_models_spark.operators import query
@@ -526,4 +526,90 @@ def funnel_path_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.filter(
         F.col("browsed_then_bought") | F.col("errored_never_bought")
+    )
+
+
+@query(
+    "funnel_attribution_models",
+    oracle="""
+WITH purchases AS (
+    SELECT event_id AS p_id, user_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+), touches AS (
+    SELECT p.p_id, e.event_type AS touch_type, e.ts AS t_ts, e.event_id AS t_id
+    FROM purchases p
+    JOIN events e ON e.user_id = p.user_id
+     AND e.event_type IN ('view', 'click')
+     AND e.ts < p.p_ts
+     AND e.ts >= p.p_ts - INTERVAL 7 DAY
+), sized AS (
+    SELECT *,
+           COUNT(*) OVER (PARTITION BY p_id) AS n_touches,
+           ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rk_first,
+           ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) AS rk_last
+    FROM touches
+)
+SELECT touch_type,
+       COUNT(*) AS n_touches,
+       SUM(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) AS first_touch_wins,
+       SUM(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS last_touch_wins,
+       ROUND(SUM(1.0 / n_touches), 4) AS linear_credit
+FROM sized
+GROUP BY touch_type
+""",
+)
+def funnel_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution over the marketing-touch → purchase graph:
+    for every purchase, credit the view/click touches of the same user in
+    the prior 7 days under the three standard models at once —
+    first-touch (earliest touch takes the conversion), last-touch
+    (latest), and linear (1/n per touch). Ties break on event_id so every
+    model is deterministic. The reference's session-attribution marts
+    (``models/spark/b2b_mart/ss/ss_events_by_session.sql:95-134`` ordering
+    events inside sessions) are this shape with sessions for windows.
+
+    Plan: the purchase⨝touch join is keyed on user_id (equi) with the
+    time window as a residual predicate — per-user event lists are short,
+    so the join output is bounded; both rank windows and the count window
+    share ONE partition key (p_id) and sort spec reuse. No global window,
+    no cross join."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_uid"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_uid") == F.col("p_uid"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w_n = Window.partitionBy("p_id")
+    w_first = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    w_last = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id").desc()
+    )
+    sized = joined.select(
+        "p_id",
+        "touch_type",
+        F.count(F.lit(1)).over(w_n).alias("n_touches"),
+        F.row_number().over(w_first).alias("rk_first"),
+        F.row_number().over(w_last).alias("rk_last"),
+    )
+    return sized.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(F.when(F.col("rk_first") == 1, 1).otherwise(0)).alias(
+            "first_touch_wins"
+        ),
+        F.sum(F.when(F.col("rk_last") == 1, 1).otherwise(0)).alias(
+            "last_touch_wins"
+        ),
+        F.round(F.sum(1.0 / F.col("n_touches")), 4).alias("linear_credit"),
     )

@@ -523,3 +523,134 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos").cast("long").alias("n_pos"),
         F.sum("n_neg").cast("long").alias("n_neg"),
     )
+
+
+# Count-min sketch geometry: depth (independent hash rows) x width.
+# Cell hash j of token t = int(md5(t || '#cms' || j)[:8 hex]) % width —
+# portable, so the sketch contents (and its overestimates) are
+# deterministic and the DuckDB oracle rebuilds the identical sketch.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+@query(
+    "agg_countmin_heavy_hitters",
+    oracle=f"""
+WITH occ AS (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS token
+    FROM documents
+), cells AS (
+    SELECT j, ('0x' || substr(md5(token || '#cms' || j), 1, 8))::BIGINT
+               % {_CMS_WIDTH} AS bucket,
+           COUNT(*) AS c
+    FROM occ, UNNEST(generate_series(0, {_CMS_DEPTH - 1})) AS g(j)
+    GROUP BY j, bucket
+), exact AS (
+    SELECT token, COUNT(*) AS exact_cnt FROM occ GROUP BY token
+), top AS (
+    SELECT token, exact_cnt,
+           ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, token) AS rk
+    FROM exact
+), probes AS (
+    SELECT t.token, t.exact_cnt, t.rk, g.j,
+           ('0x' || substr(md5(t.token || '#cms' || g.j), 1, 8))::BIGINT
+               % {_CMS_WIDTH} AS bucket
+    FROM top t, UNNEST(generate_series(0, {_CMS_DEPTH - 1})) AS g(j)
+    WHERE t.rk <= 20
+)
+SELECT p.token, p.rk,
+       CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(c.c) AS BIGINT) AS cms_est,
+       CAST(MIN(c.c) - p.exact_cnt AS BIGINT) AS overcount
+FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY p.token, p.rk, p.exact_cnt
+""",
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, probed at the top-20 heavy
+    hitters: a 4x1024 counter grid where every token occurrence increments
+    one cell per hash row and a point estimate is the MIN over its 4 cells
+    — always an overestimate, by at most eN/width with probability
+    1-2^-depth.
+
+    This is the third mergeable sketch in the family (HLL = distinct,
+    Bloom = membership, CMS = frequency): the grid is a fixed 4096-long
+    array that merges across shards by cell-wise ADDITION — at 100 TB the
+    token-frequency table this replaces has billions of rows and a
+    full-key shuffle, while the CMS build is one map-side-combined
+    aggregate into 4096 cells and the probe side joins a broadcast grid.
+    Portable md5 cell hashes make the sketch bit-identical in DuckDB, so
+    the driver hash-gates the overestimates themselves (the `overcount`
+    column IS the sketch's collision error, deterministically reproduced).
+    The exact top-20 ranking comes from a full groupBy here so the oracle
+    can verify est >= exact cell by cell; a production 100 TB flow ranks
+    candidates BY the sketch instead and never materializes exact counts.
+    """
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    occ = d.select(F.explode(_tokens()).alias("token"))
+    js = F.array(*[F.lit(j) for j in range(_CMS_DEPTH)])
+    cells = (
+        occ.select(
+            F.explode(js).alias("j"),
+            F.col("token"),
+        )
+        .select(
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("token"), F.lit("#cms"), F.col("j"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CMS_WIDTH
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = occ.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    w = Window.partitionBy(F.col("token").isNotNull()).orderBy(
+        F.col("exact_cnt").desc(), "token"
+    )
+    top = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )
+    probes = top.select(
+        "token",
+        "rk",
+        "exact_cnt",
+        F.explode(js).alias("j"),
+    ).select(
+        "token",
+        "rk",
+        "exact_cnt",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("token"), F.lit("#cms"), F.col("j"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("token", "rk", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "token",
+            "rk",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+    )
