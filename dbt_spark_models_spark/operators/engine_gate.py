@@ -553,3 +553,88 @@ def engine_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "engine_snapshot_table_diff",
+    oracle="""
+WITH state_a AS (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spend,
+           MAX(CAST(o_orderdate AS DATE)) AS last_order
+    FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY o_custkey
+), state_b AS (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spend,
+           MAX(CAST(o_orderdate AS DATE)) AS last_order
+    FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    GROUP BY o_custkey
+), diff AS (
+    SELECT COALESCE(b.o_custkey, a.o_custkey) AS o_custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'removed'
+                WHEN a.n_orders != b.n_orders
+                     OR a.total_spend != b.total_spend
+                     OR a.last_order != b.last_order THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           b.n_orders AS new_n_orders,
+           b.total_spend AS new_total_spend
+    FROM state_a a FULL OUTER JOIN state_b b ON a.o_custkey = b.o_custkey
+)
+SELECT o_custkey, change_type, new_n_orders, new_total_spend
+FROM diff WHERE change_type != 'unchanged'
+""",
+)
+def engine_snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture table diff: compare two snapshots of the same
+    derived dimension (customer order-state as of cutoff A vs cutoff B)
+    and emit only the changed keys with their change_type
+    (added / removed / changed) — the day-over-day diff that drives the
+    reference's SCD2 snapshot merges (``plans/snapshots.py`` computes
+    exactly this classification internally) and, at 100 TB, the
+    "recompute only downstream rows whose inputs changed" optimization.
+
+    Scale: both states aggregate map-side before the single full-outer
+    join on the dimension key; the diff predicate is row-local column
+    comparison, and 'unchanged' rows (the overwhelming majority in a
+    daily diff) are filtered BEFORE any downstream consumer — the output
+    is sized by the day's churn, not the dimension.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    def state(cutoff: str) -> DataFrame:
+        return (
+            t["orders"]
+            .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+                F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            )
+        )
+    a = state("1999-01-01").alias("a")
+    b = state("2000-01-01").alias("b")
+    diff = a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_custkey").isNull(), "added")
+        .when(F.col("b.o_custkey").isNull(), "removed")
+        .when(
+            (F.col("a.n_orders") != F.col("b.n_orders"))
+            | (F.col("a.total_spend") != F.col("b.total_spend"))
+            | (F.col("a.last_order") != F.col("b.last_order")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        diff.select(
+            F.coalesce(F.col("b.o_custkey"), F.col("a.o_custkey")).alias(
+                "o_custkey"
+            ),
+            change.alias("change_type"),
+            F.col("b.n_orders").alias("new_n_orders"),
+            F.col("b.total_spend").alias("new_total_spend"),
+        )
+        .filter(F.col("change_type") != "unchanged")
+    )

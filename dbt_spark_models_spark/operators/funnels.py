@@ -613,3 +613,172 @@ def funnel_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum(1.0 / F.col("n_touches")), 4).alias("linear_credit"),
     )
+
+
+@query(
+    "window_interval_coverage",
+    oracle="""
+WITH iv AS (
+    SELECT user_id,
+           epoch_ms(ts) AS s_ms,
+           epoch_ms(ts) + 1800000 AS e_ms,
+           event_id
+    FROM events
+), flagged AS (
+    SELECT user_id, s_ms, e_ms,
+           CASE WHEN MAX(e_ms) OVER (PARTITION BY user_id ORDER BY s_ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR s_ms > MAX(e_ms) OVER (PARTITION BY user_id ORDER BY s_ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_island,
+           event_id
+    FROM iv
+), islands AS (
+    SELECT user_id, s_ms, e_ms,
+           SUM(new_island) OVER (PARTITION BY user_id ORDER BY s_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+    FROM flagged
+), merged AS (
+    SELECT user_id, island_id, MIN(s_ms) AS start_ms, MAX(e_ms) AS end_ms
+    FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+       COUNT(*) AS n_islands,
+       CAST(SUM(end_ms - start_ms) / 1000.0 AS DOUBLE) AS covered_sec
+FROM merged GROUP BY user_id
+""",
+)
+def window_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union / coverage (merge overlapping intervals): each event
+    opens a 30-minute activity interval; per user, merge the overlapping
+    intervals into islands and report island count + total covered
+    seconds. The canonical gaps-and-islands generalization the reference's
+    sessionization (``ss_events_by_session.sql:95-134``) is a special case
+    of — here the island rule is interval OVERLAP (running MAX of prior
+    interval ends), not a fixed inactivity gap.
+
+    Scale: all three window passes and the island aggregate share ONE
+    partition key (user_id) — a single shuffle; per-user state is the
+    running max end, O(1). Millisecond integer math end-to-end (no
+    timestamp arithmetic), so the oracle is bit-exact.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    iv = ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("s_ms"),
+        (F.unix_millis("ts") + F.lit(1800000)).alias("e_ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s_ms", "event_id")
+    prev_max_end = F.max("e_ms").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s_ms",
+        "e_ms",
+        F.when(
+            prev_max_end.isNull() | (F.col("s_ms") > prev_max_end), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+        "event_id",
+    )
+    islands = flagged.select(
+        "user_id",
+        "s_ms",
+        "e_ms",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island_id"),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s_ms").alias("start_ms"), F.max("e_ms").alias("end_ms")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        (F.sum(F.col("end_ms") - F.col("start_ms")) / 1000.0)
+        .cast("double")
+        .alias("covered_sec"),
+    )
+
+
+@query(
+    "spine_forward_fill_daily",
+    oracle="""
+WITH obs AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events WHERE event_type = 'purchase'
+), daily AS (
+    SELECT user_id, day, value FROM obs WHERE rk = 1
+), spine AS (
+    SELECT u.user_id, g.day
+    FROM (SELECT DISTINCT user_id FROM events) u,
+         (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                             DATE '2024-01-30',
+                                             INTERVAL 1 DAY)) AS DATE) AS day) g
+)
+SELECT s.user_id, s.day,
+       last_value(d.value IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value,
+       CASE WHEN d.value IS NULL THEN 0 ELSE 1 END AS is_observed
+FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+""",
+)
+def spine_forward_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grid forward fill (last observation carried forward): the
+    reference's ``*_daily_snapshot`` tables materialize "state as of each
+    day" from sparse change events — this is that shape as one operator.
+    Per user: the last purchase value of each day, left-joined onto a
+    complete date spine (``EXPLODE(SEQUENCE(...))``, the reference's date
+    spine idiom, ``models/spark/onfy/stock_monitoring.sql:16``), then
+    LOCF via ``last(value, ignorenulls=True)`` over an unbounded-preceding
+    frame.
+
+    Scale: the spine explodes per-user (30 rows/user — no users×days
+    cross join materialized on the driver); the dedup window, the spine
+    join, and the fill window all key on user_id — one shuffle
+    end-to-end. Carried state per user is one value. Values pass through
+    untouched (no float math), so the oracle is bit-exact.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("day"), "value", "ts",
+                "event_id")
+        .withColumn("rk", F.row_number().over(w_day))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "day", "value")
+    )
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-01-30").cast("date"),
+                )
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("value", ignorenulls=True).over(w_fill).alias("filled_value"),
+        F.when(F.col("value").isNull(), 0).otherwise(1).alias("is_observed"),
+    )

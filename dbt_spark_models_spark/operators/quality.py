@@ -654,3 +654,268 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
         )
     )
+
+
+@query(
+    "eval_calibration_curve",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT 1.0 / (1.0 + EXP(-ROUND(LN(1 + len(tokens)) * 0.5
+                 + (len(list_distinct(tokens)) / len(tokens)) * 1.5
+                 - (len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+                    / len(tokens)) * 3.0, 6))) AS p,
+           CASE WHEN lang IN ('en', 'es') THEN 1 ELSE 0 END AS y
+    FROM toks WHERE len(tokens) > 0
+)
+SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(p), 6) AS mean_pred,
+       ROUND(AVG(CAST(y AS DOUBLE)), 6) AS frac_pos,
+       ROUND(AVG(p) - AVG(CAST(y AS DOUBLE)), 6) AS calib_gap
+FROM scored GROUP BY bin
+""",
+)
+def eval_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration curve) for the same quality
+    classifier ``eval_classifier_auc`` grades: sigmoid the 6-decimal
+    quantized score into a probability, bucket into 10 fixed-width bins,
+    and report mean predicted probability vs observed positive rate per
+    bin — the standard companion metric to AUC (AUC says the ranking is
+    right; calibration says the probabilities mean what they claim).
+
+    Scale: fixed-width bins need NO global statistics (contrast
+    quantile-based bins, which need a distributed quantile pass first) —
+    the whole metric is one map-side-combined groupBy on a 10-value key.
+    The per-doc sigmoid is row-local column math over the quantized
+    score, so the bin assignment is deterministic and the oracle
+    reproduces it exactly.
+    """
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    scored = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            (
+                1.0
+                / (
+                    1.0
+                    + F.exp(
+                        -F.round(
+                            F.log(F.lit(1) + n_tok) * 0.5
+                            + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
+                            - (
+                                F.size(
+                                    F.filter(
+                                        "tokens", lambda x: x.rlike("^[0-9]+$")
+                                    )
+                                )
+                                / n_tok
+                            )
+                            * 3.0,
+                            6,
+                        )
+                    )
+                )
+            ).alias("p"),
+            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("p"), 6).alias("mean_pred"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias("frac_pos"),
+            F.round(
+                F.avg("p") - F.avg(F.col("y").cast("double")), 6
+            ).alias("calib_gap"),
+        )
+    )
+
+
+@query(
+    "train_group_ols_regression",
+    oracle="""
+WITH joined AS (
+    SELECT p.p_brand,
+           CAST(l.l_quantity AS DOUBLE) AS x,
+           CAST(l.l_extendedprice AS DOUBLE) AS y
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), stats AS (
+    SELECT p_brand, COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM joined GROUP BY p_brand
+)
+SELECT p_brand, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS intercept,
+       ROUND(POW(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM stats
+""",
+)
+def train_group_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (price-vs-quantity slope per part brand):
+    simple linear regression fitted for EVERY group in one pass from the
+    five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — the grouped
+    companion to ``train_logreg_quality_weights``'s iterative GD, and the
+    standard "thousands of tiny models" shape (one fit per brand / SKU /
+    region) that per-group scikit loops cannot do at corpus scale.
+
+    Scale: ONE map-side-combined groupBy — the sufficient statistics are
+    associative sums, so partials combine before the shuffle and the fit
+    itself is row-local arithmetic on the 25-row stats table. No
+    per-group data movement, no driver loop, no UDF. Both engines
+    evaluate the identical normal-equation formula, so cancellation
+    behaves identically and drift is summation-order only (~1e-15
+    relative; results rounded to 6 decimals).
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "p_brand",
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        )
+    )
+    stats = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return stats.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@query(
+    "quality_profile_table_stats",
+    oracle="""
+WITH base AS (
+    SELECT CAST(o_orderkey AS VARCHAR) AS c_orderkey,
+           CAST(o_custkey AS VARCHAR) AS c_custkey,
+           o_orderstatus, o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS c_totalprice,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS c_orderdate,
+           o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+)
+SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_orderkey) AS n_null,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+FROM base
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM base
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+FROM base
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+       MAX(o_orderpriority)
+FROM base
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+       CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+FROM base
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate),
+       CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+       CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+FROM base
+""",
+)
+def quality_profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling: per column, row count / null count /
+    exact distinct count / min / max — the data-quality profile every
+    warehouse job runs before trusting an input (the reference's singular
+    null-rate and duplicate-key tests, e.g.
+    ``tests/spark/pulse/brand_name_absolute_null_check.sql:1-9``, are
+    hand-written slices of exactly this).
+
+    Scale: ALL columns profile in a single scan — one global aggregate
+    whose multi-distinct Catalyst plans via Expand (one shuffle), then the
+    6-row wide result unpivots row-locally via ``stack``. Never one scan
+    per column. Numeric min/max are canonicalized (decimal / date casts)
+    so the string forms are engine-portable.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for c, mn, mx in [
+                ("o_orderkey", F.min("o_orderkey").cast("string"),
+                 F.max("o_orderkey").cast("string")),
+                ("o_custkey", F.min("o_custkey").cast("string"),
+                 F.max("o_custkey").cast("string")),
+                ("o_orderstatus", F.min("o_orderstatus"),
+                 F.max("o_orderstatus")),
+                ("o_orderpriority", F.min("o_orderpriority"),
+                 F.max("o_orderpriority")),
+                ("o_totalprice",
+                 F.min("o_totalprice").cast("decimal(18,2)").cast("string"),
+                 F.max("o_totalprice").cast("decimal(18,2)").cast("string")),
+                ("o_orderdate",
+                 F.min(F.col("o_orderdate").cast("date")).cast("string"),
+                 F.max(F.col("o_orderdate").cast("date")).cast("string")),
+            ]
+            for x in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                mn.alias(f"min_{c}"),
+                mx.alias(f"max_{c}"),
+            )
+        ],
+    )
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderdate",
+    ]
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, nd_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_null, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
