@@ -87,6 +87,20 @@ HEADLINE = [
     "agg_countmin_heavy_hitters",
     "graph_bfs_hops_from_cohort",
     "funnel_attribution_models",
+    # round-3 continuation (session 3): interval coverage, LOCF spine
+    # fill, calibration, grouped OLS, CDC diff, one-pass profiling,
+    # bitmap-exact distinct, multigrain rollup reuse. (The containment
+    # and edit-distance joins are oracle-gated but not benched — like
+    # the exact-Jaccard joins, their runtime on this adversarially dense
+    # synthetic corpus is output-volume-bound, not plan-bound.)
+    "window_interval_coverage",
+    "spine_forward_fill_daily",
+    "eval_calibration_curve",
+    "train_group_ols_regression",
+    "engine_snapshot_table_diff",
+    "quality_profile_table_stats",
+    "agg_bitmap_exact_distinct",
+    "agg_multigrain_rollup_reuse",
 ]
 
 

@@ -389,3 +389,75 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_multigrain_rollup_reuse",
+    oracle="""
+WITH daily AS (
+    SELECT n.n_name,
+           CAST(o.o_orderdate AS DATE) AS day,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS day_rev,
+           COUNT(*) AS day_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, day
+)
+SELECT n_name,
+       CAST(date_trunc('month', day) AS DATE) AS month,
+       ROUND(CAST(SUM(day_rev) AS DOUBLE), 2) AS month_rev,
+       SUM(day_orders) AS month_orders,
+       COUNT(*) AS n_active_days
+FROM daily GROUP BY n_name, month
+""",
+)
+def agg_multigrain_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate / hypertable rollup chain: the monthly grain
+    is computed FROM the daily partial aggregate, never from raw orders —
+    the TimescaleDB/Materialize "continuous aggregate" pattern and the
+    batch analogue of the reference's incremental daily marts feeding
+    monthly dashboards (``models/spark/base/active_devices.sql`` daily →
+    month_msk rollups).
+
+    Scale: at 100 TB the daily partial is ~1/1000th of raw and is the
+    ONLY thing the monthly (and quarterly, and yearly) grain ever reads —
+    re-aggregating raw data per grain multiplies the dominant scan cost
+    by the number of grains. Correct reuse requires every measure to be
+    re-aggregable from partials (sums of DECIMAL — exact and associative,
+    counts, and COUNT(day-row) for active days); a non-reaggregable
+    measure (exact median) must stay at its native grain or use a
+    mergeable sketch instead. The oracle evaluates the identical
+    two-level plan, so values match bit-for-bit.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    daily = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(
+            "n_name", F.col("o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "day_rev"
+            ),
+            F.count(F.lit(1)).alias("day_orders"),
+        )
+    )
+    return (
+        daily.groupBy(
+            "n_name", F.date_trunc("month", "day").cast("date").alias("month")
+        )
+        .agg(
+            F.round(F.sum("day_rev").cast("double"), 2).alias("month_rev"),
+            F.sum("day_orders").alias("month_orders"),
+            F.count(F.lit(1)).alias("n_active_days"),
+        )
+    )

@@ -906,3 +906,102 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         edit.alias("edit_dist"),
         F.round(edit / longest, 4).alias("rel_dist"),
     ).filter(F.col("edit_dist") <= 0.25 * longest)
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle="""
+WITH tok AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS token
+    FROM documents
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id != b.doc_id
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common / sa.sz, 4) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 10 >= sa.sz * 9
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional set-CONTAINMENT join at t=0.9: emit (doc_a, doc_b)
+    where ≥90% of doc_a's distinct tokens appear in doc_b — the
+    quote/excerpt/subset detector that symmetric Jaccard misses (a
+    paragraph quoted inside a long article has high containment but low
+    Jaccard). Deduplicating "A is inside B" pairs keeps the superset
+    document; symmetric near-dup keeps either.
+
+    Lossless asymmetric prefix filter (the JOIN algorithm of Xiao et
+    al.'s prefix family): only the PROBE side (A) prunes to its
+    df-ordered prefix of sz−⌈t·sz⌉+1 rare tokens — if containment ≥ t,
+    at most ⌊(1−t)·sz_a⌋ of A's tokens miss B, so one prefix token must
+    hit B's full posting list. The index side must stay complete (the
+    matching token may be anywhere in B) — that asymmetry is inherent to
+    containment, so candidate volume is bounded by the PROBE prefix
+    (rare tokens only) times posting length, plus the length filter
+    sz_b·10 ≥ sz_a·9 (B can't contain what it can't hold). Verification
+    is row-local ``array_intersect`` on the two token arrays. The oracle
+    is the UNFILTERED directional ground truth, so the driver verifies
+    losslessness itself.
+    """
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    base = (
+        d.select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+        .withColumn("sz", F.size("toks").cast("long"))
+        .persist()
+    )
+    tok = base.select("doc_id", "sz", F.explode("toks").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "token")
+    prefix = (
+        tok.join(dfreq, "token")
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(
+            F.col("rk")
+            <= F.col("sz")
+            - F.floor((9 * F.col("sz") + 9) / 10).cast("long")
+            + 1
+        )
+        .select("doc_id", "sz", "token")
+    )
+    pa, ib = prefix.alias("pa"), tok.alias("ib")
+    cand = (
+        pa.join(
+            ib,
+            (F.col("pa.token") == F.col("ib.token"))
+            & (F.col("pa.doc_id") != F.col("ib.doc_id"))
+            # length filter: n_common <= sz_b, so sz_b*10 >= sz_a*9 or prune
+            & (F.col("ib.sz") * 10 >= F.col("pa.sz") * 9),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ba, bb = base.alias("ba"), base.alias("bb")
+    return (
+        cand.join(ba, F.col("ba.doc_id") == F.col("doc_a"))
+        .join(bb, F.col("bb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ba.toks", "bb.toks"))
+            .cast("long")
+            .alias("n_common"),
+            F.col("ba.sz").alias("sz_a"),
+        )
+        .filter(F.col("n_common") * 10 >= F.col("sz_a") * 9)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common") / F.col("sz_a"), 4).alias("containment"),
+        )
+    )

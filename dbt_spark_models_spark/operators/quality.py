@@ -919,3 +919,49 @@ def quality_profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(column_name, n_null, n_distinct, min_val, max_val)",
         "n_rows",
     ).select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+@query(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(date_trunc('month', ts) AS DATE) AS month,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type, month
+""",
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through mergeable bitmaps (Spark 3.5+
+    ``bitmap_construct_agg`` family) — the fourth mergeable structure in
+    the family and the only exact one: HLL estimates distinct, Bloom
+    answers membership, CMS estimates frequency, bitmaps COUNT exactly
+    and still merge with OR.
+
+    The plan is the 100 TB pattern Snowflake/ClickHouse ship for exact
+    rollup distinct: user ids bucket into 32k-bit segments
+    (``bitmap_bucket_number``), each (type, day, bucket) partial
+    aggregates map-side into a bitmap, daily partials merge into months
+    with ``bitmap_or_agg`` — so the monthly grain NEVER re-shuffles raw
+    user ids, only fixed-size bitmap segments, and a day→month→year
+    rollup chain reuses the same partials at every grain. The oracle is
+    plain COUNT(DISTINCT): the bitmap path must reproduce it exactly.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            F.col("ts").cast("date").alias("day"),
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "month", "day", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    monthly = daily.groupBy("event_type", "month", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return monthly.groupBy("event_type", "month").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
