@@ -20,9 +20,14 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "run", "seed", "snapshot", "test", "build", "compile", "lint", "docs",
+            "jobs-graph",
         ],
     )
     ap.add_argument("--target-dir", default=None)
+    ap.add_argument(
+        "--schedule", default=None,
+        help="dags_schedule-style YAML/JSON for jobs-graph (default: one DAG)",
+    )
     ap.add_argument("--project", required=True)
     ap.add_argument("--database", default=None)
     ap.add_argument("--select", nargs="*", default=None)
@@ -45,6 +50,13 @@ def main(argv: list[str] | None = None) -> int:
         ):
             jinja.parse_node(project, node)
         print(write_manifest(project, args.target_dir))
+        return 0
+
+    if args.command == "jobs-graph":
+        # deploy-time Airflow export (deploy.sh:20-22), no Spark needed
+        from dbt_spark_models_spark.plans.orchestration import write_jobs_graph
+
+        print(write_jobs_graph(project, args.schedule, args.target_dir))
         return 0
 
     if args.command == "lint":
