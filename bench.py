@@ -101,6 +101,12 @@ HEADLINE = [
     "quality_profile_table_stats",
     "agg_bitmap_exact_distinct",
     "agg_multigrain_rollup_reuse",
+    # round-3 continuation (session 4): distributed BPE merge training
+    # (iterative scan-count-merge rounds), grouped-agg Pandas UDAF path,
+    # PSI distribution-drift monitor
+    "train_bpe_merges",
+    "pandas_udaf_weighted_median",
+    "quality_distribution_drift",
 ]
 
 

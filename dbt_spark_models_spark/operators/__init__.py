@@ -64,6 +64,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         reshape,
         grouped_pandas,
+        tokenizer,
         skew,
         pysource_gate,
         udtf_gate,

@@ -120,3 +120,54 @@ def pandas_udf_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(nfc(F.col("raw"))).cast("long").alias("norm_len"),
         (nfc(F.col("raw")) != F.col("raw")).alias("changed"),
     )
+
+
+@query(
+    "pandas_udaf_weighted_median",
+    oracle="""
+WITH per_value AS (
+    SELECT l_returnflag, l_extendedprice AS v, SUM(l_quantity) AS w
+    FROM lineitem GROUP BY 1, 2
+), cum AS (
+    SELECT l_returnflag, v,
+           SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+           SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+    FROM per_value
+)
+SELECT l_returnflag,
+       ROUND(MIN(v), 2) AS weighted_median_price
+FROM cum WHERE cw >= tw / 2
+GROUP BY l_returnflag
+""",
+)
+def pandas_udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag through a GROUPED-AGG
+    Pandas UDF (Series -> scalar) — the UDAF flavor of the Pandas surface
+    (scalar / grouped-map / UDTF are covered elsewhere), hash-gated against
+    the cumulative-weight window formulation in SQL.
+
+    Tie semantics: weights are summed per DISTINCT value before the
+    cumulative scan, so the Python path reproduces the SQL window's
+    RANGE-frame behavior exactly.
+
+    Scale: grouped-agg UDFs get partial Arrow batches per partition only
+    when the plan allows; here the group key is low-cardinality, so the
+    one shuffle is on l_returnflag and each group streams through Python
+    once. For high-cardinality keys prefer built-in aggregates; this shape
+    is for small-group custom math."""
+
+    @F.pandas_udf("double")
+    def wmedian(v: pd.Series, w: pd.Series) -> float:
+        per_value = (
+            pd.DataFrame({"v": v, "w": w}).groupby("v", sort=True)["w"].sum()
+        )
+        cw = per_value.cumsum()
+        total = per_value.sum()
+        return round(float(cw.index[(cw >= total / 2).argmax()]), 2)
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        wmedian(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "weighted_median_price"
+        )
+    )

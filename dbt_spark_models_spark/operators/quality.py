@@ -958,3 +958,70 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.groupBy("event_type", "month").agg(
         F.sum(F.bitmap_count("bm")).alias("n_users")
     )
+
+
+@query(
+    "quality_distribution_drift",
+    oracle="""
+WITH flagged AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_a
+    FROM events
+), counts AS (
+    SELECT event_type, SUM(is_a) AS n_a, SUM(1 - is_a) AS n_b
+    FROM flagged GROUP BY 1
+), probs AS (
+    SELECT event_type, n_a, n_b,
+           (n_a + 1.0) / (SUM(n_a) OVER () + COUNT(*) OVER ()) AS p_a,
+           (n_b + 1.0) / (SUM(n_b) OVER () + COUNT(*) OVER ()) AS p_b
+    FROM counts
+)
+SELECT event_type, n_a, n_b,
+       ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b,
+       ROUND((p_a - p_b) * LN(p_a / p_b), 6) AS psi_term,
+       ROUND(SUM((p_a - p_b) * LN(p_a / p_b)) OVER (), 6) AS psi_total
+FROM probs
+""",
+)
+def quality_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index (PSI) drift monitor: event_type mix in
+    the first half of the month vs the second, with add-one (Laplace)
+    smoothing so a category vanishing from one period yields a finite,
+    comparable term instead of log(0). The standard pre-training guard
+    against a source's composition silently shifting between snapshots.
+
+    Scale: one map-side-combined groupBy over the fact table; everything
+    after is windows over #categories rows (the isNotNull partition key is
+    non-foldable, so no empty-partition-spec global sort on real data)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    counts = (
+        ev.select(
+            "event_type",
+            (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("a"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("a")).alias("n_a"),
+            F.count_if(~F.col("a")).alias("n_b"),
+        )
+    )
+    tot = Window.partitionBy(F.col("event_type").isNotNull())
+    p_a = (F.col("n_a") + 1.0) / (
+        F.sum("n_a").over(tot) + F.count(F.lit(1)).over(tot)
+    )
+    p_b = (F.col("n_b") + 1.0) / (
+        F.sum("n_b").over(tot) + F.count(F.lit(1)).over(tot)
+    )
+    probs = counts.select(
+        "event_type", "n_a", "n_b", p_a.alias("p_a"), p_b.alias("p_b")
+    )
+    term = (F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b"))
+    return probs.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("p_a", 6).alias("p_a"),
+        F.round("p_b", 6).alias("p_b"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(tot), 6).alias("psi_total"),
+    )

@@ -1,0 +1,84 @@
+"""Invariant tests for the round-3 session-4 operators (value-level
+correctness is the DuckDB oracle gate; these check the semantic properties
+the oracle can't express)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.operators.grouped_pandas import (
+    pandas_udaf_weighted_median,
+)
+from dbt_spark_models_spark.operators.quality import quality_distribution_drift
+from dbt_spark_models_spark.operators.tokenizer import train_bpe_merges
+from dbt_spark_models_spark.sources.testdata import load_tables
+
+
+def test_bpe_merges_monotone_and_recounted(spark, sf_dir):
+    rows = sorted(train_bpe_merges(spark, sf_dir).collect(), key=lambda r: r[0])
+    assert [r["merge_round"] for r in rows] == [1, 2, 3]
+    # pair frequency of the chosen merge can never increase round over
+    # round: a merge only removes pair occurrences, and round r's top was
+    # already available (and not chosen) in round r-1 unless it was created
+    # or kept; the chosen max is non-increasing.
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c >= 1 for c in counts)
+    # round 1's top pair must equal the brute-force most frequent adjacent
+    # token pair computed independently
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+    )
+    brute = (
+        d.select(tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(tk, 1, size(tk) - 1),"
+                    " slice(tk, 2, size(tk) - 1),"
+                    " (a, b) -> struct(a AS l, b AS r))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.l", "p.r")
+        .count()
+        .orderBy(F.col("count").desc(), "l", "r")
+        .first()
+    )
+    assert (rows[0]["l_tok"], rows[0]["r_tok"]) == (brute["l"], brute["r"])
+    assert rows[0]["pair_count"] == brute["count"]
+
+
+def test_weighted_median_is_a_price_and_bounded(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    bounds = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+        .collect()
+    }
+    for r in pandas_udaf_weighted_median(spark, sf_dir).collect():
+        lo, hi = bounds[r["l_returnflag"]]
+        assert lo <= r["weighted_median_price"] <= hi
+
+
+def test_psi_drift_probabilities_and_total(spark, sf_dir):
+    rows = quality_distribution_drift(spark, sf_dir).collect()
+    assert rows
+    # smoothed probabilities form (near-)distributions; psi_total is the
+    # same on every row and equals the sum of terms
+    for col in ("p_a", "p_b"):
+        s = sum(r[col] for r in rows)
+        assert math.isclose(s, 1.0, abs_tol=1e-4)
+    totals = {r["psi_total"] for r in rows}
+    assert len(totals) == 1
+    assert math.isclose(
+        totals.pop(), sum(r["psi_term"] for r in rows), abs_tol=1e-5
+    )
+    # identical periods would give PSI 0; drift is always >= 0 in total
+    assert all(r["n_a"] + r["n_b"] > 0 for r in rows)
+    assert sum(r["psi_term"] for r in rows) >= -1e-12
