@@ -48,6 +48,10 @@ def _fresh_db(spark: SparkSession, db: str) -> None:
     spark.sql(f"CREATE DATABASE {db} LOCATION '/tmp/spark_models_engine/{db}'")
 
 
+# (session id, sf_dir) → db of an already-built SCD2 history (see
+# engine_scd2_snapshot docstring)
+_SCD2_CACHE: dict[tuple[int, str], str] = {}
+
 # (session id, sf_dir) → db of an already-built mini-mart. Several gate
 # queries verify different tables of the SAME project build; rebuilding it
 # per query doubled the driver's per-round grading cost for nothing.
@@ -265,10 +269,24 @@ def engine_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     invalidate_hard_deletes): batch 2 reprices every 10th part (new
     version), drops every (k%97==3)rd part (hard delete). The oracle
     reconstructs the full expected history — verifying close/open/delete
-    transitions, not just current rows."""
+    transitions, not just current rows.
+
+    The built history is memoized per (session, sf_dir) — same pattern and
+    rationale as ``_shared_mini_mart``: the point-in-time gate reuses this
+    table, and the db name is derived from sf_dir so interleaved grading
+    across scale factors never serves stale data."""
+    import hashlib
+
     from dbt_spark_models_spark.plans.snapshots import snapshot
 
-    db = "engine_gate_scd2"
+    db = "engine_gate_scd2_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    key = (id(spark), sf_dir)
+    if _SCD2_CACHE.get(key) == db and spark.catalog.tableExists(
+        f"{db}.dim_product"
+    ):
+        return spark.table(f"{db}.dim_product").select(
+            "product_id", "name", "price", "dbt_valid_from", "dbt_valid_to"
+        )
     _fresh_db(spark, db)
     part = load_tables(spark, sf_dir, ("part",))["part"]
     cfg = dict(
@@ -301,6 +319,7 @@ def engine_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     snapshot(spark, "dim_product", b2, cfg, db, run_ts="2024-02-02 00:00:00")
+    _SCD2_CACHE[key] = db
     return spark.table(f"{db}.dim_product").select(
         "product_id", "name", "price", "dbt_valid_from", "dbt_valid_to"
     )
@@ -637,4 +656,95 @@ def engine_snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.total_spend").alias("new_total_spend"),
         )
         .filter(F.col("change_type") != "unchanged")
+    )
+
+
+@query(
+    "engine_scd2_point_in_time_join",
+    oracle="""
+WITH v1 AS (
+    SELECT p_partkey AS product_id, p_name AS name,
+           ROUND(p_retailprice, 2) AS price,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+    FROM part
+), hist AS (
+    SELECT v1.product_id, v1.price, v1.valid_from AS dbt_valid_from,
+           CASE WHEN v1.product_id % 97 = 3
+                  THEN TIMESTAMP '2024-02-02 00:00:00'
+                WHEN v1.product_id % 10 = 0
+                  THEN TIMESTAMP '2024-02-01 00:00:00'
+                ELSE NULL END AS dbt_valid_to
+    FROM v1
+    UNION ALL
+    SELECT product_id, ROUND(price * 1.1, 2) AS price,
+           TIMESTAMP '2024-02-01 00:00:00' AS dbt_valid_from,
+           NULL AS dbt_valid_to
+    FROM v1 WHERE product_id % 10 = 0 AND product_id % 97 <> 3
+), facts AS (
+    SELECT l_partkey AS product_id,
+           CASE l_orderkey % 3
+                WHEN 0 THEN TIMESTAMP '2024-01-15 00:00:00'
+                WHEN 1 THEN TIMESTAMP '2024-02-01 12:00:00'
+                ELSE TIMESTAMP '2024-03-01 00:00:00' END AS as_of
+    FROM lineitem
+)
+SELECT f.as_of, COUNT(*) AS n_items,
+       COUNT(DISTINCT f.product_id) AS n_products,
+       CAST(ROUND(SUM(CAST(h.price AS DECIMAL(18, 6))), 2) AS DOUBLE)
+           AS total_price
+FROM facts f
+JOIN hist h
+  ON h.product_id = f.product_id
+ AND h.dbt_valid_from <= f.as_of
+ AND (h.dbt_valid_to IS NULL OR f.as_of < h.dbt_valid_to)
+GROUP BY f.as_of
+""",
+)
+def engine_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of facts to the SCD2 history the engine's own
+    snapshot materialization produced (reference consumers do exactly this
+    against the 54 ``*_snapshot`` tables, e.g.
+    ``snapshots/spark/b2b_mart/scd2_merchant_orders_v2_snapshot.sql``):
+    each lineitem is stamped with one of three as-of times spanning both
+    snapshot batches, then joined to the version valid at that instant
+    (``valid_from <= t < valid_to``). The per-as-of totals catch
+    wrong-version joins (repriced v2 rows), unclosed intervals, and
+    hard-delete leakage (deleted products must vanish from the 2024-03-01
+    slice) in one 3-row result.
+
+    Scale: the SCD2 dim is dimension-sized → broadcast hash join on the
+    equi key with the validity range as a post-join filter; a fact-sized
+    history would use the range-bin co-location pattern (joins.py)
+    instead. Price totals accumulate in DECIMAL so the sum is exact and
+    associative across any partitioning."""
+    dim = engine_scd2_snapshot(spark, sf_dir)
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    facts = li.select(
+        F.col("l_partkey").alias("product_id"),
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("2024-01-15 00:00:00"))
+        .when(F.col("l_orderkey") % 3 == 1, F.lit("2024-02-01 12:00:00"))
+        .otherwise(F.lit("2024-03-01 00:00:00"))
+        .cast("timestamp")
+        .alias("as_of"),
+    )
+    j = facts.join(
+        F.broadcast(dim.select("product_id", "price", "dbt_valid_from", "dbt_valid_to")),
+        on=(
+            (dim["product_id"] == facts["product_id"])
+            & (F.col("dbt_valid_from") <= F.col("as_of"))
+            & (
+                F.col("dbt_valid_to").isNull()
+                | (F.col("as_of") < F.col("dbt_valid_to"))
+            )
+        ),
+    )
+    return (
+        j.groupBy("as_of")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct(facts["product_id"]).alias("n_products"),
+            F.round(F.sum(F.col("price").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
     )
