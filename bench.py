@@ -107,6 +107,8 @@ HEADLINE = [
     "train_bpe_merges",
     "pandas_udaf_weighted_median",
     "quality_distribution_drift",
+    "eval_ks_statistic",
+    "graph_kcore_peel",
 ]
 
 

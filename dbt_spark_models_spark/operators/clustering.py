@@ -766,3 +766,88 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dist.select("node", F.col("h").cast("long").alias("hops"))
     edges.unpersist()
     return out
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    # every e{r} is referenced three times by round r+1 (degree count x2 +
+    # filter base); without MATERIALIZED the CTE tree re-evaluates
+    # exponentially across the unroll (measured 53 s -> sub-second)
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", a{r} AS MATERIALIZED (
+    SELECT node FROM (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1}
+        ) GROUP BY node
+    ) WHERE d >= {k}
+), e{r} AS MATERIALIZED (
+    SELECT e.u, e.v FROM e{r - 1} e
+    JOIN a{r} au ON au.node = e.u
+    JOIN a{r} av ON av.node = e.v
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, COUNT(*) AS degree FROM (
+    SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+) GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peel (k=3, 4 synchronous rounds) over the part co-purchase
+    graph: each round drops nodes whose CURRENT degree is below k, then
+    removes their edges; survivors approach the 3-core (the dense
+    backbone used for graph-based curation and spam/bot candidate
+    pruning). Fixed-round semantics keep the unrolled SQL oracle exact —
+    full-fixpoint peeling is the same loop with the CC-style 1-row
+    convergence probe (``dedup_connected_components``).
+
+    Scale: each round is one map-side-combined degree count + two
+    semi-joins keyed on the edge endpoints — no all-pairs stage, work
+    shrinks monotonically as edges are peeled. Per-round persist bounds
+    lineage (each round's edges feed the degree count AND both
+    semi-joins)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    ).persist()
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        # eager localCheckpoint: materializes THIS round before the
+        # parent unpersists (a lazy persist here recomputes the whole
+        # peel chain every round) and cuts the per-round lineage
+        nxt = edges.join(
+            keep.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+        nxt = nxt.localCheckpoint()
+        edges.unpersist()
+        edges = nxt
+    out = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return out

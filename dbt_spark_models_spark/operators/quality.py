@@ -1025,3 +1025,63 @@ def quality_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(tot), 6).alias("psi_total"),
     )
+
+
+@query(
+    "eval_ks_statistic",
+    oracle="""
+WITH g AS (
+    SELECT ROUND(value, 4) AS bucket,
+           SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_a,
+           SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS n_b
+    FROM events GROUP BY 1
+), c AS (
+    SELECT SUM(n_a) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) * 1.0
+               / SUM(n_a) OVER () AS cdf_a,
+           SUM(n_b) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) * 1.0
+               / SUM(n_b) OVER () AS cdf_b
+    FROM g
+)
+SELECT ROUND(MAX(ABS(cdf_a - cdf_b)), 6) AS ks_d,
+       (SELECT SUM(n_a) FROM g) AS n_a,
+       (SELECT SUM(n_b) FROM g) AS n_b
+FROM c
+""",
+)
+def eval_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov D between the event-value
+    distributions of the two month halves — the continuous-variable
+    companion to ``quality_distribution_drift``'s categorical PSI.
+
+    Sort-free at corpus scale, same trick as ``eval_classifier_auc``:
+    values quantize to 4-decimal buckets, so the only ordered pass is a
+    cumulative window over the BOUNDED bucket table (distinct buckets ≤
+    value-range / step, independent of row count; for unbounded ranges
+    substitute quantile bins). The fact scan is one map-side-combined
+    groupBy."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    g = (
+        ev.select(
+            F.round("value", 4).alias("bucket"),
+            (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("a"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count_if(F.col("a")).alias("n_a"),
+            F.count_if(~F.col("a")).alias("n_b"),
+        )
+    )
+    part = Window.partitionBy(F.col("bucket").isNotNull())
+    ordered = part.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf_a = F.sum("n_a").over(ordered) / F.sum("n_a").over(part)
+    cdf_b = F.sum("n_b").over(ordered) / F.sum("n_b").over(part)
+    c = g.select(
+        F.abs(cdf_a - cdf_b).alias("d"), F.col("n_a"), F.col("n_b")
+    )
+    return c.groupBy().agg(
+        F.round(F.max("d"), 6).alias("ks_d"),
+        F.sum("n_a").alias("n_a"),
+        F.sum("n_b").alias("n_b"),
+    )

@@ -82,3 +82,43 @@ def test_psi_drift_probabilities_and_total(spark, sf_dir):
     # identical periods would give PSI 0; drift is always >= 0 in total
     assert all(r["n_a"] + r["n_b"] > 0 for r in rows)
     assert sum(r["psi_term"] for r in rows) >= -1e-12
+
+
+def test_kcore_survivors_are_plausible(spark, sf_dir):
+    from dbt_spark_models_spark.operators.clustering import (
+        _KCORE_K,
+        graph_kcore_peel,
+    )
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    co = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    orig_deg = {
+        r["node"]: r["d"]
+        for r in co.select(F.col("u").alias("node"))
+        .unionAll(co.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    rows = graph_kcore_peel(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # peeling only removes edges: degree can't grow, and a survivor
+        # must have had original degree >= k (necessary condition)
+        assert 1 <= r["degree"] <= orig_deg[r["node"]]
+        assert orig_deg[r["node"]] >= _KCORE_K
+
+
+def test_ks_statistic_bounds(spark, sf_dir):
+    from dbt_spark_models_spark.operators.quality import eval_ks_statistic
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    total = ev.count()
+    row = eval_ks_statistic(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["ks_d"] <= 1.0
+    assert row["n_a"] + row["n_b"] == total
+    assert row["n_a"] > 0 and row["n_b"] > 0
