@@ -48,7 +48,12 @@ def source_python_datasource_jsonl(spark: SparkSession, sf_dir: str) -> DataFram
     out = "/tmp/spark_models_engine/pyds_" + hashlib.md5(
         sf_dir.encode()
     ).hexdigest()[:10]
-    d.select("doc_id", "lang", "text").write.mode("overwrite").json(out)
+    # 4 splits keeps the multi-partition contract under test while not
+    # paying 32 Python-worker startups for a dimension-sized gate input
+    # (the connector itself is split-count-agnostic)
+    d.select("doc_id", "lang", "text").coalesce(4).write.mode(
+        "overwrite"
+    ).json(out)
     back = spark.read.format("jsonl_lines").option("path", out).load()
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -99,6 +104,7 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     shutil.rmtree(out, ignore_errors=True)
     (
         d.select("doc_id", "lang", "text")
+        .coalesce(4)  # same split-count note as the reader gate above
         .write.format("jsonl_lines")
         .option("path", out)
         .mode("append")
