@@ -1005,3 +1005,175 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_common") / F.col("sz_a"), 4).alias("containment"),
         )
     )
+
+
+_RECALL_BUCKETS_SQL = """CASE WHEN j >= 0.7 THEN '[0.7,1.0]'
+            WHEN j >= 0.3 THEN '[0.3,0.7)'
+            WHEN j >= 0.1 THEN '[0.1,0.3)'
+            ELSE '[0.05,0.1)' END"""
+
+
+@query(
+    "dedup_minhash_recall",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), th AS (
+    SELECT doc_id,
+           list_transform(tokens, t -> { _polyhash_duck('t') }) AS hts
+    FROM tok
+    WHERE len(tokens) >= 3
+), shingle AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(generate_series(1, len(hts) - 2),
+                  i -> (hts[i] * 1000003 + hts[i+1] * 31 + hts[i+2]) % {_MOD})))
+               AS tid
+    FROM th
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM shingle GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM shingle a JOIN shingle b ON a.tid = b.tid AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), truth AS (
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / (sa.sz + sb.sz - n_common) AS j
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.05
+), minh AS (
+    SELECT doc_id, perms.i AS i, MIN((perms.a * tid + perms.b) % {_MOD}) AS mh
+    FROM shingle CROSS JOIN {_perm_values_sql()}
+    GROUP BY doc_id, perms.i
+), bands AS (
+    SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
+           STRING_AGG(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+    FROM minh GROUP BY doc_id, band
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT {_RECALL_BUCKETS_SQL} AS jac_band,
+       COUNT(*) AS n_truth,
+       COUNT(c.doc_a) AS n_caught,
+       ROUND(COUNT(c.doc_a) * 1.0 / COUNT(*), 4) AS recall
+FROM truth t
+LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+GROUP BY 1
+""",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate generator per true-Jaccard band
+    — "measure, don't guess" for the banding knobs (16 perms, 4 bands × 4
+    rows target the S-curve knee near j≈0.7): ground truth is the EXACT
+    shingle-Jaccard join at j ≥ 0.05 (low enough that the table shows BOTH
+    ends of the S-curve: sub-threshold pairs the banding rightly misses,
+    near-dup pairs it must catch), and each true pair is checked for
+    membership in the band-bucket candidate set.
+
+    Scale: the exact ground-truth join is the eval's cost — shingle
+    (3-gram) postings are far more selective than single tokens, but at
+    100 TB this runs on a sampled slice, while the LSH side under
+    evaluation is the full production plan (one agg for 16 minhashes,
+    band-bucket self-join). The recall table is what justifies the chosen
+    band geometry before a full-corpus dedup run."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = _tokens()
+    shingle = (
+        d.select("doc_id", toks.alias("tokens"))
+        .filter(F.size("tokens") >= 3)
+        .select(
+            "doc_id",
+            F.expr(f"transform(tokens, t -> { _polyhash_spark('t') })").alias(
+                "hts"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(hts) - 2),"
+                    f" i -> (hts[i-1] * 1000003 + hts[i] * 31 + hts[i+1]) % {_MOD}))"
+                )
+            ).alias("tid"),
+        )
+        .persist()
+    )
+    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa_ = shingle.alias("sa_")
+    sb_ = shingle.alias("sb_")
+    common = (
+        sa_.join(
+            sb_,
+            (F.col("sa_.tid") == F.col("sb_.tid"))
+            & (F.col("sa_.doc_id") < F.col("sb_.doc_id")),
+        )
+        .groupBy(
+            F.col("sa_.doc_id").alias("doc_a"),
+            F.col("sb_.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = F.col("n_common") / (F.col("za.sz") + F.col("zb.sz") - F.col("n_common"))
+    truth = (
+        common.join(F.broadcast(za), F.col("za.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(zb), F.col("zb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("j"))
+        .filter(F.col("j") >= 0.05)
+    )
+    minh = shingle.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("tid") + F.lit(b)) % _MOD).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_PERMS)
+        ]
+    )
+    band_cols = [
+        F.concat_ws(
+            "-",
+            *[
+                F.col(f"mh{i}").cast("string")
+                for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+            ],
+        )
+        for b in range(_N_BANDS)
+    ]
+    bands = minh.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_sig")
+    )
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_sig") == F.col("bb.band_sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("c_a"), F.col("bb.doc_id").alias("c_b")
+        )
+        .distinct()
+    )
+    flagged = truth.join(
+        cand,
+        (F.col("c_a") == F.col("doc_a")) & (F.col("c_b") == F.col("doc_b")),
+        "left",
+    )
+    bucket = (
+        F.when(F.col("j") >= 0.7, "[0.7,1.0]")
+        .when(F.col("j") >= 0.3, "[0.3,0.7)")
+        .when(F.col("j") >= 0.1, "[0.1,0.3)")
+        .otherwise("[0.05,0.1)")
+    )
+    return flagged.groupBy(bucket.alias("jac_band")).agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("c_a").alias("n_caught"),
+        F.round(F.count("c_a") / F.count(F.lit(1)), 4).alias("recall"),
+    )

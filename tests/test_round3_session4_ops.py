@@ -122,3 +122,14 @@ def test_ks_statistic_bounds(spark, sf_dir):
     assert 0.0 <= row["ks_d"] <= 1.0
     assert row["n_a"] + row["n_b"] == total
     assert row["n_a"] > 0 and row["n_b"] > 0
+
+
+def test_minhash_recall_counts_consistent(spark, sf_dir):
+    from dbt_spark_models_spark.operators.dedup import dedup_minhash_recall
+
+    rows = dedup_minhash_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_caught"] <= r["n_truth"]
+        assert 0.0 <= r["recall"] <= 1.0
+        assert abs(r["recall"] - r["n_caught"] / r["n_truth"]) < 1e-4
