@@ -109,6 +109,8 @@ HEADLINE = [
     "quality_distribution_drift",
     "eval_ks_statistic",
     "graph_kcore_peel",
+    "eval_chi_squared_drift",
+    "sample_negative_pairs",
 ]
 
 

@@ -918,3 +918,97 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("w") / F.count(F.lit(1)), 4).alias("avg_loglik_ratio"),
         )
     )
+
+
+@query(
+    "sample_negative_pairs",
+    oracle="""
+WITH pur AS (
+    SELECT DISTINCT o.o_custkey, l.l_partkey
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), custs AS (
+    SELECT DISTINCT o_custkey FROM pur
+), cand0 AS (
+    SELECT o_custkey, i,
+           ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':neg:'
+                               || CAST(i AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM custs CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)
+), cand AS (
+    SELECT o_custkey,
+           h % (SELECT COUNT(*) FROM part) AS neg_partkey,
+           MIN(h) AS h
+    FROM cand0 GROUP BY 1, 2
+), neg AS (
+    SELECT c.o_custkey, c.neg_partkey, c.h
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM pur p
+                      WHERE p.o_custkey = c.o_custkey
+                        AND p.l_partkey = c.neg_partkey)
+)
+SELECT o_custkey, neg_partkey, rk FROM (
+    SELECT o_custkey, neg_partkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY h, neg_partkey) AS rk
+    FROM neg
+) WHERE rk <= 2
+""",
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    purchasing customer gets 2 parts they never bought, drawn by a seeded
+    md5 race (the ':neg:' salt is the seed) — auditable and bit-identical
+    on any engine, like ``sample_weighted_without_replacement``.
+
+    The scale-critical trick: candidates are GENERATED ARITHMETICALLY
+    (customer × 8 salted hashes mapped into the contiguous part-key
+    space), never by crossing customers with the catalog — cost is
+    O(customers × 8) rows regardless of catalog size. An anti-join against
+    the positives removes accidental hits (over-sampling 8 → keep 2
+    absorbs the loss), and the top-k window is keyed per customer."""
+    li = load_tables(spark, sf_dir, ("orders", "lineitem", "part"))
+    pur = (
+        li["orders"]
+        .join(
+            li["lineitem"],
+            li["orders"]["o_orderkey"] == li["lineitem"]["l_orderkey"],
+        )
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    n_parts = li["part"].count()  # catalog-size constant (1-row probe)
+    custs = pur.select("o_custkey").distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_custkey").cast("string"),
+                    F.lit(":neg:"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        custs.select(
+            "o_custkey", F.explode(F.sequence(F.lit(1), F.lit(8))).alias("i")
+        )
+        .select("o_custkey", (h % F.lit(n_parts)).alias("neg_partkey"), h.alias("h"))
+        .groupBy("o_custkey", "neg_partkey")
+        .agg(F.min("h").alias("h"))
+    )
+    neg = cand.join(
+        pur,
+        (cand["o_custkey"] == pur["o_custkey"])
+        & (cand["neg_partkey"] == pur["l_partkey"]),
+        "left_anti",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("h", "neg_partkey")
+    return (
+        neg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "neg_partkey", "rk")
+    )

@@ -1085,3 +1085,68 @@ def eval_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_a").alias("n_a"),
         F.sum("n_b").alias("n_b"),
     )
+
+
+@query(
+    "eval_chi_squared_drift",
+    oracle="""
+WITH counts AS (
+    SELECT event_type,
+           SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_a,
+           SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS n_b
+    FROM events GROUP BY 1
+), tot AS (
+    SELECT event_type, n_a, n_b,
+           SUM(n_a) OVER () AS ta, SUM(n_b) OVER () AS tb,
+           SUM(n_a + n_b) OVER () AS n
+    FROM counts
+), ex AS (
+    SELECT event_type, n_a, n_b,
+           (n_a + n_b) * ta * 1.0 / n AS e_a,
+           (n_a + n_b) * tb * 1.0 / n AS e_b
+    FROM tot
+)
+SELECT event_type, n_a, n_b,
+       ROUND((n_a - e_a) * (n_a - e_a) / e_a
+             + (n_b - e_b) * (n_b - e_b) / e_b, 6) AS chi2_term,
+       ROUND(SUM((n_a - e_a) * (n_a - e_a) / e_a
+                 + (n_b - e_b) * (n_b - e_b) / e_b) OVER (), 6) AS chi2_total,
+       (COUNT(*) OVER () - 1) AS dof
+FROM ex
+""",
+)
+def eval_chi_squared_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared homogeneity test of the event-type mix across the two
+    month halves (2×k contingency): per-category contribution plus the
+    total statistic and degrees of freedom — completing the drift-test
+    family (categorical PSI, continuous KS, frequentist chi²).
+
+    Scale: identical shape to ``quality_distribution_drift`` — one
+    map-side-combined groupBy over the fact table, then windows over
+    #categories rows keyed on a non-foldable constant."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    counts = (
+        ev.select(
+            "event_type",
+            (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("a"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("a")).alias("n_a"),
+            F.count_if(~F.col("a")).alias("n_b"),
+        )
+    )
+    w = Window.partitionBy(F.col("event_type").isNotNull())
+    ta, tb = F.sum("n_a").over(w), F.sum("n_b").over(w)
+    n = F.sum(F.col("n_a") + F.col("n_b")).over(w)
+    e_a = (F.col("n_a") + F.col("n_b")) * ta / n
+    e_b = (F.col("n_a") + F.col("n_b")) * tb / n
+    term = (F.col("n_a") - e_a) ** 2 / e_a + (F.col("n_b") - e_b) ** 2 / e_b
+    return counts.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(term, 6).alias("chi2_term"),
+        F.round(F.sum(term).over(w), 6).alias("chi2_total"),
+        (F.count(F.lit(1)).over(w) - 1).alias("dof"),
+    )

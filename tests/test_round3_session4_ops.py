@@ -133,3 +133,41 @@ def test_minhash_recall_counts_consistent(spark, sf_dir):
         assert 0 <= r["n_caught"] <= r["n_truth"]
         assert 0.0 <= r["recall"] <= 1.0
         assert abs(r["recall"] - r["n_caught"] / r["n_truth"]) < 1e-4
+
+
+def test_chi2_terms_nonnegative_and_total(spark, sf_dir):
+    from dbt_spark_models_spark.operators.quality import eval_chi_squared_drift
+
+    rows = eval_chi_squared_drift(spark, sf_dir).collect()
+    assert rows
+    totals = {r["chi2_total"] for r in rows}
+    assert len(totals) == 1
+    assert all(r["chi2_term"] >= 0.0 for r in rows)
+    assert math.isclose(
+        totals.pop(), sum(r["chi2_term"] for r in rows), abs_tol=1e-4
+    )
+    assert rows[0]["dof"] == len(rows) - 1
+
+
+def test_negative_samples_are_true_negatives(spark, sf_dir):
+    from dbt_spark_models_spark.operators.curation import sample_negative_pairs
+
+    li = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    pur = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in li["orders"]
+        .join(li["lineitem"], li["orders"]["o_orderkey"] == li["lineitem"]["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    rows = sample_negative_pairs(spark, sf_dir).collect()
+    assert rows
+    per_cust = {}
+    for r in rows:
+        # a sampled negative must never be a real purchase
+        assert (r["o_custkey"], r["neg_partkey"]) not in pur
+        assert r["rk"] in (1, 2)
+        per_cust.setdefault(r["o_custkey"], set()).add(r["neg_partkey"])
+    # no duplicate negatives within a customer
+    assert all(len(v) == len(v) and len(v) <= 2 for v in per_cust.values())
