@@ -111,6 +111,7 @@ HEADLINE = [
     "graph_kcore_peel",
     "eval_chi_squared_drift",
     "sample_negative_pairs",
+    "agg_logbucket_quantiles",
 ]
 
 

@@ -17,7 +17,7 @@ deterministic under any partial-agg ordering (and comparable cross-engine).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_spark_models_spark.operators import query
@@ -460,4 +460,82 @@ def agg_multigrain_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("day_orders").alias("month_orders"),
             F.count(F.lit(1)).alias("n_active_days"),
         )
+    )
+
+
+@query(
+    "agg_logbucket_quantiles",
+    oracle="""
+WITH b AS (
+    SELECT l_returnflag,
+           CAST(FLOOR(LN(l_extendedprice) / 0.05) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY 1, 2
+), c AS (
+    SELECT l_returnflag, bucket, n,
+           SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(n) OVER (PARTITION BY l_returnflag) AS tot
+    FROM b
+)
+SELECT l_returnflag,
+       ROUND(MIN(CASE WHEN cum >= 0.5 * tot
+                 THEN EXP((bucket + 0.5) * 0.05) END), 4) AS p50_est,
+       ROUND(MIN(CASE WHEN cum >= 0.95 * tot
+                 THEN EXP((bucket + 0.5) * 0.05) END), 4) AS p95_est,
+       ROUND(MIN(CASE WHEN cum >= 0.99 * tot
+                 THEN EXP((bucket + 0.5) * 0.05) END), 4) AS p99_est,
+       MAX(tot) AS n_rows
+FROM c
+GROUP BY l_returnflag
+""",
+)
+def agg_logbucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation from a log-width histogram: bucket =
+    floor(ln(x)/0.05) gives a fixed ±2.5% relative-error guarantee per
+    estimate, and the bucket counts are PARTIAL-AGGREGATABLE — partitions,
+    days, and shards merge by adding counts, which exact percentiles never
+    can (they need the full per-group sort buffer,
+    ``agg_percentiles``). This is the production quantile path at 100 TB:
+    one map-side-combined groupBy over the facts, then a cumulative window
+    over ≤ a-few-hundred buckets per group; pytest bounds the estimates
+    against exact percentile_approx.
+
+    The estimate is the geometric bucket midpoint exp((b+0.5)·w) of the
+    first bucket whose cumulative count crosses the target rank —
+    deterministic integer math either side of the window."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    w = 0.05
+    b = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .select(
+            "l_returnflag",
+            F.floor(F.log(F.col("l_extendedprice")) / w).alias("bucket"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    part = Window.partitionBy("l_returnflag")
+    cum_w = part.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = b.select(
+        "l_returnflag",
+        "bucket",
+        F.sum("n").over(cum_w).alias("cum"),
+        F.sum("n").over(part).alias("tot"),
+    )
+    mid = F.exp((F.col("bucket") + 0.5) * w)
+
+    def est(q: float, name: str):
+        return F.round(
+            F.min(F.when(F.col("cum") >= q * F.col("tot"), mid)), 4
+        ).alias(name)
+
+    return c.groupBy("l_returnflag").agg(
+        est(0.5, "p50_est"),
+        est(0.95, "p95_est"),
+        est(0.99, "p99_est"),
+        F.max("tot").alias("n_rows"),
     )

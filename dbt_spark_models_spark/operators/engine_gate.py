@@ -748,3 +748,67 @@ def engine_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("total_price"),
         )
     )
+
+
+# (session id, sf_dir) → db of a mini-mart that has been built AND erased
+_ERASE_CACHE: dict[tuple[int, str], str] = {}
+
+
+@query(
+    "engine_user_erasure",
+    oracle=f"""
+WITH stg AS ({_STG_ORACLE})
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND(SUM(value * weight), 2) AS weighted_value,
+       day
+FROM stg
+WHERE user_id % 13 <> 5
+GROUP BY user_id, day
+""",
+)
+def engine_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep through the engine (``Runner.erase``):
+    a fresh mini-mart is built, then every materialized table containing
+    ``user_id`` is rewritten without the erased cohort (user_id%13==5,
+    simulating a deletion-request batch). The oracle recomputes the daily
+    mart from scratch WITHOUT those users — the gate proves the erasure
+    touched the right rows and ONLY those rows, through the same
+    staging-swap write path the merge materialization uses. Builds its own
+    db (never the shared gate mart, which other gates read un-erased)."""
+    import hashlib
+
+    from dbt_spark_models_spark.plans import Project, Runner
+    from dbt_spark_models_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    db = "engine_gate_erase_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    key = (id(spark), sf_dir)
+    if _ERASE_CACHE.get(key) != db or not spark.catalog.tableExists(
+        f"{db}.daily_user_stats"
+    ):
+        _build_mini_mart(spark, sf_dir, db)
+        ev = load_tables(spark, sf_dir, ("events",))["events"]
+        keys = [
+            r["user_id"]
+            for r in ev.select("user_id")
+            .filter(F.col("user_id") % 13 == 5)
+            .distinct()
+            .collect()
+        ]
+        runner = Runner(
+            spark=spark,
+            project=Project.load(_EXAMPLE_PROJECT),
+            database=db,
+            vars={"sf_dir": sf_dir, "cutoff_date": "2024-01-15"},
+        )
+        results = runner.erase("user_id", keys)
+        bad = [r for r in results if r.status != "success"]
+        if bad:
+            raise RuntimeError(f"erasure failed: {bad}")
+        if not results:
+            raise RuntimeError("erasure touched no tables")
+        _ERASE_CACHE[key] = db
+    return spark.table(f"{db}.daily_user_stats")

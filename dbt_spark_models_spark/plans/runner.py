@@ -386,3 +386,85 @@ class Runner:
         finally:
             self.vars = saved
         return out
+
+    def erase(self, column: str, keys: list[Any]) -> list[RunResult]:
+        """Right-to-be-forgotten sweep (GDPR/CCPA erasure): rewrite every
+        MATERIALIZED table in the project (models + snapshots) whose
+        schema contains ``column``, dropping all rows whose key is in
+        ``keys``. Views are skipped — they recompute from their (already
+        erased) upstreams. The rewrite is the same staging-swap the merge
+        materialization uses, so a mid-erase failure leaves the original
+        table intact.
+
+        At 100 TB, tables partitioned by a key-correlated column should
+        erase via dynamic partition overwrite of only the affected
+        partitions; the wholesale swap here is the safe general path (and
+        the only correct one when the key is scattered across every
+        partition, as user ids usually are)."""
+        import time as _time
+
+        from pyspark.sql import functions as _F
+
+        out: list[RunResult] = []
+        nodes = list(self.project.models.values()) + list(
+            self.project.snapshots.values()
+        )
+        key_df = self.spark.createDataFrame(
+            [(str(k),) for k in keys], "__erase_key string"
+        )
+        for node in nodes:
+            db, name = self._identity(node)
+            ident = f"{db}.{name}" if db else name
+            t0 = _time.time()
+            try:
+                if not self.spark.catalog.tableExists(ident):
+                    continue
+                tbl = next(
+                    t
+                    for t in self.spark.catalog.listTables(db)
+                    if t.name == name.lower() or t.name == name
+                )
+                if tbl.tableType == "VIEW":
+                    continue
+                df = self.spark.table(ident)
+                if column not in df.columns:
+                    continue
+                kept = df.join(
+                    _F.broadcast(
+                        key_df.select(
+                            _F.col("__erase_key").cast(
+                                dict(df.dtypes)[column]
+                            ).alias("__erase_key")
+                        )
+                    ),
+                    df[column] == _F.col("__erase_key"),
+                    "left_anti",
+                )
+                staging = f"{ident}__erase_staging"
+                self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+                kept.write.saveAsTable(staging)
+                self.spark.table(staging).write.mode(
+                    "overwrite"
+                ).saveAsTable(ident)
+                self.spark.sql(f"DROP TABLE {staging}")
+                out.append(
+                    RunResult(
+                        node.name,
+                        node.kind,
+                        "success",
+                        action="erase",
+                        seconds=round(_time.time() - t0, 3),
+                    )
+                )
+            except Exception as exc:  # noqa: BLE001 — per-table isolation
+                out.append(
+                    RunResult(
+                        node.name,
+                        node.kind,
+                        "error",
+                        action="erase",
+                        seconds=round(_time.time() - t0, 3),
+                        message=str(exc),
+                    )
+                )
+        return out

@@ -171,3 +171,66 @@ def test_negative_samples_are_true_negatives(spark, sf_dir):
         per_cust.setdefault(r["o_custkey"], set()).add(r["neg_partkey"])
     # no duplicate negatives within a customer
     assert all(len(v) == len(v) and len(v) <= 2 for v in per_cust.values())
+
+
+def test_runner_erase_rewrites_only_matching_tables(spark, sf_dir, tmp_path):
+    import os
+
+    from dbt_spark_models_spark.plans import Project, Runner
+
+    db = "erase_unit_db"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/erase_unit_db'")
+    proj_dir = os.path.join(os.path.dirname(__file__), "..", "examples", "mini_mart")
+    project = Project.load(proj_dir)
+    runner = Runner(
+        spark=spark,
+        project=project,
+        database=db,
+        vars={"sf_dir": sf_dir, "cutoff_date": "2024-01-15"},
+    )
+    assert all(r.status == "success" for r in runner.seed())
+    assert all(r.status == "success" for r in runner.run())
+    before = spark.table(f"{db}.daily_user_stats")
+    victims = [
+        r["user_id"]
+        for r in before.select("user_id").distinct().limit(3).collect()
+    ]
+    n_before = before.count()
+    n_victim_rows = before.filter(F.col("user_id").isin(victims)).count()
+    results = runner.erase("user_id", victims)
+    assert results and all(r.status == "success" for r in results)
+    # views are recomputed from upstreams, not rewritten in place
+    assert all(r.action == "erase" for r in results)
+    after = spark.table(f"{db}.daily_user_stats")
+    assert after.filter(F.col("user_id").isin(victims)).count() == 0
+    assert after.count() == n_before - n_victim_rows
+    # event_type_log has no user_id column -> untouched by the sweep
+    assert "event_type_log" not in {r.node for r in results}
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_logbucket_quantiles_within_relative_error(spark, sf_dir):
+    from dbt_spark_models_spark.operators.aggregates import (
+        agg_logbucket_quantiles,
+    )
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
+        for r in li.filter(F.col("l_extendedprice") > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for r in agg_logbucket_quantiles(spark, sf_dir).collect():
+        for est, ex in zip(
+            (r["p50_est"], r["p95_est"], r["p99_est"]), exact[r["l_returnflag"]]
+        ):
+            # bucket width 0.05 in log space -> ±2.5% plus the rank-vs-
+            # midpoint convention gap; 6% is a safe hard bound
+            assert abs(est - ex) / ex < 0.06
