@@ -7,6 +7,7 @@ from dbt_spark_models_spark.streaming.pipelines import (
     stream_stream_error_click_join,
     stream_into_partitioned_table,
     stream_user_gap_stats,
+    stream_user_type_switches,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "stream_stream_error_click_join",
     "stream_into_partitioned_table",
     "stream_user_gap_stats",
+    "stream_user_type_switches",
 ]

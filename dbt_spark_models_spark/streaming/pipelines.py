@@ -386,3 +386,90 @@ def stream_into_partitioned_table(
     finally:
         q.stop()
     return spark.table(table)
+
+
+def stream_user_type_switches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``transformWithStateInPandas``
+    (the Spark 4 arbitrary-state API that supersedes
+    ``applyInPandasWithState``: named state handles, timers, TTL): per-user
+    count of event-TYPE SWITCHES between consecutive events — the
+    "previous event's type" must survive across micro-batches, so it lives
+    in a ValueState alongside the running counters.
+
+    CONTAINER LIMITATION: the transformWithState state-server protocol
+    needs `google.protobuf`, which this container lacks — the operator is
+    environment-gated like Delta (tests skip without protobuf; the
+    registry keeps the applyInPandasWithState twin
+    `streaming_stateful_user_gaps` as the hash-gated stateful path).
+
+    Scale notes: state is (last_type, n, switches) per user — bounded by
+    key cardinality. Ordering inside a batch is (ts, event_id) — ties on
+    ts are broken deterministically so the emitted counts hash-match the
+    batch LAG oracle. The driver runs the finite source as one micro-batch;
+    production uses timers/TTL from the same handle for quiescence-based
+    emission."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_switches", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_type", StringType()),
+            StructField("n", LongType()),
+            StructField("switches", LongType()),
+        ]
+    )
+
+    class SwitchCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("switch_state", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                last_type, n, switches = self._st.get()
+            else:
+                last_type, n, switches = None, 0, 0
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for t in pdf["event_type"]:
+                    if last_type is not None and t != last_type:
+                        switches += 1
+                    last_type = t
+                n += len(pdf)
+            self._st.update((last_type, n, switches))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_switches": [switches],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    stats = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SwitchCounter(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+    return _run_to_memory(stats, "append")

@@ -234,3 +234,36 @@ def test_logbucket_quantiles_within_relative_error(spark, sf_dir):
             # bucket width 0.05 in log space -> ±2.5% plus the rank-vs-
             # midpoint convention gap; 6% is a safe hard bound
             assert abs(est - ex) / ex < 0.06
+
+
+def test_transform_with_state_switch_counts(spark, sf_dir):
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas needs protobuf (not in container)")
+    from pyspark.sql import Window as W
+
+    from dbt_spark_models_spark.streaming import stream_user_type_switches
+
+    got = {
+        r["user_id"]: (r["n_events"], r["n_switches"])
+        for r in stream_user_type_switches(spark, sf_dir).collect()
+    }
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    exp = {
+        r["user_id"]: (r["n_events"], r["n_switches"])
+        for r in ev.withColumn("prev", F.lag("event_type").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(
+                F.col("prev").isNotNull()
+                & (F.col("prev") != F.col("event_type"))
+            ).alias("n_switches"),
+        )
+        .collect()
+    }
+    assert got == exp
