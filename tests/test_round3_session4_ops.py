@@ -267,3 +267,44 @@ def test_transform_with_state_switch_counts(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Catalyst's dynamic partition pruning must kick in when a
+    partitioned fact joins a filtered dim: the fact scan receives a
+    runtime `dynamicpruning` subquery filter, so only the partitions the
+    dim filter selects are read — THE mechanism that makes star joins on a
+    100 TB date-partitioned fact read days, not the table.
+
+    Catalyst gotcha this test pins: the dim-side filter must be a
+    COMPARISON (isLikelySelective) — a bare boolean attribute predicate
+    (`WHERE is_hot`) does NOT qualify and silently disables DPP."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    fact_path = str(tmp_path / "events_by_day")
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim0 = fact.select("day").distinct().withColumn(
+        "hot_rank", F.dayofmonth("day")
+    )
+    dim_path = str(tmp_path / "day_dim")
+    dim0.write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("hot_rank") <= 3)
+    joined = fact.join(dim, "day").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r["event_type"]: r["n"] for r in joined.collect()}
+    exp = {
+        r["event_type"]: r["n"]
+        for r in ev.filter(F.dayofmonth(F.to_date("ts")) <= 3)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
