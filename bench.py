@@ -112,6 +112,9 @@ HEADLINE = [
     "eval_chi_squared_drift",
     "sample_negative_pairs",
     "agg_logbucket_quantiles",
+    "scalar_variant_shred",
+    "arrow_map_byte_stats",
+    "agg_hll_rolling_7d_users",
 ]
 
 

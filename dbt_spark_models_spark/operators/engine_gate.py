@@ -791,13 +791,10 @@ def engine_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         _build_mini_mart(spark, sf_dir, db)
         ev = load_tables(spark, sf_dir, ("events",))["events"]
-        keys = [
-            r["user_id"]
-            for r in ev.select("user_id")
-            .filter(F.col("user_id") % 13 == 5)
-            .distinct()
-            .collect()
-        ]
+        # the deletion queue stays a DataFrame end to end — no driver hop
+        keys = (
+            ev.select("user_id").filter(F.col("user_id") % 13 == 5).distinct()
+        )
         runner = Runner(
             spark=spark,
             project=Project.load(_EXAMPLE_PROJECT),

@@ -171,3 +171,58 @@ def pandas_udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median_price"
         )
     )
+
+
+@query(
+    "arrow_map_byte_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+           AS total_spaces
+FROM documents
+GROUP BY lang
+""",
+)
+def arrow_map_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document byte/char/space counts through ``mapInArrow`` — the
+    zero-copy Arrow-native UDF flavor (no pandas conversion at all;
+    ``pyarrow.compute`` kernels run directly on the Arrow buffers Spark
+    ships), completing the Python surface: scalar pandas_udf, grouped-map,
+    grouped-agg, UDTF, mapInPandas, and now mapInArrow. The distinction
+    matters at 100 TB: for byte-level work on large string columns, the
+    pandas hop costs an object-array materialization per batch that Arrow
+    kernels skip.
+
+    Row-local (fuses with the scan, no shuffle); the rollup after is one
+    map-side-combined groupBy, hash-gated against DuckDB's byte/char
+    semantics (strlen vs length)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batch_stats(batches):
+        for b in batches:
+            txt = b.column(b.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("lang")),
+                    pc.cast(pc.binary_length(txt), pa.int64()),
+                    pc.cast(pc.utf8_length(txt), pa.int64()),
+                    pc.cast(pc.count_substring(txt, " "), pa.int64()),
+                ],
+                names=["lang", "n_bytes", "n_chars", "n_spaces"],
+            )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    stats = d.select("lang", "text").mapInArrow(
+        batch_stats,
+        "lang string, n_bytes long, n_chars long, n_spaces long",
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_spaces").alias("total_spaces"),
+    )

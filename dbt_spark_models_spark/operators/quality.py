@@ -1150,3 +1150,42 @@ def eval_chi_squared_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term).over(w), 6).alias("chi2_total"),
         (F.count(F.lit(1)).over(w) - 1).alias("dof"),
     )
+
+
+@query("agg_hll_rolling_7d_users", oracle=None)
+def agg_hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from MERGEABLE day sketches: one HLL
+    sketch per day (one scan of the facts), then each day's trailing-7
+    window is a ``hll_union_agg`` over AT MOST 7 pre-built sketches — the
+    100 TB rolling-MAU/WAU pattern. Exact rolling distinct would re-shuffle
+    every (day × user) pair per window position; sketch re-merge touches
+    7 × n_days kilobyte blobs, computable on the driver of a dashboard.
+
+    The trailing window is an equi-join of the day spine to its 7
+    contributing days (generated arithmetically, no range join). Rows-only
+    gate (sketch binaries are engine-specific);
+    ``tests/test_round3_session4_ops.py`` bounds every estimate against
+    the exact rolling distinct."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    day_sketch = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    )
+    spine = day_sketch.select(
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("back"),
+    ).select("day", F.date_sub("day", F.col("back")).alias("src_day"))
+    return (
+        spine.join(
+            day_sketch.withColumnRenamed("day", "src_day"), "src_day"
+        )
+        .groupBy("day")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+            .cast("long")
+            .alias("users_7d_est"),
+            F.count(F.lit(1)).alias("n_days_merged"),
+        )
+        .orderBy("day")
+    )

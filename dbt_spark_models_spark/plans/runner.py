@@ -387,14 +387,16 @@ class Runner:
             self.vars = saved
         return out
 
-    def erase(self, column: str, keys: list[Any]) -> list[RunResult]:
+    def erase(self, column: str, keys: Any) -> list[RunResult]:
         """Right-to-be-forgotten sweep (GDPR/CCPA erasure): rewrite every
         MATERIALIZED table in the project (models + snapshots) whose
         schema contains ``column``, dropping all rows whose key is in
-        ``keys``. Views are skipped — they recompute from their (already
-        erased) upstreams. The rewrite is the same staging-swap the merge
-        materialization uses, so a mid-erase failure leaves the original
-        table intact.
+        ``keys`` — a Python list for ad-hoc requests, or a single-column
+        DataFrame when the deletion queue is itself a table (the 100 TB
+        form: keys never pass through the driver). Views are skipped —
+        they recompute from their (already erased) upstreams. The rewrite
+        is the same staging-swap the merge materialization uses, so a
+        mid-erase failure leaves the original table intact.
 
         At 100 TB, tables partitioned by a key-correlated column should
         erase via dynamic partition overwrite of only the affected
@@ -409,9 +411,14 @@ class Runner:
         nodes = list(self.project.models.values()) + list(
             self.project.snapshots.values()
         )
-        key_df = self.spark.createDataFrame(
-            [(str(k),) for k in keys], "__erase_key string"
-        )
+        if isinstance(keys, list):
+            key_df = self.spark.createDataFrame(
+                [(str(k),) for k in keys], "__erase_key string"
+            )
+        else:  # single-column DataFrame deletion queue
+            key_df = keys.toDF("__erase_key").select(
+                _F.col("__erase_key").cast("string").alias("__erase_key")
+            )
         for node in nodes:
             db, name = self._identity(node)
             ident = f"{db}.{name}" if db else name

@@ -308,3 +308,30 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_rolling_hll_bounds_vs_exact(spark, sf_dir):
+    from dbt_spark_models_spark.operators.quality import agg_hll_rolling_7d_users
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    days = ev.select(F.to_date("ts").alias("day"), "user_id")
+    exact = {}
+    for r in days.select("day").distinct().collect():
+        d = r["day"]
+        exact[d] = (
+            days.filter(
+                (F.col("day") <= F.lit(d))
+                & (F.col("day") > F.date_sub(F.lit(d), 7))
+            )
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+    rows = agg_hll_rolling_7d_users(spark, sf_dir).collect()
+    assert {r["day"] for r in rows} == set(exact)
+    for r in rows:
+        assert 1 <= r["n_days_merged"] <= 7
+        # lgk=12 -> ~1.6% standard error; 6% is a generous hard bound
+        assert abs(r["users_7d_est"] - exact[r["day"]]) <= max(
+            3, 0.06 * exact[r["day"]]
+        )
