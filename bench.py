@@ -115,6 +115,7 @@ HEADLINE = [
     "scalar_variant_shred",
     "arrow_map_byte_stats",
     "agg_hll_rolling_7d_users",
+    "eval_embedding_drift",
 ]
 
 

@@ -1207,3 +1207,75 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("q_id", "neighbor_id", "adc_dist", "rnk")
     )
+
+
+@query(
+    "eval_embedding_drift",
+    oracle="""
+WITH halves AS (
+    SELECT label, vec_id % 2 AS half, i,
+           AVG(CAST(embedding[i] AS DOUBLE)) AS c
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, half, i
+), paired AS (
+    SELECT a.label, a.i, a.c AS ca, b.c AS cb
+    FROM halves a JOIN halves b
+      ON a.label = b.label AND a.i = b.i AND a.half = 0 AND b.half = 1
+), dots AS (
+    SELECT label,
+           SUM(ca * cb) AS dot,
+           SQRT(SUM(ca * ca)) AS na,
+           SQRT(SUM(cb * cb)) AS nb
+    FROM paired GROUP BY label
+)
+SELECT label,
+       ROUND(dot / (na * nb), 6) AS centroid_cosine,
+       ROUND(1.0 - dot / (na * nb), 6) AS drift
+FROM dots
+""",
+)
+def eval_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift: per-label centroid of two corpus halves
+    (even/odd vec_id — stand-ins for two snapshot dates), compared by
+    cosine. Identical distributions give drift≈0; a retrained or corrupted
+    embedding pipeline shows up as per-label centroid rotation long before
+    downstream metrics move. Completes the drift family (categorical PSI,
+    continuous KS/chi², and now vector).
+
+    Scale: centroids are one map-side-combined aggregate over
+    (label, half, i) — posexplode is the shuffle-volume price, 64× rows,
+    all combined map-side to 2·|labels|·64 cells; the cosine is row-local
+    math over that tiny table."""
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    halves = (
+        e.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("i", "x"),
+        )
+        .groupBy("label", "half", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+    )
+    a = halves.filter(F.col("half") == 0).select(
+        "label", "i", F.col("c").alias("ca")
+    )
+    b = halves.filter(F.col("half") == 1).select(
+        F.col("label").alias("label_b"), F.col("i").alias("i_b"),
+        F.col("c").alias("cb"),
+    )
+    dots = (
+        a.join(b, (a["label"] == b["label_b"]) & (a["i"] == b["i_b"]))
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+    )
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return dots.select(
+        "label",
+        F.round(cos, 6).alias("centroid_cosine"),
+        F.round(1.0 - cos, 6).alias("drift"),
+    )

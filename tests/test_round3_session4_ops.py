@@ -335,3 +335,13 @@ def test_rolling_hll_bounds_vs_exact(spark, sf_dir):
         assert abs(r["users_7d_est"] - exact[r["day"]]) <= max(
             3, 0.06 * exact[r["day"]]
         )
+
+
+def test_embedding_drift_bounds(spark, sf_dir):
+    from dbt_spark_models_spark.operators.similarity import eval_embedding_drift
+
+    rows = eval_embedding_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["centroid_cosine"] <= 1.0 + 1e-9
+        assert abs((1.0 - r["centroid_cosine"]) - r["drift"]) < 1e-5
