@@ -465,3 +465,52 @@ def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rnk", F.row_number().over(w))
         .select("part_a", "part_b", "n_orders", "rnk")
     )
+
+
+@query(
+    "join_null_safe_equality",
+    oracle="""
+WITH a AS (
+    SELECT NULLIF(event_type, 'error') AS k, value FROM events
+), b AS (
+    SELECT NULLIF(event_type, 'error') AS k,
+           LENGTH(event_type) AS w
+    FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT COALESCE(a.k, '<null>') AS join_key,
+       COUNT(*) AS n,
+       ROUND(SUM(a.value * b.w), 2) AS weighted
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1
+""",
+)
+def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics dbt
+    models reach for when a nullable dimension key must still enrich
+    ('unknown' buckets). Derived NULLs (event_type='error' → NULL) prove
+    the distinction: a plain join loses those rows, the null-safe join
+    keeps them.
+
+    Scale: EqualNullSafe is a hashable join key (Spark plans a normal
+    hash join on the null-wrapped key, broadcast here) — no BNLJ fallback,
+    unlike OR-based null handling."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    a = ev.select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("k"), "value"
+    )
+    b = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            F.nullif(F.col("event_type"), F.lit("error")).alias("kb"),
+            F.length("event_type").alias("w"),
+        )
+    )
+    j = a.join(F.broadcast(b), a["k"].eqNullSafe(F.col("kb")))
+    return j.groupBy(
+        F.coalesce(F.col("k"), F.lit("<null>")).alias("join_key")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value") * F.col("w")), 2).alias("weighted"),
+    )

@@ -260,3 +260,56 @@ def scalar_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
         F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
+
+
+@query(
+    "setop_union_by_name_evolution",
+    oracle="""
+WITH old_snap AS (
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders WHERE o_orderdate < DATE '1996-01-01'
+    GROUP BY o_custkey
+), new_snap AS (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+    GROUP BY o_custkey
+)
+SELECT o_custkey, n_orders, CAST(NULL AS DOUBLE) AS total_spend,
+       'old' AS snapshot
+FROM old_snap
+UNION ALL
+SELECT o_custkey, n_orders, total_spend, 'new' AS snapshot
+FROM new_snap
+""",
+)
+def setop_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union (``unionByName(allowMissingColumns=True)``):
+    an old snapshot lacking a later-added measure unions with the new
+    one by COLUMN NAME, the missing column null-filled — the append-log
+    shape every long-lived incremental table hits when its schema grows
+    (`on_schema_change` handling at read time rather than write time).
+    Positional UNION ALL would silently misalign columns; by-name is the
+    only safe form once schemas diverge."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    old_snap = (
+        o.filter(F.col("o_orderdate") < F.lit("1996-01-01"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("snapshot", F.lit("old"))
+    )
+    new_snap = (
+        o.filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .withColumn("snapshot", F.lit("new"))
+    )
+    return old_snap.unionByName(new_snap, allowMissingColumns=True).select(
+        "o_custkey",
+        "n_orders",
+        F.col("total_spend").cast("double").alias("total_spend"),
+        "snapshot",
+    )
