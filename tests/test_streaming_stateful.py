@@ -257,3 +257,93 @@ def test_stream_into_partitioned_table_idempotent(spark, sf_dir):
     }
     assert got2 == expected
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_state_recovers_across_query_restart(spark, tmp_path):
+    """Stop the query entirely, then start a NEW query on the SAME
+    checkpoint: the state store must reload user 1's last_ts from the
+    checkpoint (the restarted source skips already-committed files, so
+    the cross-restart 90 s gap is only visible if recovery worked). This
+    is the production contract: executors die, queries redeploy, state
+    persists."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    t0 = 1_700_000_000
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "restart-src")
+    out = str(tmp_path / "restart-out")
+    ckpt = str(tmp_path / "restart-ckpt")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(u, dt.datetime.utcfromtimestamp(ts), v) for u, ts, v in rows],
+            schema,
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_gap_seconds", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("max_gap_us", T.LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        last_ts_us, n, max_gap_us = state.get if state.exists else (None, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for t in pdf["ts"].astype("datetime64[us]").astype("int64"):
+                if last_ts_us is not None:
+                    max_gap_us = max(max_gap_us, int(t) - last_ts_us)
+                last_ts_us = int(t)
+            n += len(pdf)
+        state.update((last_ts_us, n, max_gap_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_gap_seconds": [max_gap_us // 1_000_000],
+            }
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(os.path.join(src, "*"))
+        stats = stream.groupBy("user_id").applyInPandasWithState(
+            fold, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            stats.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    write_batch("b0", [(1, t0, 1.0), (1, t0 + 10, 2.0)])
+    run_once()  # first deployment: sees only b0
+    write_batch("b1", [(1, t0 + 100, 3.0)])
+    run_once()  # restarted deployment: same checkpoint, sees only b1
+
+    rows = spark.read.parquet(out).collect()
+    final = max(
+        (r for r in rows if r["user_id"] == 1), key=lambda r: r["n_events"]
+    )
+    # 90 s gap spans the RESTART boundary: only recovered state knows t0+10
+    assert final["n_events"] == 3
+    assert final["max_gap_seconds"] == 90
