@@ -279,3 +279,54 @@ def test_exact_ntile_matches_sql_ntile(spark, vals, k):
         ).fetchall()
     }
     assert got == want
+
+
+# --- BPE delimiter-encoded greedy merge vs a reference Python merge -------
+
+token_lists = st.lists(
+    st.lists(
+        st.text(alphabet="ab1", min_size=1, max_size=3), min_size=2, max_size=12
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=token_lists)
+def test_bpe_delimiter_merge_equals_token_merge(spark, docs):
+    """The tokenizer's string trick — wrap tokens as <tok> and apply a
+    merge with leftmost non-overlapping replace of '<l><r>' — must equal
+    greedy left-to-right merging on the token LIST, for arbitrary token
+    content (including tokens that are substrings of each other, the case
+    the delimiters exist for)."""
+    from collections import Counter
+
+    # reference implementation on lists
+    def merge_tokens(toks, l, r):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                out.append(l + "\x1f" + r)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    pair_counts = Counter()
+    for toks in docs:
+        pair_counts.update(zip(toks[:-1], toks[1:]))
+    (l, r), _ = min(
+        pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )
+
+    for toks in docs:
+        encoded = "<" + "><".join(toks) + ">"
+        merged_str = encoded.replace(f"<{l}><{r}>", f"<{l}\x1f{r}>")
+        via_string = merged_str[1:-1].split("><")
+        assert via_string == merge_tokens(toks, l, r), (toks, l, r)
