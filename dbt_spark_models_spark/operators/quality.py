@@ -1189,3 +1189,93 @@ def agg_hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "eval_ab_proportion_ztest",
+    oracle="""
+WITH assign AS (
+    SELECT user_id,
+           CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+           MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                    THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY user_id
+), arms AS (
+    SELECT arm, COUNT(*) AS n, SUM(converted) AS conv,
+           SUM(converted) * 1.0 / COUNT(*) AS rate
+    FROM assign GROUP BY arm
+), wide AS (
+    SELECT MAX(CASE WHEN arm = 'control' THEN n END) AS n_c,
+           MAX(CASE WHEN arm = 'control' THEN conv END) AS conv_c,
+           MAX(CASE WHEN arm = 'control' THEN rate END) AS rate_c,
+           MAX(CASE WHEN arm = 'treatment' THEN n END) AS n_t,
+           MAX(CASE WHEN arm = 'treatment' THEN conv END) AS conv_t,
+           MAX(CASE WHEN arm = 'treatment' THEN rate END) AS rate_t
+    FROM arms
+)
+SELECT n_c, conv_c, ROUND(rate_c, 6) AS rate_c,
+       n_t, conv_t, ROUND(rate_t, 6) AS rate_t,
+       ROUND(rate_t - rate_c, 6) AS lift,
+       ROUND((rate_t - rate_c)
+             / NULLIF(SQRT(((conv_c + conv_t) * 1.0 / (n_c + n_t))
+                    * (1 - (conv_c + conv_t) * 1.0 / (n_c + n_t))
+                    * (1.0 / n_c + 1.0 / n_t)), 0), 6) AS z_score
+FROM wide
+""",
+)
+def eval_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment (hash-split arms by
+    user id, conversion = any purchase event): per-arm rates, lift, and
+    the pooled-variance z-score — the experimentation readout every
+    product mart ships beside the Wilson interval
+    (``agg_wilson_interval``).
+
+    Scale: one map-side-combined per-user groupBy (conversion flag), one
+    2-row arm rollup, then row-local math on a 1-row pivot. Nothing
+    shuffles more than once."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    assign = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "control")
+            .otherwise("treatment")
+            .alias("arm"),
+            "converted",
+        )
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.groupBy().pivot("arm", ["control", "treatment"]).agg(
+        F.max("n").alias("n"), F.max("conv").alias("conv")
+    )
+    n_c, conv_c = F.col("control_n"), F.col("control_conv")
+    n_t, conv_t = F.col("treatment_n"), F.col("treatment_conv")
+    rate_c, rate_t = conv_c / n_c, conv_t / n_t
+    pooled = (conv_c + conv_t) / (n_c + n_t)
+    # NULL (not error) when an arm is degenerate: pooled variance 0
+    z = F.try_divide(
+        rate_t - rate_c,
+        F.nullif(
+            F.sqrt(pooled * (1 - pooled) * (1 / n_c + 1 / n_t)), F.lit(0.0)
+        ),
+    )
+    return wide.select(
+        n_c.alias("n_c"),
+        conv_c.alias("conv_c"),
+        F.round(rate_c, 6).alias("rate_c"),
+        n_t.alias("n_t"),
+        conv_t.alias("conv_t"),
+        F.round(rate_t, 6).alias("rate_t"),
+        F.round(rate_t - rate_c, 6).alias("lift"),
+        F.round(z, 6).alias("z_score"),
+    )
