@@ -116,6 +116,8 @@ HEADLINE = [
     "arrow_map_byte_stats",
     "agg_hll_rolling_7d_users",
     "eval_embedding_drift",
+    "eval_ab_proportion_ztest",
+    "sample_neyman_allocation",
 ]
 
 

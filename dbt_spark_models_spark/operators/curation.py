@@ -1012,3 +1012,69 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .select("o_custkey", "neg_partkey", "rk")
     )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+WITH strata AS (
+    SELECT lang, COUNT(*) AS n_h, STDDEV_SAMP(n_chars) AS sd_h
+    FROM documents GROUP BY lang
+), alloc AS (
+    SELECT lang, n_h,
+           CAST(FLOOR(50.0 * (n_h * sd_h) / SUM(n_h * sd_h) OVER ()) AS BIGINT)
+               AS n_alloc
+    FROM strata
+), ranked AS (
+    SELECT d.lang, d.doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':neyman'), d.doc_id
+           ) AS rk
+    FROM documents d
+)
+SELECT r.lang, r.doc_id, r.rk
+FROM ranked r JOIN alloc a ON a.lang = r.lang
+WHERE r.rk <= a.n_alloc
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with NEYMAN allocation: a 50-doc eval budget is
+    split across languages ∝ N_h·σ_h (stratum size × length variance) —
+    the allocation that minimizes the estimator's variance for a fixed
+    budget, versus the proportional 1-in-k of
+    ``sample_stratified_deterministic``. Within a stratum the draw is the
+    seeded md5 race (auditable, engine-reproducible; ':neyman' is the
+    seed).
+
+    Scale: one map-side-combined moment aggregate per stratum (count +
+    stddev), allocation math over the #languages-row table, then one
+    per-stratum top-n_h window (WindowGroupLimit prunes to the per-group
+    heap before any sort spills). FLOOR (not ROUND) keeps the allocation
+    identical across engines at .5 boundaries."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    strata = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.stddev_samp("n_chars").alias("sd_h"),
+    )
+    tot = Window.partitionBy(F.col("lang").isNotNull())
+    alloc = strata.select(
+        "lang",
+        F.floor(
+            50.0
+            * (F.col("n_h") * F.col("sd_h"))
+            / F.sum(F.col("n_h") * F.col("sd_h")).over(tot)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":neyman"))),
+        "doc_id",
+    )
+    ranked = d.select("lang", "doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return ranked.join(F.broadcast(alloc), "lang").filter(
+        F.col("rk") <= F.col("n_alloc")
+    ).select("lang", "doc_id", "rk")
