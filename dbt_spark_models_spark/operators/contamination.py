@@ -644,3 +644,132 @@ def contamination_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("bloom_hit_ratio"),
     )
+
+
+def _polyhash_duck_ref() -> str:
+    from dbt_spark_models_spark.operators.dedup import _polyhash_duck
+
+    return _polyhash_duck("t")
+
+
+def _perm_values_sql_ref() -> str:
+    from dbt_spark_models_spark.operators.dedup import _perm_values_sql
+
+    return _perm_values_sql()
+
+
+def _split_duck(col: str) -> str:
+    """Deterministic 20% test split via seeded md5 uniform (DuckDB side)."""
+    return (
+        f"CASE WHEN (('0x' || substr(md5(CAST({col} AS VARCHAR) || ':split'),"
+        " 1, 8))::BIGINT + 1) / 4294967296.0 < 0.2"
+        " THEN 'test' ELSE 'train' END"
+    )
+
+
+@query(
+    "eval_split_leakage",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), th AS (
+    SELECT doc_id,
+           list_transform(tokens, t -> {{ph}}) AS hts
+    FROM tok
+    WHERE len(tokens) >= 3
+), shingle AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(generate_series(1, len(hts) - 2),
+                  i -> (hts[i] * 1000003 + hts[i+1] * 31 + hts[i+2]) % {{mod}})))
+               AS tid
+    FROM th
+), minh AS (
+    SELECT doc_id, perms.i AS i, MIN((perms.a * tid + perms.b) % {{mod}}) AS mh
+    FROM shingle CROSS JOIN {{perms}}
+    GROUP BY doc_id, perms.i
+), bands AS (
+    SELECT doc_id, i // {{rpb}} AS band,
+           STRING_AGG(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+    FROM minh GROUP BY doc_id, band
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM shingle GROUP BY doc_id
+), verified AS (
+    SELECT c.doc_a, c.doc_b, COUNT(s2.tid) AS n_common
+    FROM cand c
+    JOIN shingle s1 ON s1.doc_id = c.doc_a
+    LEFT JOIN shingle s2 ON s2.doc_id = c.doc_b AND s2.tid = s1.tid
+    GROUP BY c.doc_a, c.doc_b
+), neardup AS (
+    SELECT v.doc_a, v.doc_b
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.doc_a
+    JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE v.n_common * 1.0 / (sa.sz + sb.sz - v.n_common) >= 0.9
+), classed AS (
+    SELECT doc_a, doc_b,
+           {{split_a}} AS split_a,
+           {{split_b}} AS split_b
+    FROM neardup
+)
+SELECT CASE WHEN split_a <> split_b THEN 'cross_split'
+            WHEN split_a = 'test' THEN 'within_test'
+            ELSE 'within_train' END AS pair_class,
+       COUNT(*) AS n_pairs
+FROM classed
+GROUP BY 1
+""".replace("{ph}", _polyhash_duck_ref()).replace(
+        "{mod}", "1000000007"
+    ).replace("{perms}", _perm_values_sql_ref()).replace(
+        "{rpb}", "4"
+    ).replace("{split_a}", _split_duck("doc_a")).replace(
+        "{split_b}", _split_duck("doc_b")
+    ),
+)
+def eval_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test near-dup LEAKAGE audit — the check every LLM eval split
+    needs: hash-split docs 80/20 (seeded, reproducible), find near-dup
+    pairs (MinHash-LSH + exact verify at j ≥ 0.9, the production dedup
+    plan reused verbatim from ``dedup_minhash_lsh_pairs``), and count
+    pairs that STRADDLE the split — each one is a test document whose
+    near-copy was trained on.
+
+    Scale: inherits the LSH plan's properties (no all-pairs stage); the
+    split assignment is row-local seeded-hash math joined onto the
+    surviving near-dup pairs only."""
+    from dbt_spark_models_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
+
+    def split(col: str):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(col).cast("string"), F.lit(":split"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ) / F.lit(4294967296.0)
+        return F.when(u < 0.2, "test").otherwise("train")
+
+    classed = pairs.select(
+        split("doc_a").alias("split_a"), split("doc_b").alias("split_b")
+    )
+    pair_class = (
+        F.when(F.col("split_a") != F.col("split_b"), "cross_split")
+        .when(F.col("split_a") == "test", "within_test")
+        .otherwise("within_train")
+    )
+    return classed.groupBy(pair_class.alias("pair_class")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -1279,3 +1279,52 @@ def eval_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_t - rate_c, 6).alias("lift"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@query(
+    "train_target_encoding_loo",
+    oracle="""
+WITH base AS (
+    SELECT o_custkey, o_orderpriority AS cat, o_totalprice AS y
+    FROM orders
+), stats AS (
+    SELECT cat, COUNT(*) AS n, SUM(y) AS s FROM base GROUP BY cat
+)
+SELECT b.o_custkey, b.cat,
+       ROUND((st.s - b.y) / (st.n - 1), 4) AS te_loo,
+       st.n AS cat_n
+FROM base b JOIN stats st ON st.cat = b.cat
+WHERE st.n > 1
+""",
+)
+def train_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's categorical feature is
+    replaced by the mean target of its category EXCLUDING the row itself
+    ((sum − own)/(n − 1)) — the leakage-free form of the classic ML
+    feature, since plain category means let every row see its own label.
+
+    Scale: one map-side-combined stats aggregate per category, broadcast
+    back (categories are a dim), then row-local math — the naive
+    "window mean excluding current row" form would sort every category
+    partition for no reason."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.col("o_totalprice").alias("y"),
+    )
+    stats = base.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    return (
+        base.join(F.broadcast(stats), "cat")
+        .filter(F.col("n") > 1)
+        .select(
+            "o_custkey",
+            "cat",
+            F.round((F.col("s") - F.col("y")) / (F.col("n") - 1), 4).alias(
+                "te_loo"
+            ),
+            F.col("n").alias("cat_n"),
+        )
+    )
