@@ -539,3 +539,32 @@ def agg_logbucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(0.99, "p99_est"),
         F.max("tot").alias("n_rows"),
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+SELECT o_orderpriority,
+       STRING_AGG(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+           AS statuses,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 LISTAGG (Spark 4's ``listagg``) with DISTINCT + explicit
+    WITHIN-GROUP ordering — deterministic string aggregation, the standard
+    form of the collect_list + array_join idiom older models hand-roll.
+
+    Scale: one map-side-combined groupBy; DISTINCT dedupes the tiny status
+    domain before concatenation, so the aggregation buffer is bounded by
+    domain cardinality, not row count."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(DISTINCT o_orderstatus, '|')"
+            " WITHIN GROUP (ORDER BY o_orderstatus)"
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )

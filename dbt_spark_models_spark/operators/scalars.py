@@ -313,3 +313,35 @@ def setop_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("total_spend").cast("double").alias("total_spend"),
         "snapshot",
     )
+
+
+@query(
+    "scalar_aes_roundtrip",
+    oracle="""
+SELECT doc_id,
+       text AS recovered,
+       LENGTH(text) AS n_chars_out
+FROM documents
+""",
+)
+def scalar_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption for PII at rest (``aes_encrypt`` →
+    ``try_aes_decrypt``, AES-GCM with a per-call random IV embedded in the
+    ciphertext): the gate decrypts what it encrypted and must recover the
+    exact plaintext — the oracle is the identity projection, so any
+    corruption in the encrypt/decrypt path (key handling, IV framing,
+    binary↔string casts) hash-fails.
+
+    Scale: both sides are row-local JVM expressions (no shuffle, fuses
+    with the scan); at 100 TB the encrypted column is what you'd persist,
+    with the key in a KMS-backed session conf, and `try_` decryption
+    yields NULL (not a job abort) on rows encrypted under a rotated key."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    key = F.lit("0123456789abcdef")  # 16-byte demo key (AES-128)
+    enc = F.aes_encrypt(F.col("text").cast("binary"), key, F.lit("GCM"))
+    dec = F.try_aes_decrypt(enc, key, F.lit("GCM")).cast("string")
+    return d.select(
+        "doc_id",
+        dec.alias("recovered"),
+        F.length(dec).cast("long").alias("n_chars_out"),
+    )
