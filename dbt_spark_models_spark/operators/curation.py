@@ -1078,3 +1078,109 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(alloc), "lang").filter(
         F.col("rk") <= F.col("n_alloc")
     ).select("lang", "doc_id", "rk")
+
+
+@query(
+    "curation_quantile_normalize_scores",
+    oracle="""
+WITH src_pct AS (
+    SELECT doc_id, source, n_chars,
+           PERCENT_RANK() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS pct
+    FROM documents
+), gdist AS (
+    SELECT n_chars AS v,
+           CUME_DIST() OVER (ORDER BY n_chars) AS cume
+    FROM (SELECT DISTINCT n_chars FROM documents)
+), stepped AS (
+    SELECT v, cume,
+           COALESCE(LAG(cume) OVER (ORDER BY v), 0.0) AS prev_cume
+    FROM gdist
+), ref AS (
+    SELECT lvl, MIN(v) AS ref_v
+    FROM (
+        SELECT v,
+               UNNEST(generate_series(
+                   CAST(FLOOR(prev_cume * 100) AS BIGINT) + 1,
+                   CAST(FLOOR(cume * 100) AS BIGINT))) AS lvl
+        FROM stepped
+        UNION ALL
+        SELECT MIN(v) AS v, 0 AS lvl FROM gdist
+    )
+    GROUP BY lvl
+)
+SELECT s.source,
+       CAST(FLOOR(s.pct * 100) AS BIGINT) AS lvl,
+       COUNT(*) AS n_docs,
+       MIN(r.ref_v) AS normalized_score,
+       ROUND(AVG(s.n_chars), 2) AS avg_raw_score
+FROM src_pct s
+JOIN ref r ON r.lvl = CAST(FLOOR(s.pct * 100) AS BIGINT)
+GROUP BY 1, 2
+""",
+)
+def curation_quantile_normalize_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization of a quality score ACROSS sources: each
+    document's within-source percentile is mapped onto the GLOBAL score
+    distribution (ref[L] = smallest global score whose cumulative share
+    reaches L%), making scores comparable when sources have wildly
+    different raw-score scales — the harmonization step before any
+    cross-source quality threshold.
+
+    Scale: the only global ordered pass is over DISTINCT scores (bounded
+    domain — lengths here; quantize first for continuous scores), and the
+    level table is built by a ROW-LOCAL sequence explode over each
+    distinct score's cumulative span — no theta join of docs × levels.
+    Per-source percent ranks partition by source; the final level join is
+    a 101-row broadcast."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    src_w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src_pct = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.percent_rank().over(src_w).alias("pct"),
+    )
+    distinct_scores = d.select("n_chars").distinct()
+    gw = Window.partitionBy(F.col("n_chars").isNotNull()).orderBy("n_chars")
+    glob = distinct_scores.select(
+        F.col("n_chars").alias("v"), F.cume_dist().over(gw).alias("cume")
+    )
+    stepped = glob.withColumn(
+        "prev_cume",
+        F.coalesce(
+            F.lag("cume").over(
+                Window.partitionBy(F.col("v").isNotNull()).orderBy("v")
+            ),
+            F.lit(0.0),
+        ),
+    )
+    start = (F.floor(F.col("prev_cume") * 100) + 1).cast("long")
+    stop = F.floor(F.col("cume") * 100).cast("long")
+    # Spark's sequence(a, b) DESCENDS when a > b (DuckDB returns empty) —
+    # guard the no-integer-level span explicitly
+    spans = stepped.select(
+        "v",
+        F.explode(
+            F.when(start <= stop, F.sequence(start, stop)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("lvl"),
+    )
+    zero = glob.groupBy().agg(F.min("v").alias("v")).select(
+        "v", F.lit(0).cast("long").alias("lvl")
+    )
+    ref = spans.unionByName(zero).groupBy("lvl").agg(F.min("v").alias("ref_v"))
+    lvl = F.floor(F.col("pct") * 100).cast("long")
+    return (
+        src_pct.withColumn("lvl", lvl)
+        .join(F.broadcast(ref), "lvl")
+        .groupBy("source", "lvl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ref_v").alias("normalized_score"),
+            F.round(F.avg("n_chars"), 2).alias("avg_raw_score"),
+        )
+    )
