@@ -8,7 +8,7 @@ documents with zero shuffles (per-row transforms) until the final aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_spark_models_spark.operators import query
@@ -316,4 +316,109 @@ def text_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(_tokens()).alias("n_ws_tokens"),
         F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens"),
+    )
+
+
+@query(
+    "text_significant_terms_logodds",
+    oracle="""
+WITH tok AS (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS token
+    FROM documents
+), per_src AS (
+    SELECT source, token, COUNT(*) AS y FROM tok GROUP BY 1, 2
+), totals AS (
+    SELECT source, SUM(y) AS n FROM per_src GROUP BY source
+), glob_tok AS (
+    SELECT token, SUM(y) AS a FROM per_src GROUP BY token
+), corpus_tot AS (
+    SELECT SUM(y) AS a0 FROM per_src
+), scored AS (
+    SELECT p.source, p.token,
+           LN((p.y + g.a * 0.01) / (t.n + gl.a0 * 0.01 - p.y - g.a * 0.01))
+           - LN(((g.a - p.y) + g.a * 0.01)
+                / ((gl.a0 - t.n) - (g.a - p.y) + gl.a0 * 0.01 - g.a * 0.01))
+               AS delta,
+           1.0 / (p.y + g.a * 0.01) + 1.0 / ((g.a - p.y) + g.a * 0.01)
+               AS var_d,
+           p.y
+    FROM per_src p
+    JOIN totals t ON t.source = p.source
+    JOIN glob_tok g ON g.token = p.token
+    CROSS JOIN corpus_tot gl
+    WHERE g.a - p.y > 0
+)
+SELECT source, token, y AS n_in_source,
+       ROUND(delta / SQRT(var_d), 4) AS zeta, rk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY delta / SQRT(var_d) DESC, token) AS rk
+    FROM scored
+) WHERE rk <= 5
+""",
+)
+def text_significant_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant terms per source via log-odds with an informative
+    Dirichlet prior (Monroe/Colaresi/Quinn "Fightin' Words"): each source's
+    token usage is contrasted against the REST of the corpus, the global
+    distribution serving as the prior (α = 0.01·global count), and terms
+    are ranked by the variance-normalized z-score ζ. The standard
+    'what characterizes this domain' report for corpus curation — robust
+    to both rare-word noise (prior shrinkage) and stopword dominance
+    (contrast denominators), unlike raw TF-IDF.
+
+    Scale: two map-side-combined count aggregates (per-source-token,
+    per-token) + a broadcast of the token-global table; the scoring is
+    row-local math, and top-5-per-source is a window-group-limited rank.
+    The corpus total is a window over the non-foldable constant key (no
+    1-row cross join, no BNLJ)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = d.select(
+        "source", F.explode(_tokens()).alias("token")
+    )
+    per_src = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("y"))
+    totals = per_src.groupBy("source").agg(F.sum("y").alias("n"))
+    glob_tok = per_src.groupBy("token").agg(F.sum("y").alias("a"))
+    a0_w = Window.partitionBy(F.col("source").isNotNull())
+    enriched = (
+        per_src.join(F.broadcast(totals), "source")
+        .join(F.broadcast(glob_tok), "token")
+        .withColumn("a0", F.sum("y").over(a0_w))
+    )
+    prior = F.col("a") * 0.01
+    prior0 = F.col("a0") * 0.01
+    delta = F.log(
+        (F.col("y") + prior)
+        / (F.col("n") + prior0 - F.col("y") - prior)
+    ) - F.log(
+        ((F.col("a") - F.col("y")) + prior)
+        / (
+            (F.col("a0") - F.col("n"))
+            - (F.col("a") - F.col("y"))
+            + prior0
+            - prior
+        )
+    )
+    var_d = 1.0 / (F.col("y") + prior) + 1.0 / (
+        (F.col("a") - F.col("y")) + prior
+    )
+    scored = (
+        enriched.filter(F.col("a") - F.col("y") > 0)
+        .withColumn("zeta_raw", delta / F.sqrt(var_d))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("zeta_raw").desc(), "token"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "token",
+            F.col("y").alias("n_in_source"),
+            F.round("zeta_raw", 4).alias("zeta"),
+            "rk",
+        )
     )
