@@ -568,3 +568,53 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("statuses"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice,
+           PERCENT_RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS pr
+    FROM lineitem
+)
+SELECT l_returnflag,
+       ROUND(AVG(CASE WHEN pr >= 0.05 AND pr <= 0.95
+                      THEN l_extendedprice END), 4) AS trimmed_mean,
+       ROUND(AVG(l_extendedprice), 4) AS raw_mean,
+       COUNT(*) AS n
+FROM ranked
+GROUP BY l_returnflag
+""",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean per group — the robust center estimate
+    that survives fat-tailed value columns (bot traffic, price glitches)
+    where the raw mean is one outlier away from useless. PERCENT_RANK
+    with a full unique ordering keeps the trim boundary deterministic on
+    ties across engines.
+
+    Scale: one window pass partitioned by the group key (per-group sort,
+    same cost class as exact percentile) + one combined aggregate. For
+    groups too large to sort, the log-bucket sketch
+    (``agg_logbucket_quantiles``) brackets the trim points instead."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.withColumn("pr", F.percent_rank().over(w))
+    return ranked.groupBy("l_returnflag").agg(
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("pr") >= 0.05) & (F.col("pr") <= 0.95),
+                    F.col("l_extendedprice"),
+                )
+            ),
+            4,
+        ).alias("trimmed_mean"),
+        F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -782,3 +782,63 @@ def spine_forward_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(w_fill).alias("filled_value"),
         F.when(F.col("value").isNull(), 0).otherwise(1).alias("is_observed"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+), deltas AS (
+    SELECT user_id,
+           date_diff('second', t_signup, t_purchase) AS sec_to_convert
+    FROM firsts
+    WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+      AND t_purchase >= t_signup
+)
+SELECT COUNT(*) AS n_converted,
+       CAST(MIN(sec_to_convert) AS BIGINT) AS min_sec,
+       ROUND(CAST(QUANTILE_CONT(sec_to_convert, 0.5) AS DOUBLE), 2) AS p50_sec,
+       ROUND(CAST(QUANTILE_CONT(sec_to_convert, 0.9) AS DOUBLE), 2) AS p90_sec,
+       CAST(MAX(sec_to_convert) AS BIGINT) AS max_sec
+FROM deltas
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: first signup → first purchase per
+    user, then exact latency percentiles — the funnel-velocity readout
+    that complements step-conversion rates
+    (``funnel_signup_view_purchase``).
+
+    Scale: ONE conditional-min aggregate per user computes both step
+    timestamps in a single map-side-combined pass (no per-step self-join),
+    then the percentile runs over the converted-user table (users-sized,
+    not events-sized)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    deltas = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")
+        ).alias("sec_to_convert")
+    )
+    return deltas.groupBy().agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("sec_to_convert").cast("long").alias("min_sec"),
+        F.round(F.percentile("sec_to_convert", F.lit(0.5)), 2).alias("p50_sec"),
+        F.round(F.percentile("sec_to_convert", F.lit(0.9)), 2).alias("p90_sec"),
+        F.max("sec_to_convert").cast("long").alias("max_sec"),
+    )
