@@ -402,3 +402,51 @@ def scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("k_sum"),
         )
     )
+
+
+@query(
+    "scalar_json_malformed_tolerance",
+    oracle="""
+WITH corrupted AS (
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0
+                THEN substring(props, 1, length(props) - 2)  -- truncated JSON
+                ELSE props END AS raw
+    FROM events
+)
+SELECT CASE WHEN json_valid(raw) THEN 'ok' ELSE 'malformed' END AS parse_class,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN json_valid(raw)
+                     THEN CAST(json_extract_string(raw, '$.k') AS INT)
+                     ELSE 0 END) AS BIGINT) AS k_sum
+FROM corrupted
+GROUP BY 1
+""",
+)
+def scalar_json_malformed_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance in semi-structured parsing: every 7th
+    payload is deterministically truncated, and the pipeline must COUNT
+    (not crash on) the bad records while aggregating the good ones — the
+    dead-letter accounting every ingest job needs. Spark's
+    ``get_json_object`` returns NULL on malformed input; the explicit
+    ``json_valid``-style classification keeps the tally auditable.
+
+    Scale: row-local parse + one map-side-combined groupBy; bad records
+    cost one branch, never a task failure."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    raw = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        F.get_json_object(raw, "$.k").alias("k_str")
+    )
+    parse_class = F.when(F.col("k_str").isNotNull(), "ok").otherwise(
+        "malformed"
+    )
+    return parsed.groupBy(parse_class.alias("parse_class")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("k_str").cast("int"), F.lit(0)))
+        .cast("long")
+        .alias("k_sum"),
+    )
