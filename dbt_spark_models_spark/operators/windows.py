@@ -439,3 +439,56 @@ def window_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "window_cumulative_distinct_users",
+    oracle="""
+WITH first_seen AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY user_id
+), new_per_day AS (
+    SELECT first_day AS day, COUNT(*) AS n_new FROM first_seen GROUP BY 1
+), spine AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+)
+SELECT s.day,
+       COALESCE(n.n_new, 0) AS n_new_users,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY s.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+FROM spine s LEFT JOIN new_per_day n ON n.day = s.day
+""",
+)
+def window_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve query that is
+    NOT expressible as COUNT(DISTINCT) OVER a running frame (Spark and
+    most engines reject distinct aggregates in windows, and the naive
+    re-scan per day is O(days × events)). The rewrite: distinct-ness is
+    equivalent to "counted once, on the user's FIRST day", so two
+    map-side-combined aggregates (first-seen per user, new-users per day)
+    plus a running sum over the DAYS spine give the exact curve.
+
+    Scale: shuffles are keyed on user then day; the only ordered pass is
+    over the day spine (calendar-sized). This is the canonical example of
+    restating a quadratic window as a linear aggregate."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    first_seen = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_per_day = first_seen.groupBy(
+        F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    spine = ev.select(F.to_date("ts").alias("day")).distinct()
+    joined = spine.join(new_per_day, "day", "left").select(
+        "day", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new_users")
+    )
+    w = Window.partitionBy(F.col("day").isNotNull()).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cumulative_users"),
+    )
