@@ -101,6 +101,10 @@ HEADLINE = [
     "quality_profile_table_stats",
     "agg_bitmap_exact_distinct",
     "agg_multigrain_rollup_reuse",
+    # (The deltalite ACID gates are deliberately NOT benched: their cost
+    # is commit-protocol/filesystem-bound — table rebuild + fsync per
+    # call — not plan-bound; sf0.01 oracle gates + tests/test_deltalite.py
+    # cover them.)
     # round-3 continuation (session 4): distributed BPE merge training
     # (iterative scan-count-merge rounds), grouped-agg Pandas UDAF path,
     # PSI distribution-drift monitor
@@ -151,14 +155,38 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # The driver captures only the TAIL of stdout (~2 KB): round 3's single
+    # line with all 70+ per-query timings outgrew it and BENCH_r03.parsed
+    # came back null.  So: full per-query detail goes to BENCH_DETAIL.json
+    # (tools/benchgate.py reads it), and the final printed line stays
+    # compact — total + sf + the slowest queries only.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+            },
+            f,
+            indent=1,
+        )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": slowest,
+                "sf": sf,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -38,16 +38,39 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Module priority for the front of the registry (never-driver-graded
+# queries within these modules are graded first).  Round-4 rotation per
+# VERDICT.md r3 #1/#6: engine lifecycle gates (MERGE/SCD2/erasure/bucketed
+# join — the framework's strongest correctness stories), then the scalar /
+# window / nested / similarity / streaming / funnel / multimodal families.
+_ROTATION_FRONT = [
+    "deltalite_gate",
+    "engine_gate",
+    "scalars",
+    "windows",
+    "nested",
+    "similarity",
+    "streaming_gate",
+    "funnels",
+    "multimodal",
+    "grouped_pandas",
+    "reshape",
+    "pysource_gate",
+    "udtf_gate",
+    "tokenizer",
+    "skew",
+]
+
+
 def load_all() -> dict[str, Query]:
     """Import every operator module (side effect: registry population).
 
-    Import order IS registry order IS the driver's grading order: a driver
-    with a fixed query budget grades from the front.  Modules whose queries
-    have never received a hard driver signal (TPC-H battery, joins, windows,
-    scalars, nested, funnels, formats, similarity, streaming, multimodal,
-    reshape, grouped_pandas, quality, text) come first; modules whose
-    queries were driver-graded green in rounds 1-2 (aggregates, arrays,
-    clustering, contamination, curation, dedup, engine_gate) come last.
+    Registry order IS the driver's grading order: a driver with a fixed
+    per-round query budget grades from the front.  After importing every
+    module, the registry is reordered so queries that have never received a
+    hard driver signal (not in ``_graded.DRIVER_GRADED``, the union of the
+    green rows in CORRECTNESS_r01-r03.json) come first — prioritized by
+    ``_ROTATION_FRONT`` module order — and already-graded queries go last.
     """
     from dbt_spark_models_spark.operators import (  # noqa: F401
         relational,
@@ -77,6 +100,21 @@ def load_all() -> dict[str, Query]:
         curation,
         dedup,
         engine_gate,
+        deltalite_gate,
     )
+    from dbt_spark_models_spark.operators._graded import DRIVER_GRADED
 
+    mod_rank = {m: i for i, m in enumerate(_ROTATION_FRONT)}
+
+    def sort_key(item: tuple[str, Query]) -> tuple:
+        name, q = item
+        mod = q.fn.__module__.rsplit(".", 1)[-1]
+        graded = name in DRIVER_GRADED
+        # ungraded first; within ungraded, _ROTATION_FRONT modules in listed
+        # order, then the rest; registration order breaks ties (stable sort).
+        return (graded, mod_rank.get(mod, len(_ROTATION_FRONT)))
+
+    ordered = sorted(REGISTRY.items(), key=sort_key)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY

@@ -135,18 +135,57 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+WITH exact AS (
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           MEDIAN(l_extendedprice) AS p50
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, exact_orders, exact_parts,
+       TRUE AS orders_within_5pct,
+       TRUE AS parts_within_5pct,
+       TRUE AS p50_within_2pct
+FROM exact
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX_COUNT_DISTINCT + PERCENTILE_APPROX (reference
-    ``models/spark/onfy/onfy_unique_querying_devices.sql:36``; sketch results
-    are engine-specific, so no SQL oracle — driver records rows-only)."""
+    ``models/spark/onfy/onfy_unique_querying_devices.sql:36``).
+
+    Error-bound oracle (VERDICT r3 #5): HLL++/KLL sketch internals are
+    engine-specific, so the gate outputs the EXACT counts (verification
+    harness; production ships only the sketches) plus booleans claiming
+    each approximation is inside its documented error envelope
+    (approx_count_distinct at rsd 2% claimed within 5% = 2.5σ;
+    percentile_approx at accuracy 10000 within 2% of the exact median on
+    this distribution) — all deterministic for a fixed input. The oracle
+    recomputes exact and asserts TRUE."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
             "approx_p50_price"
         ),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("median(l_extendedprice)").alias("p50"),
+    )
+
+    def within(est: str, exact: str, tol: float):
+        return F.abs(F.col(est) - F.col(exact)) <= tol * F.col(exact)
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders", 0.05).alias("orders_within_5pct"),
+        within("approx_parts", "exact_parts", 0.05).alias("parts_within_5pct"),
+        within("approx_p50_price", "p50", 0.02).alias("p50_within_2pct"),
     )
 
 

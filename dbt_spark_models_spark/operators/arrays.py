@@ -438,15 +438,25 @@ def scalar_json_malformed_tolerance(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("event_id") % 7 == 0,
         F.expr("substring(props, 1, length(props) - 2)"),
     ).otherwise(F.col("props"))
+    # classify on JSON VALIDITY (try_parse_json, NULL iff malformed) to
+    # mirror the oracle's json_valid(raw) — classifying on '$.k' presence
+    # would call a valid payload WITHOUT k 'malformed' while DuckDB calls
+    # it 'ok' (ADVICE r3)
     parsed = ev.select(
-        F.get_json_object(raw, "$.k").alias("k_str")
+        F.expr("try_parse_json("
+               + "CASE WHEN event_id % 7 = 0"
+               + " THEN substring(props, 1, length(props) - 2)"
+               + " ELSE props END) IS NOT NULL").alias("is_valid"),
+        F.get_json_object(raw, "$.k").alias("k_str"),
     )
-    parse_class = F.when(F.col("k_str").isNotNull(), "ok").otherwise(
-        "malformed"
-    )
+    parse_class = F.when(F.col("is_valid"), "ok").otherwise("malformed")
+    # Jackson's lenient get_json_object can still extract k from a
+    # truncated payload, so gate the contribution on validity like the
+    # oracle's CASE WHEN json_valid ... ELSE 0
+    k_contrib = F.when(
+        F.col("is_valid"), F.coalesce(F.col("k_str").cast("int"), F.lit(0))
+    ).otherwise(F.lit(0))
     return parsed.groupBy(parse_class.alias("parse_class")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.coalesce(F.col("k_str").cast("int"), F.lit(0)))
-        .cast("long")
-        .alias("k_sum"),
+        F.sum(k_contrib).cast("long").alias("k_sum"),
     )

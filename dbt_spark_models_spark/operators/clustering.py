@@ -19,15 +19,18 @@ from pyspark.sql import functions as F
 from dbt_spark_models_spark.operators import query
 from dbt_spark_models_spark.sources.testdata import load_tables
 
-# jaccard >= 0.6 pair edges over the doc_id < 100 slice (same inverted-
-# index construction as dedup_token_jaccard_pairs)
+# jaccard >= 0.9 pair edges over the WHOLE corpus.  The oracle CTE is the
+# UNFILTERED posting-join ground truth (every token pair), so the driver
+# verifies the Spark side's lossless prefix-filter pruning itself — same
+# contract as dedup_jaccard_prefix_filter.  (The previous demo builder's
+# doc_id < 100 slice + all-pairs token join — the quadratic recipe the
+# rest of the dedup family avoids — was removed per VERDICT r3 #4.)
 _EDGES_DUCK = """
 tok AS (
     SELECT DISTINCT doc_id,
            unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                               x -> len(x) > 0)) AS token
     FROM documents
-    WHERE doc_id < 100
 ), sizes AS (
     SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
 ), pair AS (
@@ -39,39 +42,35 @@ tok AS (
     FROM pair
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.6
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.9
 )
 """
 
 
+# (session id, sf_dir) → materialized t=0.9 edge set: three registry
+# queries (both CC gates + pipeline_fuzzy_dedup_survivors) consume the
+# SAME pair join, and their iterative consumers reference it repeatedly —
+# compute it once per session, localCheckpoint, reuse.
+_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (
-        load_tables(spark, sf_dir, ("documents",))["documents"]
-        .filter(F.col("doc_id") < 100)
-    )
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: F.length(x) > 0
-    )
-    tok = d.select("doc_id", F.explode(F.array_distinct(toks)).alias("token"))
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = tok.alias("a"), tok.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    """Near-dup edges at t=0.9 over the whole corpus via the lossless
+    prefix-filter join — the production edge recipe
+    (``dedup.jaccard_prefix_join``), shared by both CC gates and
+    ``pipeline_fuzzy_dedup_survivors``."""
+    from dbt_spark_models_spark.operators.dedup import jaccard_prefix_join
+    from dbt_spark_models_spark.sources.testdata import spread
+
+    key = (id(spark), sf_dir)
+    if key not in _EDGE_CACHE:
+        d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+        _EDGE_CACHE[key] = (
+            jaccard_prefix_join(d, 9, 10)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
-    return (
-        pair.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.6)
-        .select("doc_a", "doc_b")
-    )
+    return _EDGE_CACHE[key]
 
 
 @query(
@@ -401,14 +400,14 @@ def pipeline_fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFram
     aggs/joins with localCheckpoint lineage cuts, survivor selection is a
     broadcast-size join back to the corpus — no stage is all-pairs or
     single-partition."""
-    from dbt_spark_models_spark.operators.dedup import jaccard_prefix_join
     from dbt_spark_models_spark.sources.testdata import spread
 
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    # materialize the pair join once: the star rounds reference their input
-    # several times per round (symmetrize union + neighborhood join), which
-    # would re-execute the whole prefix-filter join subtree each time
-    edges = jaccard_prefix_join(d, 9, 10).select("doc_a", "doc_b").localCheckpoint()
+    # the pair join arrives already materialized (localCheckpoint) from
+    # the session-shared edge cache: the star rounds reference their
+    # input several times per round (symmetrize union + neighborhood
+    # join), which would re-execute the prefix-filter subtree each time
+    edges = _edges_spark(spark, sf_dir)
     und = edges.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))

@@ -745,7 +745,12 @@ def eval_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving near-dup pairs only."""
     from dbt_spark_models_spark.operators.dedup import dedup_minhash_lsh
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
+    # threshold the UNROUNDED jaccard — the oracle thresholds the exact
+    # ratio, and the display-rounded value would disagree on pairs with
+    # true j in [0.89995, 0.9) (ADVICE r3)
+    pairs = dedup_minhash_lsh(spark, sf_dir, with_exact=True).filter(
+        F.col("jaccard_exact") >= 0.9
+    )
 
     def split(col: str):
         u = (

@@ -935,7 +935,7 @@ WITH pur AS (
     FROM custs CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)
 ), cand AS (
     SELECT o_custkey,
-           h % (SELECT COUNT(*) FROM part) AS neg_partkey,
+           h % (SELECT COUNT(*) FROM part) + 1 AS neg_partkey,
            MIN(h) AS h
     FROM cand0 GROUP BY 1, 2
 ), neg AS (
@@ -996,7 +996,15 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         custs.select(
             "o_custkey", F.explode(F.sequence(F.lit(1), F.lit(8))).alias("i")
         )
-        .select("o_custkey", (h % F.lit(n_parts)).alias("neg_partkey"), h.alias("h"))
+        # +1 lands candidates in the REAL part-key space 1..n_parts —
+        # h % n alone emits a nonexistent partkey 0 that trivially
+        # survives the anti-join and can never sample the max key
+        # (ADVICE r3)
+        .select(
+            "o_custkey",
+            (h % F.lit(n_parts) + 1).alias("neg_partkey"),
+            h.alias("h"),
+        )
         .groupBy("o_custkey", "neg_partkey")
         .agg(F.min("h").alias("h"))
     )

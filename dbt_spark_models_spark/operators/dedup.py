@@ -211,7 +211,9 @@ JOIN sizes sa ON sa.doc_id = v.doc_a
 JOIN sizes sb ON sb.doc_id = v.doc_b
 """,
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, with_exact: bool = False
+) -> DataFrame:
     """MinHash + LSH near-dup detection, the 100 TB dedup path:
     3-token shingles → deterministic shingle ids (polynomial hash) →
     16 affine min-hash permutations → 4 bands of 4 → bucket self-join on
@@ -305,10 +307,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    # with_exact adds the UNROUNDED ratio for downstream consumers that
+    # threshold it (eval_split_leakage at j>=0.9): thresholding the
+    # 4-decimal display value would keep a pair with true j in
+    # [0.89995, 0.9) that the exact-ratio oracle drops (ADVICE r3).
+    cols = ["doc_a", "doc_b", F.round(jac, 4).alias("jaccard")]
+    if with_exact:
+        cols.append(jac.alias("jaccard_exact"))
     return (
         verified.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
         .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select(*cols)
     )
 
 

@@ -1,0 +1,194 @@
+"""DeltaLite gates: ACID log-protocol table format, oracle-verified.
+
+Closes the one remaining SURVEY.md §2.1 component every prior round
+carried as an environmental gap (``file_format='delta'``, 197 reference
+model configs + all 54 snapshots — e.g.
+``snapshots/spark/b2b_mart/scd2_merchant_orders_v2_snapshot.sql:8-15``):
+no Delta jars exist in the container, but the transaction-log PROTOCOL is
+a public spec, implemented Spark-first in ``sources/deltalite.py``. These
+gates drive the full lifecycle — create / append / overwrite / MERGE /
+time travel — and the DuckDB oracle recomputes what each snapshot MUST
+contain from the source parquet, so the driver hash-verifies commit
+atomicity and log-replay semantics, not just row counts.
+
+Each gate rebuilds its table under /tmp from scratch per call —
+deterministic for a fixed sf_dir.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.sources import deltalite
+from dbt_spark_models_spark.sources.testdata import load_tables
+
+_ROOT = "/tmp/spark_models_deltalite"
+
+
+def _table_dir(sf_dir: str, gate: str) -> str:
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(_ROOT, h, gate)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _orders_slice(spark: SparkSession, sf_dir: str, rem: int) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).filter(F.col("o_orderkey") % 3 == rem)
+
+
+@query(
+    "sink_deltalite_snapshot_read",
+    oracle="""
+WITH snap AS (
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_price,
+       SUM(o_orderkey) AS key_sum
+FROM snap GROUP BY o_orderpriority
+""",
+)
+def sink_deltalite_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeltaLite create + append + snapshot read: v0 CTAS-commits one
+    orders slice, v1 appends a second; the latest snapshot must be
+    exactly their union — the oracle recomputes it from the source table,
+    so the driver verifies the log replay (adds accumulate across
+    commits) and that nothing else leaked in.
+
+    Scale: the commit is metadata (one JSON file); the read is a plain
+    parquet scan of the active file set, so pushdown/pruning behave as on
+    any parquet table."""
+    path = _table_dir(sf_dir, "snapshot_read")
+    deltalite.write(
+        spark, _orders_slice(spark, sf_dir, 0).coalesce(4), path, "overwrite"
+    )
+    deltalite.write(
+        spark, _orders_slice(spark, sf_dir, 1).coalesce(4), path, "append"
+    )
+    snap = deltalite.read(spark, path)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+@query(
+    "sink_deltalite_time_travel",
+    oracle="""
+WITH v0 AS (
+    SELECT 0 AS version, COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum
+    FROM orders WHERE o_orderkey % 3 = 0
+), v1 AS (
+    SELECT 1 AS version, COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+), v2 AS (
+    SELECT 2 AS version, COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum
+    FROM orders WHERE o_orderkey % 3 = 2
+)
+SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+""",
+)
+def sink_deltalite_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel by log replay: after create(v0) / append(v1) /
+    overwrite(v2), reading ``versionAsOf`` 0, 1 and 2 must see three
+    DIFFERENT tables — v1 is the union, v2 is ONLY the overwrite slice
+    (its commit carries remove-actions for every prior file). The oracle
+    recomputes each snapshot's row count and key checksum from source.
+
+    This is the gate that fails if remove-actions are ignored, if
+    overwrite leaks old files into the new snapshot, or if old files are
+    deleted eagerly (v0/v1 must stay readable after the overwrite)."""
+    path = _table_dir(sf_dir, "time_travel")
+    deltalite.write(
+        spark, _orders_slice(spark, sf_dir, 0).coalesce(4), path, "overwrite"
+    )
+    deltalite.write(
+        spark, _orders_slice(spark, sf_dir, 1).coalesce(4), path, "append"
+    )
+    deltalite.write(
+        spark, _orders_slice(spark, sf_dir, 2).coalesce(4), path, "overwrite"
+    )
+    snaps = [
+        deltalite.read(spark, path, version=v)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .select(F.lit(v).alias("version"), "n_rows", "key_sum")
+        for v in (0, 1, 2)
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+@query(
+    "engine_deltalite_merge_acid",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DECIMAL(18, 2)) AS price
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+), src AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DECIMAL(18, 2)) * 2 AS price
+    FROM orders WHERE o_orderkey % 4 IN (1, 2)
+), merged AS (
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey)
+    UNION ALL
+    SELECT * FROM src
+)
+SELECT o_orderkey % 4 AS key_bucket,
+       COUNT(*) AS n_rows,
+       CAST(SUM(price) AS DECIMAL(18, 2)) AS total_price
+FROM merged GROUP BY o_orderkey % 4
+""",
+)
+def engine_deltalite_merge_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert through the DeltaLite commit protocol: v0 commits a
+    base slice, then one MERGE commit upserts a source that UPDATES the
+    overlapping keys (%4==1, price doubled) and INSERTS new ones (%4==2).
+    The rewrite and the file swap land in ONE atomic log append — readers
+    see pre- or post-merge, never between (the property the parquet
+    staging-swap in ``plans/materialize.py:167`` approximates and real
+    delta guarantees; here the guarantee is real because visibility IS
+    the log). Oracle recomputes the dbt-spark merge semantics
+    (``macros/spark_adapter_patch/create_table.sql:21-38``) from source.
+
+    Scale: this subset rewrites all files per merge; real delta prunes
+    the rewrite to key-range-overlapping files — the commit protocol,
+    which is what's under test, is identical."""
+    path = _table_dir(sf_dir, "merge_acid")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).filter(F.col("o_orderkey") % 4 < 2)
+    src = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2).alias("price"),
+    ).filter((F.col("o_orderkey") % 4).isin(1, 2))
+    deltalite.write(spark, base.coalesce(4), path, "overwrite")
+    deltalite.merge(spark, src.coalesce(4), path, ["o_orderkey"])
+    final = deltalite.read(spark, path)
+    return final.groupBy((F.col("o_orderkey") % 4).alias("key_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("decimal(18,2)").alias("total_price"),
+    )

@@ -777,7 +777,11 @@ def engine_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     mart from scratch WITHOUT those users — the gate proves the erasure
     touched the right rows and ONLY those rows, through the same
     staging-swap write path the merge materialization uses. Builds its own
-    db (never the shared gate mart, which other gates read un-erased)."""
+    db (never the shared gate mart, which other gates read un-erased) with
+    ONE full run at the final cutoff — the two-phase CTAS+incremental
+    build is the subject of ``engine_incremental_daily_stats``; this gate
+    only needs a populated mart to sweep, and a single run halves its
+    wall-time."""
     import hashlib
 
     from dbt_spark_models_spark.plans import Project, Runner
@@ -789,7 +793,15 @@ def engine_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _ERASE_CACHE.get(key) != db or not spark.catalog.tableExists(
         f"{db}.daily_user_stats"
     ):
-        _build_mini_mart(spark, sf_dir, db)
+        _fresh_db(spark, db)
+        build = Runner(
+            spark=spark,
+            project=Project.load(_EXAMPLE_PROJECT),
+            database=db,
+            vars={"sf_dir": sf_dir, "cutoff_date": "2024-01-15"},
+        )
+        if any(r.status != "success" for r in (*build.seed(), *build.run())):
+            raise RuntimeError("erase-gate mart build failed")
         ev = load_tables(spark, sf_dir, ("events",))["events"]
         # the deletion queue stays a DataFrame end to end — no driver hop
         keys = (

@@ -258,7 +258,27 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_mergeable_distinct", oracle=None)
+@query(
+    "agg_hll_mergeable_distinct",
+    oracle="""
+WITH per_type AS (
+    SELECT event_type AS group_key,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY event_type
+), merged AS (
+    SELECT 'ALL' AS group_key,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users
+    FROM events
+)
+SELECT group_key, n_events, exact_users, TRUE AS est_within_3pct
+FROM per_type
+UNION ALL
+SELECT group_key, n_events, exact_users, TRUE AS est_within_3pct
+FROM merged
+""",
+)
 def agg_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL,
     ``hll_sketch_agg``): one sketch per event_type, then the per-type
@@ -266,25 +286,38 @@ def agg_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate — demonstrating the associative partial-aggregation property
     that makes sketch counting the 100 TB path (map-side partials merge
     without shuffling raw keys; exact COUNT(DISTINCT) shuffles every key).
-    Rows-only gate: sketch binaries are engine-specific (no DuckDB
-    equivalent); ``tests/test_quality_ops.py`` bounds the estimates
-    against exact counts (HLL lgk=12 → ~1.6% standard error)."""
+
+    Error-bound oracle (VERDICT r3 #5): sketch binaries are
+    engine-specific, so the gate outputs the EXACT counts plus a boolean
+    claiming the HLL estimate lands within ±3% of exact (lgk=12 → ~1.6%
+    standard error, deterministic for a fixed input); the oracle
+    recomputes the exact counts and asserts TRUE. The exact distinct here
+    is the verification harness, not the production path — production
+    ships the sketch only."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     sketches = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
+    within = (
+        F.abs(F.hll_sketch_estimate(F.col("sk")) - F.col("exact_users"))
+        <= 0.03 * F.col("exact_users")
+    ).alias("est_within_3pct")
     per_type = sketches.select(
-        F.col("event_type").alias("group_key"),
-        F.hll_sketch_estimate("sk").alias("approx_users"),
-        "n_events",
+        F.col("event_type").alias("group_key"), "n_events", "exact_users", within
     )
-    merged = sketches.agg(
-        F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
-    ).select(
-        F.lit("ALL").alias("group_key"),
-        F.hll_sketch_estimate("sk").alias("approx_users"),
-        "n_events",
+    merged = (
+        sketches.agg(
+            F.hll_union_agg("sk").alias("sk"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.agg(F.countDistinct("user_id").alias("exact_users"))
+            )
+        )
+        .select(F.lit("ALL").alias("group_key"), "n_events", "exact_users", within)
     )
     return per_type.unionByName(merged)
 
@@ -1152,7 +1185,25 @@ def eval_chi_squared_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_rolling_7d_users", oracle=None)
+@query(
+    "agg_hll_rolling_7d_users",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+    SELECT DISTINCT day FROM du
+), exact7 AS (
+    SELECT d.day,
+           COUNT(DISTINCT u.user_id) AS users_7d_exact,
+           COUNT(DISTINCT u.day) AS n_days_merged
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+)
+SELECT day, n_days_merged, users_7d_exact, TRUE AS est_within_3pct
+FROM exact7 ORDER BY day
+""",
+)
 def agg_hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users from MERGEABLE day sketches: one HLL
     sketch per day (one scan of the facts), then each day's trailing-7
@@ -1162,30 +1213,48 @@ def agg_hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     7 × n_days kilobyte blobs, computable on the driver of a dashboard.
 
     The trailing window is an equi-join of the day spine to its 7
-    contributing days (generated arithmetically, no range join). Rows-only
-    gate (sketch binaries are engine-specific);
-    ``tests/test_round3_session4_ops.py`` bounds every estimate against
-    the exact rolling distinct."""
+    contributing days (generated arithmetically, no range join).
+
+    Error-bound oracle (VERDICT r3 #5): sketch blobs are engine-specific,
+    so the gate ALSO computes the exact rolling distinct (verification
+    harness only — production ships the sketch path) and a boolean
+    claiming every day's estimate is within ±3% of exact (lgk=12 → ~1.6%
+    SE, deterministic for a fixed input); the oracle recomputes exact and
+    asserts TRUE."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    day_sketch = (
-        ev.select(F.to_date("ts").alias("day"), "user_id")
-        .groupBy("day")
-        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    day_sketch = du.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
     )
     spine = day_sketch.select(
         "day",
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("back"),
     ).select("day", F.date_sub("day", F.col("back")).alias("src_day"))
-    return (
-        spine.join(
-            day_sketch.withColumnRenamed("day", "src_day"), "src_day"
-        )
+    est = (
+        spine.join(day_sketch.withColumnRenamed("day", "src_day"), "src_day")
         .groupBy("day")
         .agg(
             F.expr("hll_sketch_estimate(hll_union_agg(sk, true))")
             .cast("long")
             .alias("users_7d_est"),
             F.count(F.lit(1)).alias("n_days_merged"),
+        )
+    )
+    exact = (
+        spine.join(du.withColumnRenamed("day", "src_day"), "src_day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d_exact"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            "n_days_merged",
+            "users_7d_exact",
+            (
+                F.abs(F.col("users_7d_est") - F.col("users_7d_exact"))
+                <= 0.03 * F.col("users_7d_exact")
+            ).alias("est_within_3pct"),
         )
         .orderBy("day")
     )

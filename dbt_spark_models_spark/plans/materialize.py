@@ -14,10 +14,14 @@ Reference semantics reproduced Spark-first:
   (schema diff + ALTER TABLE ADD COLUMNS, SURVEY.md §4 custom-touch (c)).
 - **seed**: CSV → table with inferred schema (``seeds/properties.yml``).
 
-Scale notes: insert_overwrite writes shuffle-free when the upstream plan
-already partitions by the partition keys; the engine honors model-level
-DISTRIBUTE BY in the SQL text (SURVEY.md §2.6) rather than injecting its
-own repartition.
+Scale notes: a dynamic-partition write from an unaligned upstream plan
+emits up to (shuffle.partitions × n_partitions) files — the small-files
+problem that kills both the commit phase here and downstream scans at
+100 TB. So partitioned writes repartition on the partition columns first
+(one task → one compact file per partition) UNLESS the model SQL carries
+its own DISTRIBUTE BY (SURVEY.md §2.6), which stays authoritative. A
+partition that outgrows one task at production scale adds a salt column
+to the distribute clause; at gate scale plain keys suffice.
 """
 
 from __future__ import annotations
@@ -50,6 +54,21 @@ def _delta_available(spark: SparkSession) -> bool:
         return True
     except Exception:  # noqa: BLE001
         return False
+
+
+def _layout_for_write(
+    df: DataFrame, partition_by: list[str] | None, model_sql: str = ""
+) -> DataFrame:
+    """Align the plan's partitioning with the table's partition columns
+    before a dynamic-partition write: each output partition is then
+    produced by one task → one compact file, instead of up to
+    (shuffle.partitions × n_partitions) tiny files. Skipped when the
+    model SQL carries its own DISTRIBUTE BY — the author's layout wins."""
+    if not partition_by or "distribute by" in model_sql.lower():
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(*[F.col(c) for c in partition_by])
 
 
 def _align_columns(
@@ -118,7 +137,7 @@ def materialize(
         partition_by = [partition_by]
 
     def create_as(select_sql: str, action: str) -> MaterializeResult:
-        df = spark.sql(select_sql)
+        df = _layout_for_write(spark.sql(select_sql), partition_by, select_sql)
         writer = df.write.mode("overwrite").format(file_format)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -177,7 +196,11 @@ def materialize(
             staging = f"{ident}__merge_staging"
 
             def write(src_df, dest):
-                w = src_df.write.mode("overwrite").format(file_format)
+                w = (
+                    _layout_for_write(src_df, partition_by)
+                    .write.mode("overwrite")
+                    .format(file_format)
+                )
                 if partition_by:
                     w = w.partitionBy(*partition_by)
                 w.saveAsTable(dest)
@@ -189,7 +212,9 @@ def materialize(
         # insert_overwrite: dynamic mode replaces only partitions present
         # in the increment; without partition_by this overwrites the table
         # (dbt-spark parity, SURVEY.md §7)
-        df.write.mode("overwrite").insertInto(ident)
+        _layout_for_write(df, partition_by, sql).write.mode(
+            "overwrite"
+        ).insertInto(ident)
         return MaterializeResult(
             ident, "overwritten_partitions" if partition_by else "overwritten"
         )

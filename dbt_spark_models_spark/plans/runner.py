@@ -394,9 +394,12 @@ class Runner:
         ``keys`` — a Python list for ad-hoc requests, or a single-column
         DataFrame when the deletion queue is itself a table (the 100 TB
         form: keys never pass through the driver). Views are skipped —
-        they recompute from their (already erased) upstreams. The rewrite
-        is the same staging-swap the merge materialization uses, so a
-        mid-erase failure leaves the original table intact.
+        they recompute from their (already erased) upstreams. The swap is
+        write-to-staging, then two metadata-only RENAMEs (target→backup,
+        staging→target), then drop backup: a failure during the data
+        write leaves the original untouched, and the only vulnerable
+        window is between the two renames — metadata ops, not a full
+        rewrite — after which recovery is the ``__erase_backup`` table.
 
         At 100 TB, tables partitioned by a key-correlated column should
         erase via dynamic partition overwrite of only the affected
@@ -448,12 +451,19 @@ class Runner:
                     "left_anti",
                 )
                 staging = f"{ident}__erase_staging"
+                backup = f"{ident}__erase_backup"
                 self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+                self.spark.sql(f"DROP TABLE IF EXISTS {backup}")
                 kept.write.saveAsTable(staging)
-                self.spark.table(staging).write.mode(
-                    "overwrite"
-                ).saveAsTable(ident)
-                self.spark.sql(f"DROP TABLE {staging}")
+                # validate the staging write is readable BEFORE touching
+                # the target, then swap via two metadata-only renames —
+                # mode('overwrite').saveAsTable would drop-and-recreate
+                # the target, so a mid-overwrite crash could lose it
+                # (ADVICE r3)
+                _ = self.spark.table(staging).schema
+                self.spark.sql(f"ALTER TABLE {ident} RENAME TO {backup}")
+                self.spark.sql(f"ALTER TABLE {staging} RENAME TO {ident}")
+                self.spark.sql(f"DROP TABLE {backup}")
                 out.append(
                     RunResult(
                         node.name,

@@ -1,0 +1,290 @@
+"""DeltaLite: a Delta-Lake-transaction-log subset over parquet, no jars.
+
+The container has no Delta jars (the one §2 gap every prior round carried:
+the reference sets ``file_format='delta'`` on 197 models and all 54
+snapshots, e.g. ``snapshots/spark/b2b_mart/scd2_merchant_orders_v2_snapshot
+.sql:8-15``). The delta FORMAT is unavailable without the runtime, but the
+thing that makes delta delta — the transaction LOG protocol — is a public
+spec (Delta Transaction Log Protocol, delta.io; PROTOCOL.md in
+delta-io/delta). This module implements the subset that gives parquet
+tables ACID commits, snapshot reads, and time travel:
+
+- every commit is ONE atomically-created JSON file
+  ``_delta_log/{version:020d}.json`` holding ``protocol`` / ``metaData`` /
+  ``add`` / ``remove`` actions (same action vocabulary as the spec);
+- data files are written with globally-unique names directly under the
+  table root and are INVISIBLE until an ``add`` action commits them —
+  a crashed writer leaves garbage files, never a corrupt table;
+- readers replay the log: active files = adds minus removes up to the
+  requested version — so ``versionAsOf`` time travel is just stopping
+  the replay early;
+- concurrent writers race on ``O_CREAT|O_EXCL`` of the next version file
+  (the local-FS equivalent of the spec's "put-if-absent on the log
+  object"); the loser gets a ``ConcurrentWriteError`` and retries on a
+  fresh snapshot — optimistic concurrency, exactly the spec's model.
+
+Scale: the log is metadata (KBs per commit); readers replay JSON, then
+Spark scans ONLY the active parquet files — partition pruning and
+predicate pushdown work unchanged because the data path IS plain parquet.
+Production delta adds checkpoints every N commits so replay is O(1) not
+O(#commits); that and column-stat data-skipping are the documented
+out-of-subset pieces. Single-JSON-commit + put-if-absent is how the real
+protocol works on HDFS/local; object stores need a commit coordinator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_delta_log"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first (optimistic-concurrency
+    loser). Re-read the table and retry the transaction."""
+
+
+def _log_path(table_path: str) -> str:
+    return os.path.join(table_path, _LOG_DIR)
+
+
+def _version_file(table_path: str, version: int) -> str:
+    return os.path.join(_log_path(table_path), f"{version:020d}.json")
+
+
+def _list_versions(table_path: str) -> list[int]:
+    log = _log_path(table_path)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for f in os.listdir(log):
+        if f.endswith(".json"):
+            try:
+                out.append(int(f[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_version(table_path: str) -> int | None:
+    vs = _list_versions(table_path)
+    return vs[-1] if vs else None
+
+
+def _replay(table_path: str, version: int | None = None) -> tuple[list[str], dict]:
+    """Replay the log up to ``version`` (inclusive; None = latest).
+    Returns (active data-file relative paths, last metaData action)."""
+    versions = _list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no DeltaLite log at {table_path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not in log (have {versions[0]}..{versions[-1]})"
+        )
+    active: dict[str, dict] = {}
+    meta: dict = {}
+    for v in versions:
+        if v > version:
+            break
+        with open(_version_file(table_path, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    active[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    active.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+    return sorted(active), meta
+
+
+def _write_data_files(df: DataFrame, table_path: str) -> list[dict]:
+    """Write df's rows as parquet files with globally-unique names under
+    the table root (spec: data files are inert until committed). Returns
+    the ``add`` payloads."""
+    staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    adds = []
+    now_ms = int(time.time() * 1000)
+    for f in os.listdir(staging):
+        if not f.endswith(".parquet"):
+            continue
+        unique = f"part-{uuid.uuid4().hex}.parquet"
+        src = os.path.join(staging, f)
+        os.rename(src, os.path.join(table_path, unique))
+        adds.append(
+            {
+                "path": unique,
+                "size": os.path.getsize(os.path.join(table_path, unique)),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def _commit(
+    table_path: str,
+    version: int,
+    actions: list[dict],
+) -> None:
+    """Atomically create the version file (O_CREAT|O_EXCL = the local-FS
+    put-if-absent). Losing the race raises ConcurrentWriteError."""
+    os.makedirs(_log_path(table_path), exist_ok=True)
+    path = _version_file(table_path, version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except FileExistsError as exc:
+        raise ConcurrentWriteError(
+            f"version {version} already committed at {table_path}"
+        ) from exc
+    with os.fdopen(fd, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def _meta_action(df: DataFrame, table_id: str) -> dict:
+    return {
+        "metaData": {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+
+
+def write(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    mode: str = "overwrite",
+) -> int:
+    """Commit ``df`` to the table. ``overwrite`` removes every currently
+    active file and adds the new ones in ONE commit; ``append`` only adds.
+    Returns the committed version."""
+    os.makedirs(table_path, exist_ok=True)
+    versions = _list_versions(table_path)
+    if not versions:
+        version = 0
+        prior: list[str] = []
+        meta: dict = {}
+    else:
+        version = versions[-1] + 1
+        prior, meta = _replay(table_path)
+    adds = _write_data_files(df, table_path)
+    actions: list[dict] = [
+        {"commitInfo": {"operation": mode.upper(), "timestamp": int(time.time() * 1000)}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action(df, meta.get("id", uuid.uuid4().hex)),
+    ]
+    if mode == "overwrite":
+        now_ms = int(time.time() * 1000)
+        actions += [
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+            for p in prior
+        ]
+    elif mode != "append":
+        raise ValueError(f"unknown mode {mode!r}")
+    actions += [{"add": a} for a in adds]
+    _commit(table_path, version, actions)
+    return version
+
+
+def read(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read at ``version`` (None = latest) by log replay. The
+    scan is plain parquet over the active file set — pushdown/pruning
+    intact. An empty snapshot returns an empty DataFrame with the
+    committed schema."""
+    active, meta = _replay(table_path, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if not active:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table_path, p) for p in active]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def merge(
+    spark: SparkSession,
+    source: DataFrame,
+    table_path: str,
+    keys: list[str],
+) -> int:
+    """MERGE by copy-on-write rewrite, the parquet-table strategy real
+    Delta uses for matched files: matched keys update every column,
+    unmatched insert (dbt-spark merge semantics,
+    ``macros/spark_adapter_patch/create_table.sql:21-38``). The rewrite
+    and the swap land in ONE atomic commit — remove(all prior) +
+    add(rewritten), so readers see pre- or post-merge state, never
+    between. Duplicate-key sources are rejected like delta's MERGE.
+
+    At scale, real delta rewrites only files whose key-range min/max
+    overlap the source (data skipping); this subset rewrites the table —
+    documented, and the COMMIT protocol (the hard part) is identical."""
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError("merge source has duplicate unique_key rows")
+    target = read(spark, table_path)
+    result = target.join(source, on=keys, how="left_anti").unionByName(
+        source.select(*target.columns)
+    )
+    # one commit: remove every prior active file, add the rewrite
+    versions = _list_versions(table_path)
+    version = versions[-1] + 1
+    prior, meta = _replay(table_path)
+    adds = _write_data_files(result, table_path)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "MERGE", "timestamp": now_ms}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action(result, meta.get("id", uuid.uuid4().hex)),
+        *(
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+            for p in prior
+        ),
+        *({"add": a} for a in adds),
+    ]
+    _commit(table_path, version, actions)
+    return version
+
+
+def vacuum(table_path: str) -> list[str]:
+    """Delete data files no longer referenced by ANY log version (crashed
+    writers' garbage and overwritten files past retention — retention is
+    0 here for determinism; production keeps a time window so running
+    time-travel readers don't lose files under them)."""
+    referenced: set[str] = set()
+    for v in _list_versions(table_path):
+        with open(_version_file(table_path, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    referenced.add(action["add"]["path"])
+    removed = []
+    for f in os.listdir(table_path):
+        if f.endswith(".parquet") and f not in referenced:
+            os.remove(os.path.join(table_path, f))
+            removed.append(f)
+    return sorted(removed)

@@ -1,0 +1,98 @@
+"""DeltaLite transaction-log protocol invariants (sources/deltalite.py):
+the ACID corners the registry gates can't hash-check — commit atomicity
+races, uncommitted-file invisibility, vacuum safety, empty snapshots."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from dbt_spark_models_spark.sources import deltalite
+
+
+@pytest.fixture()
+def tdir():
+    with tempfile.TemporaryDirectory(prefix="deltalite-") as d:
+        yield d
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_create_append_overwrite_versions(spark, tdir):
+    assert deltalite.write(spark, _df(spark, [(1, "a")]), tdir) == 0
+    assert deltalite.write(spark, _df(spark, [(2, "b")]), tdir, "append") == 1
+    assert deltalite.write(spark, _df(spark, [(3, "c")]), tdir, "overwrite") == 2
+    assert deltalite.latest_version(tdir) == 2
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {3}
+    assert {r.k for r in deltalite.read(spark, tdir, version=1).collect()} == {1, 2}
+    assert {r.k for r in deltalite.read(spark, tdir, version=0).collect()} == {1}
+
+
+def test_uncommitted_files_invisible(spark, tdir):
+    """Spec property: a data file is invisible until an add-action commits
+    it — a crashed writer can leave garbage, never corrupt a snapshot."""
+    deltalite.write(spark, _df(spark, [(1, "a")]), tdir)
+    # simulate a crashed writer: a parquet file in the root, no commit
+    _df(spark, [(99, "garbage")]).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tdir, "_crash_staging")
+    )
+    for f in os.listdir(os.path.join(tdir, "_crash_staging")):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(tdir, "_crash_staging", f),
+                os.path.join(tdir, "part-deadbeef.parquet"),
+            )
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1}
+    # vacuum deletes exactly the never-committed garbage
+    removed = deltalite.vacuum(tdir)
+    assert removed == ["part-deadbeef.parquet"]
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1}
+
+
+def test_vacuum_keeps_time_travel_files(spark, tdir):
+    """Files removed by an overwrite stay on disk (still referenced by
+    earlier versions' add-actions) so time travel keeps working."""
+    deltalite.write(spark, _df(spark, [(1, "a")]), tdir)
+    deltalite.write(spark, _df(spark, [(2, "b")]), tdir, "overwrite")
+    assert deltalite.vacuum(tdir) == []
+    assert {r.k for r in deltalite.read(spark, tdir, version=0).collect()} == {1}
+
+
+def test_concurrent_commit_race_loses_cleanly(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a")]), tdir)
+    # both writers computed version 1; the second O_EXCL create must fail
+    deltalite._commit(tdir, 1, [{"commitInfo": {"operation": "X"}}])
+    with pytest.raises(deltalite.ConcurrentWriteError):
+        deltalite._commit(tdir, 1, [{"commitInfo": {"operation": "Y"}}])
+
+
+def test_empty_snapshot_keeps_schema(spark, tdir):
+    deltalite.write(spark, _df(spark, []), tdir)
+    got = deltalite.read(spark, tdir)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
+
+
+def test_merge_updates_and_inserts_one_commit(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a"), (2, "b")]), tdir)
+    v = deltalite.merge(
+        spark, _df(spark, [(2, "B"), (3, "c")]), tdir, ["k"]
+    )
+    assert v == 1  # rewrite + swap in ONE commit
+    got = {r.k: r.v for r in deltalite.read(spark, tdir).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # pre-merge snapshot unchanged
+    pre = {r.k: r.v for r in deltalite.read(spark, tdir, version=0).collect()}
+    assert pre == {1: "a", 2: "b"}
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a")]), tdir)
+    with pytest.raises(ValueError, match="duplicate"):
+        deltalite.merge(
+            spark, _df(spark, [(2, "x"), (2, "y")]), tdir, ["k"]
+        )

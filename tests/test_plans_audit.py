@@ -226,6 +226,8 @@ BNLJ_ALLOWED = {
     "text_tfidf_top_terms",  # 1-row corpus doc-count scalar
     "text_unigram_logprob_score",  # 1-row corpus token-total scalar
     "train_logreg_quality_weights",  # 1-row GD weight vector per round
+    "agg_hll_mergeable_distinct",  # 1-row global exact-count broadcast
+    # (error-bound oracle harness joined onto the merged sketch row)
 }
 
 

@@ -59,8 +59,8 @@ def test_length_histogram_shares(spark, sf_dir):
 def test_hll_estimates_within_tolerance(spark, sf_dir):
     from dbt_spark_models_spark.sources.testdata import load_tables
 
-    approx = {
-        r["group_key"]: r["approx_users"]
+    got = {
+        r["group_key"]: r
         for r in agg_hll_mergeable_distinct(spark, sf_dir).collect()
     }
     ev = load_tables(spark, sf_dir, ("events",))["events"]
@@ -71,10 +71,12 @@ def test_hll_estimates_within_tolerance(spark, sf_dir):
         .collect()
     }
     exact["ALL"] = ev.select("user_id").distinct().count()
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        # lgk=12 → ~1.6% standard error; allow 5%
-        assert abs(est - exact[k]) <= max(2.0, 0.05 * exact[k]), (k, est, exact[k])
+    assert set(got) == set(exact)
+    for k, r in got.items():
+        # the gate carries the exact count plus the sketch's own ±3%
+        # bound claim (lgk=12 → ~1.6% standard error)
+        assert r["exact_users"] == exact[k], (k, r)
+        assert r["est_within_3pct"], (k, r)
 
 
 def test_ivf_topk_exact_within_probe_cell(spark, sf_dir):

@@ -33,21 +33,37 @@ MIN_ABS = 0.5  # seconds
 def load_bench_json(text: str) -> dict:
     """Parse a bench result out of (a) bench.py's noisy stdout, (b) a bare
     result file, or (c) the driver's BENCH_r{N}.json wrapper, whose
-    ``parsed`` field holds the bench line."""
+    ``parsed`` field holds the bench line.  When the result is bench.py's
+    compact summary line (slowest-10 only, ``detail`` pointing at
+    BENCH_DETAIL.json), the full per-query dict is merged in from the
+    detail file so the gate covers every query."""
+    doc = None
     try:
-        doc = json.loads(text)
-        if isinstance(doc, dict):
-            if "queries" in doc:
-                return doc
-            if isinstance(doc.get("parsed"), dict):
-                return doc["parsed"]
+        parsed = json.loads(text)
+        if isinstance(parsed, dict):
+            if "queries" in parsed:
+                doc = parsed
+            elif isinstance(parsed.get("parsed"), dict):
+                doc = parsed["parsed"]
     except json.JSONDecodeError:
         pass
-    for line in reversed(text.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{") and line.endswith("}"):
-            return json.loads(line)
-    raise ValueError("no bench JSON found in input")
+    if doc is None:
+        for line in reversed(text.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{") and line.endswith("}"):
+                doc = json.loads(line)
+                break
+    if doc is None:
+        raise ValueError("no bench JSON found in input")
+    detail = doc.get("detail")
+    if detail:
+        detail_path = detail if os.path.isabs(detail) else os.path.join(REPO, detail)
+        if os.path.exists(detail_path):
+            with open(detail_path) as f:
+                full = json.load(f)
+            if full.get("value") == doc.get("value"):  # same run
+                doc = {**doc, "queries": full.get("queries", doc.get("queries", {}))}
+    return doc
 
 
 def compare(
