@@ -170,3 +170,32 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark_models_spark.streaming import stream_stream_error_click_join
 
     return stream_stream_error_click_join(spark, sf_dir)
+
+
+@query(
+    "streaming_deltalite_exactly_once",
+    oracle="""
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18, 6))), 2) AS DOUBLE)
+           AS total_value
+FROM events
+GROUP BY event_type, day
+""",
+)
+def streaming_deltalite_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch → DeltaLite transactional sink with the spec's
+    ``txn`` idempotence token: 4 micro-batches each commit data + their
+    (appId, batchId) token atomically, and the sink DELIBERATELY replays
+    every batch a second time (the retry-after-crash path) — the
+    duplicates must no-op, so the final table equals the batch ground
+    truth EXACTLY (the oracle is the plain batch aggregate; any double
+    count or lost batch breaks the hash). Partial sums ride as
+    DECIMAL(18,6), so cross-batch re-aggregation is exact on both
+    engines."""
+    from dbt_spark_models_spark.streaming import (
+        stream_into_deltalite_exactly_once,
+    )
+
+    return stream_into_deltalite_exactly_once(spark, sf_dir)

@@ -26,10 +26,15 @@ tables ACID commits, snapshot reads, and time travel:
 Scale: the log is metadata (KBs per commit); readers replay JSON, then
 Spark scans ONLY the active parquet files — partition pruning and
 predicate pushdown work unchanged because the data path IS plain parquet.
-Production delta adds checkpoints every N commits so replay is O(1) not
-O(#commits); that and column-stat data-skipping are the documented
-out-of-subset pieces. Single-JSON-commit + put-if-absent is how the real
-protocol works on HDFS/local; object stores need a commit coordinator.
+Checkpoints (spec: ``_last_checkpoint`` + a compacted snapshot every N
+commits) are implemented, so replay cost is O(commits since last
+checkpoint), not O(#commits) — the piece that keeps a
+years-of-streaming-appends table readable. ``txn`` actions (the spec's
+appId/version idempotence tokens) make ``txn_append`` a retry-safe
+exactly-once sink for Structured Streaming foreachBatch. Column-stat
+data skipping remains the documented out-of-subset piece. The
+single-JSON-commit + put-if-absent is how the real protocol works on
+HDFS/local; object stores need a commit coordinator.
 """
 
 from __future__ import annotations
@@ -45,6 +50,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LOG_DIR = "_delta_log"
+
+# a compacted snapshot is written after every N commits (spec:
+# "checkpoints"); readers then replay at most N-1 JSON files
+CHECKPOINT_INTERVAL = 10
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -79,9 +88,42 @@ def latest_version(table_path: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def _replay(table_path: str, version: int | None = None) -> tuple[list[str], dict]:
-    """Replay the log up to ``version`` (inclusive; None = latest).
-    Returns (active data-file relative paths, last metaData action)."""
+def _checkpoint_file(table_path: str, version: int) -> str:
+    return os.path.join(
+        _log_path(table_path), f"{version:020d}.checkpoint.parquet"
+    )
+
+
+def _last_checkpoint_version(table_path: str) -> int | None:
+    lc = os.path.join(_log_path(table_path), "_last_checkpoint")
+    if not os.path.exists(lc):
+        return None
+    try:
+        with open(lc) as f:
+            return int(json.load(f)["version"])
+    except (ValueError, KeyError, json.JSONDecodeError, OSError):
+        return None  # corrupt hint → fall back to full JSON replay
+
+
+def _apply_action(state: dict, action: dict) -> None:
+    if "add" in action:
+        state["active"][action["add"]["path"]] = action["add"]
+    elif "remove" in action:
+        state["active"].pop(action["remove"]["path"], None)
+    elif "metaData" in action:
+        state["meta"] = action["metaData"]
+    elif "txn" in action:
+        t = action["txn"]
+        state["txns"][t["appId"]] = max(
+            t["version"], state["txns"].get(t["appId"], -1)
+        )
+
+
+def _replay_state(table_path: str, version: int | None = None) -> dict:
+    """Replay up to ``version`` (inclusive; None = latest). Starts from the
+    newest checkpoint ≤ version when one exists (so the JSON tail is at
+    most CHECKPOINT_INTERVAL-1 files), else from version 0. Returns
+    {"active": {path: add}, "meta": metaData, "txns": {appId: version}}."""
     versions = _list_versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no DeltaLite log at {table_path}")
@@ -91,24 +133,59 @@ def _replay(table_path: str, version: int | None = None) -> tuple[list[str], dic
         raise ValueError(
             f"version {version} not in log (have {versions[0]}..{versions[-1]})"
         )
-    active: dict[str, dict] = {}
-    meta: dict = {}
+    state: dict = {"active": {}, "meta": {}, "txns": {}}
+    start = 0
+    ckpt = _last_checkpoint_version(table_path)
+    if ckpt is not None and ckpt <= version:
+        path = _checkpoint_file(table_path, ckpt)
+        if os.path.exists(path):
+            import pyarrow.parquet as pq
+
+            for blob in pq.read_table(path).column("action_json").to_pylist():
+                _apply_action(state, json.loads(blob))
+            start = ckpt + 1
     for v in versions:
-        if v > version:
-            break
+        if v < start or v > version:
+            continue
         with open(_version_file(table_path, v)) as f:
             for line in f:
                 line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    active[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    active.pop(action["remove"]["path"], None)
-                elif "metaData" in action:
-                    meta = action["metaData"]
-    return sorted(active), meta
+                if line:
+                    _apply_action(state, json.loads(line))
+    return state
+
+
+def _replay(table_path: str, version: int | None = None) -> tuple[list[str], dict]:
+    """(active data-file relative paths, last metaData action)."""
+    state = _replay_state(table_path, version)
+    return sorted(state["active"]), state["meta"]
+
+
+def _write_checkpoint(table_path: str, version: int) -> None:
+    """Compact the state at ``version`` into one parquet file + the
+    ``_last_checkpoint`` pointer (spec shape; this lite variant stores one
+    action-JSON string per row instead of the spec's typed struct
+    columns). Failure is non-fatal: a missing/corrupt checkpoint only
+    costs a longer JSON replay, never correctness."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = _replay_state(table_path, version)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": state["meta"]},
+        *({"txn": {"appId": a, "version": v}} for a, v in sorted(state["txns"].items())),
+        *({"add": state["active"][p]} for p in sorted(state["active"])),
+    ]
+    blobs = [json.dumps(a, separators=(",", ":")) for a in actions]
+    pq.write_table(
+        pa.table({"action_json": pa.array(blobs, pa.string())}),
+        _checkpoint_file(table_path, version),
+    )
+    tmp = os.path.join(_log_path(table_path), "_last_checkpoint.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": len(actions)}, f)
+    os.replace(tmp, os.path.join(_log_path(table_path), "_last_checkpoint"))
 
 
 def _write_data_files(df: DataFrame, table_path: str) -> list[dict]:
@@ -157,6 +234,11 @@ def _commit(
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
         f.flush()
         os.fsync(f.fileno())
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        try:
+            _write_checkpoint(table_path, version)
+        except Exception:  # noqa: BLE001 — checkpoint is an optimization;
+            pass  # losing one costs replay time, never correctness
 
 
 def _meta_action(df: DataFrame, table_id: str) -> dict:
@@ -261,6 +343,47 @@ def merge(
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
             for p in prior
         ),
+        *({"add": a} for a in adds),
+    ]
+    _commit(table_path, version, actions)
+    return version
+
+
+def txn_append(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    app_id: str,
+    txn_version: int,
+) -> int | None:
+    """Idempotent transactional append — the spec's ``txn`` action
+    (appId/version), which is exactly how real Delta makes Structured
+    Streaming foreachBatch exactly-once: the sink records (app_id,
+    txn_version) IN THE SAME atomic commit as the data, so a retried
+    micro-batch (same batchId after a failure) sees its token already
+    committed and becomes a no-op instead of a duplicate.
+
+    Returns the committed log version, or None when this (app_id,
+    txn_version) was already applied. Loses a concurrent-writer race by
+    raising ConcurrentWriteError — the caller (foreachBatch) retries,
+    re-reads, and then no-ops via the token."""
+    os.makedirs(table_path, exist_ok=True)
+    versions = _list_versions(table_path)
+    if versions:
+        state = _replay_state(table_path)
+        if state["txns"].get(app_id, -1) >= txn_version:
+            return None  # retry of an already-committed micro-batch
+        version = versions[-1] + 1
+        meta_id = state["meta"].get("id", uuid.uuid4().hex)
+    else:
+        version = 0
+        meta_id = uuid.uuid4().hex
+    adds = _write_data_files(df, table_path)
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "STREAMING UPDATE", "timestamp": int(time.time() * 1000)}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action(df, meta_id),
+        {"txn": {"appId": app_id, "version": txn_version}},
         *({"add": a} for a in adds),
     ]
     _commit(table_path, version, actions)

@@ -388,6 +388,86 @@ def stream_into_partitioned_table(
     return spark.table(table)
 
 
+def stream_into_deltalite_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming → ACID table sink with REAL exactly-once semantics: each
+    micro-batch appends its partial aggregate through
+    ``deltalite.txn_append``, which commits the data files and the
+    (appId, batchId) idempotence token in ONE atomic log entry — the
+    spec's ``txn`` action, i.e. how real Delta makes foreachBatch
+    exactly-once. To prove it, the sink deliberately RE-APPLIES every
+    micro-batch a second time (the retry-after-sink-crash path); the
+    duplicates must no-op, so the final table equals the batch ground
+    truth exactly.
+
+    The source is staged as 4 files with maxFilesPerTrigger=1, forcing a
+    real multi-batch run (4 commits + 4 no-op retries). Partial sums ride
+    as DECIMAL(18,6) so re-aggregation across micro-batches is exact and
+    engine-portable.
+
+    Scale: per batch one map-side-combined aggregate + one metadata
+    commit; the retry path costs one log replay, no data rewrite. The
+    final re-aggregation reads only partial rows (n_batches × groups),
+    not raw events."""
+    import os
+
+    from dbt_spark_models_spark.sources import deltalite
+
+    ev_batch = read_parquet_normalized(spark, table_path(sf_dir, "events"))
+    src_dir = tempfile.mkdtemp(prefix="stream-dl-src-")
+    # 4 deterministic slices → 4 micro-batches (one file per trigger);
+    # dir names avoid the key=value shape so no partition inference fires
+    for i in range(4):
+        ev_batch.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"slice_{i}"))
+    table_dir = tempfile.mkdtemp(prefix="deltalite-stream-")
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("day", F.col("ts").cast("date"))
+            .groupBy("event_type", "day")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+            )
+        )
+
+    app_id = "deltalite_stream_gate"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        part = _partial(batch_df).localCheckpoint()  # compute once, commit twice
+        deltalite.txn_append(spark, part, table_dir, app_id, batch_id)
+        # simulated retry after a crash between commit and checkpoint ack:
+        # the token makes the duplicate a no-op
+        retried = deltalite.txn_append(spark, part, table_dir, app_id, batch_id)
+        if retried is not None:
+            raise AssertionError("txn token failed to deduplicate a retry")
+
+    schema = spark.read.parquet(os.path.join(src_dir, "slice_0")).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir + "/slice_*")
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        deltalite.read(spark, table_dir)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("value_sum"), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
 def stream_user_type_switches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``transformWithStateInPandas``
     (the Spark 4 arbitrary-state API that supersedes

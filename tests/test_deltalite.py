@@ -90,6 +90,40 @@ def test_merge_updates_and_inserts_one_commit(spark, tdir):
     assert pre == {1: "a", 2: "b"}
 
 
+def test_checkpoint_compacts_replay(spark, tdir):
+    """After CHECKPOINT_INTERVAL commits a parquet checkpoint +
+    _last_checkpoint pointer appear, reads resolve from it, and
+    time travel to PRE-checkpoint versions still works (JSON log kept)."""
+    import os as _os
+
+    for i in range(deltalite.CHECKPOINT_INTERVAL + 2):
+        deltalite.write(spark, _df(spark, [(i, str(i))]), tdir, "append")
+    log = _os.path.join(tdir, "_delta_log")
+    assert "_last_checkpoint" in _os.listdir(log)
+    assert any(f.endswith(".checkpoint.parquet") for f in _os.listdir(log))
+    n = deltalite.CHECKPOINT_INTERVAL + 2
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == set(range(n))
+    # pre-checkpoint time travel unaffected
+    assert {r.k for r in deltalite.read(spark, tdir, version=2).collect()} == {0, 1, 2}
+    # corrupt checkpoint pointer → reader falls back to full JSON replay
+    with open(_os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write("not json")
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == set(range(n))
+
+
+def test_txn_append_is_exactly_once(spark, tdir):
+    """The spec's txn token: a retried micro-batch (same appId+version)
+    must be a no-op, a new version must append."""
+    assert deltalite.txn_append(spark, _df(spark, [(1, "a")]), tdir, "job", 0) == 0
+    # failure-retry of batch 0: already committed → no-op
+    assert deltalite.txn_append(spark, _df(spark, [(1, "a")]), tdir, "job", 0) is None
+    assert deltalite.txn_append(spark, _df(spark, [(2, "b")]), tdir, "job", 1) == 1
+    # another app's batch 0 is independent
+    assert deltalite.txn_append(spark, _df(spark, [(3, "c")]), tdir, "other", 0) == 2
+    got = sorted(r.k for r in deltalite.read(spark, tdir).collect())
+    assert got == [1, 2, 3]
+
+
 def test_merge_rejects_duplicate_source_keys(spark, tdir):
     deltalite.write(spark, _df(spark, [(1, "a")]), tdir)
     with pytest.raises(ValueError, match="duplicate"):
