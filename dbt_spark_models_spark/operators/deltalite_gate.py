@@ -137,6 +137,67 @@ def sink_deltalite_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_deltalite_data_skipping",
+    oracle="""
+WITH params AS (
+    SELECT CAST(CEIL((MAX(o_orderkey) + 1) / 8.0) AS BIGINT) AS w FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+       SUM(o_orderkey) AS key_sum,
+       SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_price,
+       2 AS files_scanned,
+       8 AS files_total
+FROM orders, params
+WHERE o_orderkey <= w + w // 2
+""",
+)
+def sink_deltalite_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping via the spec's per-add ``stats`` JSON
+    (min/max harvested free from each parquet footer at commit time):
+    orders land as 8 single-file commits with DISJOINT o_orderkey ranges,
+    then a read with a key predicate must plan over exactly the 2 files
+    whose ranges intersect it — the published files_scanned/files_total
+    columns are the pruning evidence, and the aggregate over the
+    skip-read must equal the oracle's plain filtered aggregate (proving
+    the pruning is lossless, not just aggressive).
+
+    Scale: at 100 TB the active set is millions of files; stats pruning
+    shrinks the file LIST before Spark plans anything — this is the
+    zone-map layer Delta/Iceberg put above parquet's own row-group
+    pushdown, which still applies inside surviving files. The 1-row max()
+    probe sizes the ranges (driver-side O(1), documented)."""
+    path = _table_dir(sf_dir, "data_skipping")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]  # 1-row probe
+    # half-open ranges [i*w, (i+1)*w) from 0 — keys may start at 0
+    w = (mx + 8) // 8
+    for i in range(8):
+        part = o.filter(
+            (F.col("o_orderkey") >= i * w) & (F.col("o_orderkey") < (i + 1) * w)
+        ).coalesce(1)
+        deltalite.write(spark, part, path, "overwrite" if i == 0 else "append")
+    cutoff = w + w // 2
+    filters = [("o_orderkey", "<=", cutoff)]
+    kept, total = deltalite.scan_file_counts(path, skip_filters=filters)
+    snap = deltalite.read(spark, path, skip_filters=filters).filter(
+        F.col("o_orderkey") <= cutoff
+    )
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        "total_price",
+        F.lit(kept).cast("int").alias("files_scanned"),
+        F.lit(total).cast("int").alias("files_total"),
+    )
+
+
+@query(
     "engine_deltalite_merge_acid",
     oracle="""
 WITH base AS (

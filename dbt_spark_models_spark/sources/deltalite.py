@@ -35,6 +35,15 @@ exactly-once sink for Structured Streaming foreachBatch. Column-stat
 data skipping remains the documented out-of-subset piece. The
 single-JSON-commit + put-if-absent is how the real protocol works on
 HDFS/local; object stores need a commit coordinator.
+
+Data skipping (the spec's ``stats`` JSON on ``add`` actions) is also
+implemented: every committed file carries per-column min/max harvested
+from its parquet footer (free — the row groups already store them), and
+``read(..., skip_filters=...)`` prunes files whose stats prove them
+disjoint from the predicate BEFORE Spark ever lists them. At 100 TB this
+is the difference between planning over millions of files and planning
+over the handful a selective predicate touches; within the surviving
+files, Spark's own row-group pushdown still applies.
 """
 
 from __future__ import annotations
@@ -188,10 +197,67 @@ def _write_checkpoint(table_path: str, version: int) -> None:
     os.replace(tmp, os.path.join(_log_path(table_path), "_last_checkpoint"))
 
 
+def _json_safe(v):
+    """Stat values → JSON-serializable (dates/timestamps as ISO strings,
+    bytes dropped — comparisons on binary stats aren't supported)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        return None
+    if isinstance(v, float) and (v != v):  # NaN orders unreliably
+        return None
+    return v
+
+
+def _file_stats(path: str) -> dict | None:
+    """Per-column min/max + row count from the parquet footer (already
+    computed by the writer per row group — harvesting is metadata-only).
+    Shape matches the spec's ``stats`` JSON: {numRecords, minValues,
+    maxValues}. Returns None when the footer can't be read; stats are an
+    optimization, never required for correctness."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested — skip
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    mins[name] = maxs[name] = None
+                    continue
+                lo, hi = _json_safe(st.min), _json_safe(st.max)
+                if name not in mins:
+                    mins[name], maxs[name] = lo, hi
+                elif mins[name] is not None and lo is not None:
+                    mins[name] = min(mins[name], lo)
+                    maxs[name] = max(maxs[name], hi)
+                else:
+                    mins[name] = maxs[name] = None
+        return {
+            "numRecords": md.num_rows,
+            "minValues": {k: v for k, v in mins.items() if v is not None},
+            "maxValues": {k: v for k, v in maxs.items() if v is not None},
+        }
+    except Exception:  # noqa: BLE001 — skipping stats only loses pruning
+        return None
+
+
 def _write_data_files(df: DataFrame, table_path: str) -> list[dict]:
     """Write df's rows as parquet files with globally-unique names under
     the table root (spec: data files are inert until committed). Returns
-    the ``add`` payloads."""
+    the ``add`` payloads, each carrying footer-derived column stats."""
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     adds = []
@@ -201,15 +267,21 @@ def _write_data_files(df: DataFrame, table_path: str) -> list[dict]:
             continue
         unique = f"part-{uuid.uuid4().hex}.parquet"
         src = os.path.join(staging, f)
-        os.rename(src, os.path.join(table_path, unique))
-        adds.append(
-            {
-                "path": unique,
-                "size": os.path.getsize(os.path.join(table_path, unique)),
-                "modificationTime": now_ms,
-                "dataChange": True,
-            }
-        )
+        dest = os.path.join(table_path, unique)
+        os.rename(src, dest)
+        stats = _file_stats(dest)
+        if stats is not None and stats["numRecords"] == 0:
+            os.remove(dest)  # empty part files are never committed
+            continue
+        add = {
+            "path": unique,
+            "size": os.path.getsize(dest),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = json.dumps(stats, separators=(",", ":"))
+        adds.append(add)
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 
@@ -290,19 +362,75 @@ def write(
     return version
 
 
+def _maybe_skip(add: dict, skip_filters) -> bool:
+    """True iff the file's stats PROVE it cannot contain a matching row.
+    A file without stats (or without stats for the filtered column) is
+    never skipped — pruning must be lossless."""
+    if not skip_filters or "stats" not in add:
+        return False
+    try:
+        stats = json.loads(add["stats"])
+        mins, maxs = stats.get("minValues", {}), stats.get("maxValues", {})
+    except (json.JSONDecodeError, AttributeError):
+        return False
+    for col, op, lit in skip_filters:
+        if col not in mins or col not in maxs:
+            continue
+        lo, hi = mins[col], maxs[col]
+        try:
+            if op in ("<", "<=") and lo > lit:
+                return True  # every row is above the upper bound
+            if op in (">", ">=") and hi < lit:
+                return True
+            if op in ("=", "==") and (lit < lo or lit > hi):
+                return True
+        except TypeError:  # incomparable stat/literal types → keep file
+            continue
+    return False
+
+
 def read(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    skip_filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read at ``version`` (None = latest) by log replay. The
     scan is plain parquet over the active file set — pushdown/pruning
     intact. An empty snapshot returns an empty DataFrame with the
-    committed schema."""
-    active, meta = _replay(table_path, version)
+    committed schema.
+
+    ``skip_filters`` = [(column, op, literal), ...] with op in
+    {<, <=, >, >=, =}: file-level data skipping on the adds' stats — the
+    file LIST shrinks before Spark plans the scan. Lossless (files
+    lacking stats are kept), and the caller must still apply the actual
+    row filter; skipping only removes provably-disjoint files."""
+    state = _replay_state(table_path, version)
+    active = state["active"]
+    meta = state["meta"]
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    if not active:
+    kept = [
+        p for p in sorted(active) if not _maybe_skip(active[p], skip_filters)
+    ]
+    if not kept:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_path, p) for p in active]
+    paths = [os.path.join(table_path, p) for p in kept]
     return spark.read.schema(schema).parquet(*paths)
+
+
+def scan_file_counts(
+    table_path: str,
+    version: int | None = None,
+    skip_filters: list[tuple] | None = None,
+) -> tuple[int, int]:
+    """(files after skipping, total active files) — the pruning evidence
+    the data-skipping gate publishes."""
+    state = _replay_state(table_path, version)
+    active = state["active"]
+    kept = sum(
+        1 for p in active if not _maybe_skip(active[p], skip_filters)
+    )
+    return kept, len(active)
 
 
 def merge(

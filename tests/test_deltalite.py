@@ -35,7 +35,7 @@ def test_create_append_overwrite_versions(spark, tdir):
 def test_uncommitted_files_invisible(spark, tdir):
     """Spec property: a data file is invisible until an add-action commits
     it — a crashed writer can leave garbage, never corrupt a snapshot."""
-    deltalite.write(spark, _df(spark, [(1, "a")]), tdir)
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
     # simulate a crashed writer: a parquet file in the root, no commit
     _df(spark, [(99, "garbage")]).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(tdir, "_crash_staging")
@@ -56,14 +56,14 @@ def test_uncommitted_files_invisible(spark, tdir):
 def test_vacuum_keeps_time_travel_files(spark, tdir):
     """Files removed by an overwrite stay on disk (still referenced by
     earlier versions' add-actions) so time travel keeps working."""
-    deltalite.write(spark, _df(spark, [(1, "a")]), tdir)
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
     deltalite.write(spark, _df(spark, [(2, "b")]), tdir, "overwrite")
     assert deltalite.vacuum(tdir) == []
     assert {r.k for r in deltalite.read(spark, tdir, version=0).collect()} == {1}
 
 
 def test_concurrent_commit_race_loses_cleanly(spark, tdir):
-    deltalite.write(spark, _df(spark, [(1, "a")]), tdir)
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
     # both writers computed version 1; the second O_EXCL create must fail
     deltalite._commit(tdir, 1, [{"commitInfo": {"operation": "X"}}])
     with pytest.raises(deltalite.ConcurrentWriteError):
@@ -124,8 +124,61 @@ def test_txn_append_is_exactly_once(spark, tdir):
     assert got == [1, 2, 3]
 
 
+def test_data_skipping_prunes_disjoint_files_losslessly(spark, tdir):
+    """Three single-file commits with disjoint k ranges: a k<=15 read must
+    plan over exactly 2 files and still return every matching row."""
+    for lo in (0, 10, 20):
+        deltalite.write(
+            spark,
+            _df(spark, [(lo + j, f"v{lo + j}") for j in range(5)]).coalesce(1),
+            tdir,
+            "overwrite" if lo == 0 else "append",
+        )
+    filt = [("k", "<=", 15)]
+    kept, total = deltalite.scan_file_counts(tdir, skip_filters=filt)
+    assert (kept, total) == (2, 3)
+    got = {
+        r.k
+        for r in deltalite.read(spark, tdir, skip_filters=filt)
+        .filter("k <= 15")
+        .collect()
+    }
+    assert got == set(range(5)) | {10, 11, 12, 13, 14}
+    # equality and lower-bound predicates prune too
+    assert deltalite.scan_file_counts(tdir, skip_filters=[("k", "=", 21)])[0] == 1
+    assert deltalite.scan_file_counts(tdir, skip_filters=[("k", ">=", 20)])[0] == 1
+
+
+def test_data_skipping_keeps_files_without_stats(spark, tdir):
+    """Pruning must be lossless: a file whose add-action lacks stats (or
+    lacks the filtered column) is never skipped."""
+    import json as _json
+    import os as _os
+
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    log = _os.path.join(tdir, "_delta_log")
+    vf = _os.path.join(log, f"{0:020d}.json")
+    lines = []
+    with open(vf) as f:
+        for line in f:
+            a = _json.loads(line)
+            if "add" in a:
+                a["add"].pop("stats", None)
+            lines.append(_json.dumps(a))
+    with open(vf, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    kept, total = deltalite.scan_file_counts(
+        tdir, skip_filters=[("k", ">=", 999)]
+    )
+    assert (kept, total) == (1, 1)
+    # string stats: skip on lexicographic range
+    deltalite.write(spark, _df(spark, [(2, "mmm")]).coalesce(1), tdir, "append")
+    kept, _ = deltalite.scan_file_counts(tdir, skip_filters=[("v", ">=", "zzz")])
+    assert kept == 1  # only the stats-less file survives
+
+
 def test_merge_rejects_duplicate_source_keys(spark, tdir):
-    deltalite.write(spark, _df(spark, [(1, "a")]), tdir)
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
     with pytest.raises(ValueError, match="duplicate"):
         deltalite.merge(
             spark, _df(spark, [(2, "x"), (2, "y")]), tdir, ["k"]
