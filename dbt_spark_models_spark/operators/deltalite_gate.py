@@ -137,6 +137,101 @@ def sink_deltalite_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "engine_deltalite_scd2_snapshot",
+    oracle="""
+WITH v1 AS (
+    SELECT p_partkey AS product_id,
+           CAST(ROUND(p_retailprice, 2) AS DECIMAL(18, 2)) AS price
+    FROM part
+), upd AS (
+    SELECT product_id,
+           CAST(ROUND(price * 1.1, 2) AS DECIMAL(18, 2)) AS price
+    FROM v1 WHERE product_id % 10 = 0 AND product_id % 97 <> 3
+), s0 AS (
+    SELECT 0 AS version, COUNT(*) AS n_rows, COUNT(*) AS n_current,
+           0 AS n_closed,
+           CAST(SUM(price) AS DECIMAL(18, 2)) AS price_sum
+    FROM v1
+), s1 AS (
+    SELECT 1 AS version,
+           (SELECT COUNT(*) FROM v1) + (SELECT COUNT(*) FROM upd) AS n_rows,
+           (SELECT COUNT(*) FROM v1 WHERE product_id % 97 <> 3) AS n_current,
+           (SELECT COUNT(*) FROM v1 WHERE product_id % 97 = 3)
+             + (SELECT COUNT(*) FROM upd) AS n_closed,
+           CAST((SELECT SUM(price) FROM v1) + (SELECT SUM(price) FROM upd)
+                AS DECIMAL(18, 2)) AS price_sum
+)
+SELECT * FROM s0 UNION ALL SELECT * FROM s1
+""",
+)
+def engine_deltalite_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 snapshot against a DeltaLite table — the reference's ACTUAL
+    snapshot shape (all 54 snapshot blocks target delta,
+    ``snapshots/spark/b2b_mart/scd2_merchant_orders_v2_snapshot.sql:8-15``):
+    batch 2 reprices every 10th part (close old / open new version) and
+    hard-deletes every (k%97==3)rd. Each snapshot run is ONE atomic
+    overwrite commit (``plans/snapshots.py:snapshot_deltalite``), so the
+    table's version history IS the snapshot history: the gate reads BOTH
+    commits via time travel and publishes per-version row/current/closed
+    counts + an exact price checksum; the oracle recomputes both states
+    from source. This is what the parquet staging-swap path
+    (``engine_scd2_snapshot``) cannot offer — pre-snapshot states stay
+    queryable, and a crash mid-snapshot can never half-swap the table."""
+    path = _table_dir(sf_dir, "scd2_snapshot")
+    from dbt_spark_models_spark.plans.snapshots import snapshot_deltalite
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    cfg = dict(
+        unique_key="product_id",
+        strategy="timestamp",
+        updated_at="update_ts",
+        invalidate_hard_deletes=True,
+    )
+    b1 = part.select(
+        F.col("p_partkey").alias("product_id"),
+        F.round("p_retailprice", 2).cast("decimal(18,2)").alias("price"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("update_ts"),
+    )
+    snapshot_deltalite(spark, path, b1.coalesce(4), cfg)
+    b2 = (
+        b1.filter(F.col("product_id") % 97 != 3)
+        .withColumn(
+            "price",
+            F.when(
+                F.col("product_id") % 10 == 0,
+                F.round(F.col("price") * 1.1, 2).cast("decimal(18,2)"),
+            ).otherwise(F.col("price")),
+        )
+        .withColumn(
+            "update_ts",
+            F.when(
+                F.col("product_id") % 10 == 0,
+                F.lit("2024-02-01 00:00:00").cast("timestamp"),
+            ).otherwise(F.col("update_ts")),
+        )
+    )
+    snapshot_deltalite(
+        spark, path, b2.coalesce(4), cfg, run_ts="2024-02-02 00:00:00"
+    )
+    snaps = []
+    for v in (0, 1):
+        snap = deltalite.read(spark, path, version=v)
+        snaps.append(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(
+                    F.when(F.col("dbt_valid_to").isNull(), 1)
+                ).alias("n_current"),
+                F.count(
+                    F.when(F.col("dbt_valid_to").isNotNull(), 1)
+                ).alias("n_closed"),
+                F.sum("price").cast("decimal(18,2)").alias("price_sum"),
+            ).select(F.lit(v).alias("version"), "*")
+        )
+    return snaps[0].unionByName(snaps[1])
+
+
+@query(
     "sink_deltalite_data_skipping",
     oracle="""
 WITH params AS (

@@ -62,6 +62,64 @@ def snapshot(
     ident = f"{database}.{name}" if database else name
     now = F.to_timestamp(F.lit(run_ts)) if run_ts else F.current_timestamp()
 
+    src, data_cols = _prepare_source(source_df, key, strategy, config, now)
+
+    if not table_exists(spark, database, name):
+        src.write.mode("overwrite").format("parquet").saveAsTable(ident)
+        return MaterializeResult(ident, "snapshot_created", rows=src.count())
+
+    target = spark.table(ident)
+    result = _scd2_next_state(
+        target, src, data_cols, key, strategy, config, hard_deletes, now
+    )
+
+    # staging swap: can't overwrite a table that feeds the plan
+    staging = f"{ident}__snapshot_staging"
+    result.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    spark.table(staging).write.mode("overwrite").format("parquet").saveAsTable(ident)
+    spark.sql(f"DROP TABLE {staging}")
+    return MaterializeResult(ident, "snapshot_merged")
+
+
+def snapshot_deltalite(
+    spark: SparkSession,
+    table_path: str,
+    source_df: DataFrame,
+    config: dict[str, Any],
+    run_ts: str | None = None,
+) -> int:
+    """SCD2 snapshot against a DeltaLite table — the reference's actual
+    shape (all 54 snapshot blocks target delta,
+    ``snapshots/spark/b2b_mart/scd2_merchant_orders_v2_snapshot.sql:8-15``).
+    Same state transition as ``snapshot()``, but the swap is ONE atomic
+    log commit instead of a staging-table double-write: the new state's
+    files are written beside the old ones (still invisible), then the
+    overwrite commit removes the old set and adds the new — readers see
+    the pre- or post-snapshot table, never a partial swap, and a crash
+    mid-write leaves the old state intact with only vacuum-able garbage.
+    Returns the committed version (so time travel = snapshot history)."""
+    from dbt_spark_models_spark.sources import deltalite
+
+    key = config["unique_key"]
+    strategy = config.get("strategy", "timestamp")
+    hard_deletes = bool(config.get("invalidate_hard_deletes", False))
+    now = F.to_timestamp(F.lit(run_ts)) if run_ts else F.current_timestamp()
+
+    src, data_cols = _prepare_source(source_df, key, strategy, config, now)
+    if deltalite.latest_version(table_path) is None:
+        return deltalite.write(spark, src, table_path, "overwrite")
+    target = deltalite.read(spark, table_path)
+    result = _scd2_next_state(
+        target, src, data_cols, key, strategy, config, hard_deletes, now
+    )
+    return deltalite.write(spark, result, table_path, "overwrite")
+
+
+def _prepare_source(
+    source_df: DataFrame, key: str, strategy: str, config: dict[str, Any], now
+) -> tuple[DataFrame, list[str]]:
+    """Dedupe the input batch and stamp the SCD2 columns. Returns
+    (prepared source, data column names)."""
     if strategy == "timestamp":
         updated_at = F.col(config["updated_at"]).cast("timestamp")
     else:
@@ -95,18 +153,25 @@ def snapshot(
             .filter(F.col("__snap_rn") == 1)
             .drop("__snap_rn")
         )
+    return _with_scd2(source_df, key, updated_at), list(source_df.columns)
 
-    src = _with_scd2(source_df, key, updated_at)
 
-    if not table_exists(spark, database, name):
-        src.write.mode("overwrite").format("parquet").saveAsTable(ident)
-        return MaterializeResult(ident, "snapshot_created", rows=src.count())
-
-    target = spark.table(ident)
+def _scd2_next_state(
+    target: DataFrame,
+    src: DataFrame,
+    data_cols: list[str],
+    key: str,
+    strategy: str,
+    config: dict[str, Any],
+    hard_deletes: bool,
+    now,
+) -> DataFrame:
+    """Pure SCD2 state transition: (previous table state, prepared source
+    batch) → next table state. Shared by the catalog-table snapshot (above,
+    staging-swap write) and the DeltaLite snapshot (atomic-commit write)."""
     closed_history = target.filter(F.col("dbt_valid_to").isNotNull())
     current = target.filter(F.col("dbt_valid_to").isNull())
 
-    data_cols = [c for c in source_df.columns]
     cur = current.alias("cur")
     new = src.alias("new")
     joined = cur.join(new, F.col(f"cur.{key}") == F.col(f"new.{key}"), "full_outer")
@@ -155,7 +220,7 @@ def snapshot(
     if hard_deletes:
         gone = gone.withColumn("dbt_valid_to", now)
 
-    result = (
+    return (
         closed_history.select(*[c for c in data_cols + list(SCD2_COLS)])
         .unionByName(still_current)
         .unionByName(closed_now)
@@ -163,10 +228,3 @@ def snapshot(
         .unionByName(inserts)
         .unionByName(gone)
     )
-
-    # staging swap: can't overwrite a table that feeds the plan
-    staging = f"{ident}__snapshot_staging"
-    result.write.mode("overwrite").format("parquet").saveAsTable(staging)
-    spark.table(staging).write.mode("overwrite").format("parquet").saveAsTable(ident)
-    spark.sql(f"DROP TABLE {staging}")
-    return MaterializeResult(ident, "snapshot_merged")
