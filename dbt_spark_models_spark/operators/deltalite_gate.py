@@ -293,6 +293,94 @@ def sink_deltalite_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_deltalite_optimize_zorder",
+    oracle="""
+WITH src AS (
+    SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':x'), 1, 4))::BIGINT % 64 AS xk,
+           ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':y'), 1, 4))::BIGINT % 64 AS yk,
+           value
+    FROM events
+)
+SELECT COUNT(*) AS n_rows,
+       SUM(xk) AS xk_sum,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18, 6))), 2) AS DOUBLE)
+           AS value_sum,
+       8 AS files_before,
+       4 AS files_after,
+       2 AS files_scanned_low_x
+FROM src
+""",
+)
+def sink_deltalite_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER, jar-free: events land as 8 small append commits
+    (the streaming-ingest small-files pattern), then one
+    ``deltalite.optimize`` commit compacts them into 4 files clustered by
+    the Morton interleave of (xk, yk) — dataChange=false adds/removes, so
+    the content is bit-identical (the oracle recomputes the full
+    aggregate from source and the hash must match). The Z-layout makes
+    file stats tight on BOTH columns: the gate proves it by publishing
+    that an xk<=15 predicate now scans exactly 2 of the 4 files (the two
+    Z-quadrants whose x high-bit is 0 — pure arithmetic bucketing, so the
+    count is deterministic).
+
+    Scale: this is the compaction + multi-dimensional clustering pass a
+    100 TB streaming table runs on cold partitions; without it, file
+    counts grow with ingest frequency and single-column sorts can only
+    serve one predicate family."""
+    path = _table_dir(sf_dir, "optimize_zorder")
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # both cluster keys are seeded-hash buckets so every Z-quadrant is
+    # uniformly populated at every scale factor (raw id/day columns are
+    # skewed or narrow at small SFs, which would empty some quadrants and
+    # make the published file counts SF-dependent)
+    def hkey(salt: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_id").cast("string"), F.lit(salt))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        )
+
+    src = ev.select(
+        hkey(":x").alias("xk"), hkey(":y").alias("yk"), "value", "event_id"
+    )
+    for i in range(8):
+        deltalite.write(
+            spark,
+            src.filter(F.col("event_id") % 8 == i).drop("event_id").coalesce(1),
+            path,
+            "overwrite" if i == 0 else "append",
+        )
+    files_before = deltalite.scan_file_counts(path)[1]
+    deltalite.optimize(spark, path, n_files=4, zorder_by=("xk", "yk"))
+    files_after = deltalite.scan_file_counts(path)[1]
+    scanned_low_x = deltalite.scan_file_counts(
+        path, skip_filters=[("xk", "<=", 15)]
+    )[0]
+    snap = deltalite.read(spark, path)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("xk").alias("xk_sum"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("value_sum"),
+    ).select(
+        "n_rows",
+        "xk_sum",
+        "value_sum",
+        F.lit(files_before).cast("int").alias("files_before"),
+        F.lit(files_after).cast("int").alias("files_after"),
+        F.lit(scanned_low_x).cast("int").alias("files_scanned_low_x"),
+    )
+
+
+@query(
     "engine_deltalite_merge_acid",
     oracle="""
 WITH base AS (

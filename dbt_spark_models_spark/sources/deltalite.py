@@ -518,6 +518,71 @@ def txn_append(
     return version
 
 
+def optimize(
+    spark: SparkSession,
+    table_path: str,
+    n_files: int = 1,
+    zorder_by: tuple[str, str] | None = None,
+    zorder_bits: int = 6,
+) -> int:
+    """Compact the active file set into ``n_files`` files in ONE commit —
+    the small-files op every long-lived streaming-append table needs.
+    With ``zorder_by=(x, y)`` the rows are clustered by the Morton
+    interleave of the two (integer) columns' low ``zorder_bits`` bits:
+    each output file covers one contiguous Z-range, so its min/max stats
+    are tight on BOTH columns and data skipping prunes on either — the
+    jar-free equivalent of Delta's OPTIMIZE ZORDER BY.
+
+    Spec semantics: the commit's add/remove actions carry
+    ``dataChange: false`` — the table's CONTENT is untouched (readers of
+    any version, including streaming readers, can ignore the commit);
+    only the layout changed. The Z-bucket assignment is pure arithmetic
+    (z // width), deterministic on any engine — no sampled range
+    boundaries.
+
+    Scale: one read + n_files writes + one metadata commit; run it on the
+    cold partition set on a schedule, exactly like production OPTIMIZE."""
+    snap = read(spark, table_path)
+    if zorder_by is not None:
+        x, y = zorder_by
+        terms = []
+        for b in range(zorder_bits):
+            terms.append(f"((((`{x}`) >> {b}) & 1) << {2 * b})")
+            terms.append(f"((((`{y}`) >> {b}) & 1) << {2 * b + 1})")
+        z = F.expr(" + ".join(terms))
+        width = max(1, (1 << (2 * zorder_bits)) // n_files)
+        # clamp so a non-dividing n_files can't push rows past the loop
+        bucket = F.least((z / width).cast("long"), F.lit(n_files - 1))
+    else:
+        bucket = None
+    versions = _list_versions(table_path)
+    prior, meta = _replay(table_path)
+    adds: list[dict] = []
+    for i in range(n_files):
+        part = (
+            snap.filter(bucket == i) if bucket is not None else snap
+        ).coalesce(1)
+        adds += _write_data_files(part, table_path)
+        if bucket is None:
+            break
+    now_ms = int(time.time() * 1000)
+    for a in adds:
+        a["dataChange"] = False
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "OPTIMIZE", "timestamp": now_ms}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action(snap, meta.get("id", uuid.uuid4().hex)),
+        *(
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": False}}
+            for p in prior
+        ),
+        *({"add": a} for a in adds),
+    ]
+    version = versions[-1] + 1
+    _commit(table_path, version, actions)
+    return version
+
+
 def vacuum(table_path: str) -> list[str]:
     """Delete data files no longer referenced by ANY log version (crashed
     writers' garbage and overwritten files past retention — retention is

@@ -177,6 +177,36 @@ def test_data_skipping_keeps_files_without_stats(spark, tdir):
     assert kept == 1  # only the stats-less file survives
 
 
+def test_optimize_compacts_without_changing_content(spark, tdir):
+    """OPTIMIZE: content bit-identical, fewer files, dataChange=false on
+    every add/remove, and pre-optimize versions still time-travel."""
+    import json as _json
+    import os as _os
+
+    for i in range(5):
+        deltalite.write(
+            spark,
+            _df(spark, [(i, f"v{i}")]).coalesce(1),
+            tdir,
+            "overwrite" if i == 0 else "append",
+        )
+    before = deltalite.scan_file_counts(tdir)[1]
+    v = deltalite.optimize(spark, tdir, n_files=1)
+    assert v == 5
+    after = deltalite.scan_file_counts(tdir)[1]
+    assert before == 5 and after == 1
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == set(range(5))
+    # the optimize commit is layout-only
+    with open(_os.path.join(tdir, "_delta_log", f"{v:020d}.json")) as f:
+        for line in f:
+            a = _json.loads(line)
+            for kind in ("add", "remove"):
+                if kind in a:
+                    assert a[kind]["dataChange"] is False
+    # pre-optimize snapshots unaffected
+    assert {r.k for r in deltalite.read(spark, tdir, version=2).collect()} == {0, 1, 2}
+
+
 def test_merge_rejects_duplicate_source_keys(spark, tdir):
     deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
     with pytest.raises(ValueError, match="duplicate"):
