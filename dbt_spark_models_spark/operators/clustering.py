@@ -26,18 +26,18 @@ from dbt_spark_models_spark.sources.testdata import load_tables
 # doc_id < 100 slice + all-pairs token join — the quadratic recipe the
 # rest of the dedup family avoids — was removed per VERDICT r3 #4.)
 _EDGES_DUCK = """
-tok AS (
+tok AS MATERIALIZED (
     SELECT DISTINCT doc_id,
            unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                               x -> len(x) > 0)) AS token
     FROM documents
-), sizes AS (
+), sizes AS MATERIALIZED (
     SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
-), pair AS (
+), pair AS MATERIALIZED (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
     FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
-), edge AS (
+), edge AS MATERIALIZED (
     SELECT doc_a, doc_b
     FROM pair
     JOIN sizes sa ON sa.doc_id = doc_a
@@ -77,7 +77,7 @@ def _edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_connected_components",
     oracle=f"""
 WITH RECURSIVE {_EDGES_DUCK},
-und AS (
+und AS MATERIALIZED (
     SELECT doc_a AS a, doc_b AS b FROM edge
     UNION
     SELECT doc_b, doc_a FROM edge
@@ -216,7 +216,7 @@ def two_star_components(
     "dedup_cc_twostar",
     oracle=f"""
 WITH RECURSIVE {_EDGES_DUCK},
-und AS (
+und AS MATERIALIZED (
     SELECT doc_a AS a, doc_b AS b FROM edge
     UNION
     SELECT doc_b, doc_a FROM edge
@@ -349,23 +349,23 @@ def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "pipeline_fuzzy_dedup_survivors",
     oracle="""
-WITH RECURSIVE tok AS (
+WITH RECURSIVE tok AS MATERIALIZED (
     SELECT DISTINCT doc_id,
            unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                               x -> len(x) > 0)) AS token
     FROM documents
-), sizes AS (
+), sizes AS MATERIALIZED (
     SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
-), common AS (
+), common AS MATERIALIZED (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
     FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
-), edge AS (
+), edge AS MATERIALIZED (
     SELECT doc_a, doc_b FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.9
-), und AS (
+), und AS MATERIALIZED (
     SELECT doc_a AS a, doc_b AS b FROM edge
     UNION
     SELECT doc_b, doc_a FROM edge

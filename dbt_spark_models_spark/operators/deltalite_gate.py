@@ -381,6 +381,67 @@ def sink_deltalite_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "engine_deltalite_targeted_delete",
+    oracle="""
+WITH params AS (
+    SELECT CAST(CEIL((MAX(o_custkey) + 1) / 8.0) AS BIGINT) AS w FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+       SUM(o_custkey) AS cust_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
+           AS total_price,
+       6 AS files_untouched,
+       2 AS files_rewritten
+FROM orders, params
+WHERE NOT (o_custkey <= w + w // 2)
+""",
+)
+def engine_deltalite_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted copy-on-write DELETE — the 100 TB GDPR-erasure shape:
+    orders land as 8 single-file commits with disjoint o_custkey ranges
+    (standing in for a customer-clustered production table), then ONE
+    delete commit removes every row with o_custkey <= cutoff. The
+    published evidence: 6 of 8 files are untouched (their stats prove no
+    match — never read, never rewritten), only 2 are rewritten; the
+    remaining table must equal the oracle's NOT-matching aggregate
+    exactly. Contrast ``Runner.erase``, which rewrites whole tables when
+    keys are scattered — clustering + stats turn erasure into a
+    file-local operation.
+
+    Scale: rewrite cost ∝ files containing the cohort, not table size;
+    the commit is one atomic log append either way."""
+    path = _table_dir(sf_dir, "targeted_delete")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    src = o.select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    mx = src.agg(F.max("o_custkey")).collect()[0][0]  # 1-row probe
+    w = (mx + 8) // 8
+    for i in range(8):
+        part = src.filter(
+            (F.col("o_custkey") >= i * w) & (F.col("o_custkey") < (i + 1) * w)
+        ).coalesce(1)
+        deltalite.write(spark, part, path, "overwrite" if i == 0 else "append")
+    cutoff = w + w // 2
+    _, untouched, rewritten = deltalite.delete(
+        spark, path, [("o_custkey", "<=", cutoff)]
+    )
+    snap = deltalite.read(spark, path)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_custkey").alias("cust_sum"),
+        F.sum("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+    ).select(
+        "n_rows",
+        "cust_sum",
+        "total_price",
+        F.lit(untouched).cast("int").alias("files_untouched"),
+        F.lit(rewritten).cast("int").alias("files_rewritten"),
+    )
+
+
+@query(
     "engine_deltalite_merge_acid",
     oracle="""
 WITH base AS (

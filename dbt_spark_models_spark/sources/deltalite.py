@@ -233,11 +233,18 @@ def _file_stats(path: str) -> dict | None:
                 name = col.path_in_schema
                 if "." in name:  # nested — skip
                     continue
-                st = col.statistics
-                if st is None or not st.has_min_max:
+                # per-column guard: pyarrow can't extract stats for some
+                # physical types (DECIMAL raises from .min even with
+                # has_min_max=True) — one such column must not cost every
+                # OTHER column its stats
+                try:
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("no min/max")
+                    lo, hi = _json_safe(st.min), _json_safe(st.max)
+                except Exception:  # noqa: BLE001
                     mins[name] = maxs[name] = None
                     continue
-                lo, hi = _json_safe(st.min), _json_safe(st.max)
                 if name not in mins:
                     mins[name], maxs[name] = lo, hi
                 elif mins[name] is not None and lo is not None:
@@ -516,6 +523,70 @@ def txn_append(
     ]
     _commit(table_path, version, actions)
     return version
+
+
+def delete(
+    spark: SparkSession,
+    table_path: str,
+    filters: list[tuple],
+) -> tuple[int, int, int]:
+    """Targeted copy-on-write DELETE: remove every row matching ALL
+    ``filters`` (the same (column, op, literal) triples data skipping
+    uses). Files whose stats PROVE they hold no matching row are left
+    untouched — their bytes are never read or rewritten; only
+    potentially-matching files are rewritten without the matching rows,
+    and the whole operation is ONE atomic commit (removes for the
+    rewritten files + adds for their replacements; a fully-matched file
+    simply gets no replacement).
+
+    Returns (committed version, files untouched, files rewritten).
+
+    This is how DML on an immutable-file format stays tractable at
+    100 TB: a deletion predicate aligned with the table's clustering
+    (Z-order, range commits) touches the handful of files that actually
+    contain the rows — contrast ``plans/runner.py:erase``, which must
+    rewrite every table wholesale when keys are scattered. Real delta
+    works identically (file-skipping + copy-on-write + one commit)."""
+    _OPS = {
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+        "=": lambda c, v: c == v,
+        "==": lambda c, v: c == v,
+    }
+    state = _replay_state(table_path)
+    active, meta = state["active"], state["meta"]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    untouched, rewrite = [], []
+    for p in sorted(active):
+        (untouched if _maybe_skip(active[p], filters) else rewrite).append(p)
+    adds: list[dict] = []
+    if rewrite:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(table_path, p) for p in rewrite]
+        )
+        match = F.lit(True)
+        for col, op, lit in filters:
+            match = match & _OPS[op](F.col(col), F.lit(lit))
+        # NULL predicate = row does NOT match = row is KEPT (SQL DELETE)
+        kept = df.filter(F.coalesce(~match, F.lit(True)))
+        adds = _write_data_files(kept, table_path)
+    now_ms = int(time.time() * 1000)
+    versions = _list_versions(table_path)
+    version = versions[-1] + 1
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "DELETE", "timestamp": now_ms}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta},
+        *(
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+            for p in rewrite
+        ),
+        *({"add": a} for a in adds),
+    ]
+    _commit(table_path, version, actions)
+    return version, len(untouched), len(rewrite)
 
 
 def optimize(

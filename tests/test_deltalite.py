@@ -207,6 +207,41 @@ def test_optimize_compacts_without_changing_content(spark, tdir):
     assert {r.k for r in deltalite.read(spark, tdir, version=2).collect()} == {0, 1, 2}
 
 
+def test_delete_rewrites_only_intersecting_files(spark, tdir):
+    """Copy-on-write DELETE: stats-disjoint files keep their exact paths
+    (never rewritten), a fully-matching file disappears with no
+    replacement, NULL predicate values are kept, all in one commit."""
+    for lo in (0, 10, 20):
+        deltalite.write(
+            spark,
+            _df(spark, [(lo + j, f"v{lo + j}") for j in range(5)]).coalesce(1),
+            tdir,
+            "overwrite" if lo == 0 else "append",
+        )
+    paths_before = set(deltalite._replay(tdir)[0])
+    v, untouched, rewritten = deltalite.delete(spark, tdir, [("k", "<=", 12)])
+    assert v == 3 and untouched == 1 and rewritten == 2
+    paths_after = set(deltalite._replay(tdir)[0])
+    # the 20..24 file survives byte-identical (same committed path)
+    assert len(paths_before & paths_after) == 1
+    got = sorted(r.k for r in deltalite.read(spark, tdir).collect())
+    assert got == [13, 14, 20, 21, 22, 23, 24]
+    # pre-delete snapshot intact
+    assert len(deltalite.read(spark, tdir, version=2).collect()) == 15
+
+
+def test_delete_keeps_null_predicate_rows(spark, tdir):
+    deltalite.write(
+        spark,
+        spark.createDataFrame([(1, "a"), (None, "n")], "k int, v string")
+        .coalesce(1),
+        tdir,
+    )
+    deltalite.delete(spark, tdir, [("k", "<=", 5)])
+    got = {r.v for r in deltalite.read(spark, tdir).collect()}
+    assert got == {"n"}  # NULL k does not match the predicate → kept
+
+
 def test_merge_rejects_duplicate_source_keys(spark, tdir):
     deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
     with pytest.raises(ValueError, match="duplicate"):
