@@ -381,6 +381,61 @@ def sink_deltalite_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "streaming_deltalite_source_tail",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(o_orderkey) AS key_sum
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def streaming_deltalite_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeltaLite as a Structured-Streaming SOURCE (Spark 4 Python
+    streaming DataSource API): the commit log IS the stream — offsets are
+    log versions, each micro-batch is exactly the rows the commits in
+    (start, end] added. The table is built as 3 append commits plus one
+    OPTIMIZE compaction; the streamed aggregate must equal the plain
+    batch aggregate of the whole source table, which proves (a) every
+    append surfaced exactly once across micro-batches and (b) the
+    dataChange=false OPTIMIZE commit was invisible to the stream even
+    though it rewrote every file — the property that lets layout
+    maintenance run under live consumers.
+
+    Scale: this gate uses the driver-side SimpleDataSourceStreamReader
+    (right for metadata-rate tails); the documented production variant is
+    the partitioned reader — one InputPartition per added file, same
+    offsets (`sources/deltalite_stream.py`)."""
+    from dbt_spark_models_spark.sources.deltalite_stream import (
+        DeltaLiteStreamSource,
+    )
+    from dbt_spark_models_spark.streaming.pipelines import _run_to_memory
+
+    path = _table_dir(sf_dir, "stream_source")
+    for i in range(3):
+        deltalite.write(
+            spark,
+            _orders_slice(spark, sf_dir, i).coalesce(2),
+            path,
+            "overwrite" if i == 0 else "append",
+        )
+    # layout-only rewrite — must NOT reach the stream
+    deltalite.optimize(spark, path, n_files=2)
+    try:
+        spark.dataSource.register(DeltaLiteStreamSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    stream = (
+        spark.readStream.format("deltalite_stream").option("path", path).load()
+    )
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@query(
     "engine_deltalite_targeted_delete",
     oracle="""
 WITH params AS (

@@ -1,0 +1,117 @@
+"""Structured-Streaming SOURCE over a DeltaLite table (Spark 4 Python
+streaming DataSource API, ``pyspark.sql.datasource``).
+
+This is the other half of the exactly-once story: ``deltalite.txn_append``
+makes foreachBatch an idempotent SINK; this reader makes the table a
+replayable streaming SOURCE — the commit log IS the stream. Offsets are
+log versions, so:
+
+- each micro-batch is exactly the rows ADDED by the commits in
+  ``(start_version, end_version]`` — no file ever read twice;
+- ``dataChange: false`` commits (OPTIMIZE's compaction rewrites) are
+  SKIPPED: layout maintenance is invisible to downstream consumers,
+  exactly like real Delta's streaming source;
+- recovery replays ``readBetweenOffsets(start, end)`` from the log —
+  offsets are durable in the query checkpoint, data is durable in the
+  table, so a restarted query resumes without loss or duplication.
+
+Contract: append-style commits only (the default contract of Delta's own
+streaming source). A commit that REMOVES files with ``dataChange: true``
+(overwrite/merge/delete) raises, because emitted rows can't be retracted
+from a stream — the caller opts into CDC semantics by handling those
+upstream.
+
+Scale: this ``SimpleDataSourceStreamReader`` reads add-files on the
+driver — right for metadata-rate tails and the gate scale. The
+production path implements the partitioned ``DataSourceStreamReader``
+instead: ``partitions(start, end)`` returns one InputPartition per added
+file (the offsets and skip logic here carry over unchanged) and each
+executor task reads one file, so a micro-batch parallelizes like any
+parquet scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+from dbt_spark_models_spark.sources import deltalite
+
+
+class DeltaLiteStreamSource(DataSource):
+    """``spark.readStream.format("deltalite_stream").option("path", p)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltalite_stream"
+
+    def schema(self):
+        state = deltalite._replay_state(self.options["path"])
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(state["meta"]["schemaString"]))
+
+    def simpleStreamReader(self, schema) -> "DeltaLiteStreamReader":
+        return DeltaLiteStreamReader(self.options)
+    # streamReader deliberately NOT overridden: the base class's default
+    # NotImplementedError is the signal Spark uses to fall back to
+    # simpleStreamReader
+
+
+class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}  # start of log: replay everything
+
+    def _rows_for_versions(self, start_v: int, end_v: int):
+        """Rows added by commits in (start_v, end_v], skipping
+        dataChange=false (layout-only) commits; raises on data-changing
+        removes (not an append stream)."""
+        import pyarrow.parquet as pq
+
+        versions = [
+            v for v in deltalite._list_versions(self.path) if start_v < v <= end_v
+        ]
+        for v in versions:
+            adds, removes_changed = [], False
+            with open(deltalite._version_file(self.path, v)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "add" in action and action["add"].get("dataChange", True):
+                        adds.append(action["add"]["path"])
+                    elif "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        removes_changed = True
+            if removes_changed:
+                raise ValueError(
+                    f"commit {v} rewrites data (overwrite/merge/delete); the "
+                    "deltalite_stream source reads append-style commits only"
+                )
+            for rel in adds:
+                table = pq.read_table(os.path.join(self.path, rel))
+                yield from (tuple(r) for r in zip(*(c.to_pylist() for c in table.columns)))
+
+    def read(self, start: dict):
+        latest = deltalite.latest_version(self.path)
+        end_v = latest if latest is not None else -1
+        start_v = int(start["version"])
+        if end_v <= start_v:
+            return iter(()), start
+        rows = list(self._rows_for_versions(start_v, end_v))
+        return iter(rows), {"version": end_v}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows_for_versions(int(start["version"]), int(end["version"]))
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the query checkpoint; the log itself keeps all
+        # versions (no retention in this subset), so nothing to release
+        pass

@@ -242,6 +242,65 @@ def test_delete_keeps_null_predicate_rows(spark, tdir):
     assert got == {"n"}  # NULL k does not match the predicate → kept
 
 
+def _run_stream_batch(spark, tdir, ckpt, out_rows):
+    """Drive the deltalite_stream source over all available commits via
+    foreachBatch, accumulating rows into out_rows."""
+    from dbt_spark_models_spark.sources.deltalite_stream import (
+        DeltaLiteStreamSource,
+    )
+
+    try:
+        spark.dataSource.register(DeltaLiteStreamSource)
+    except Exception:  # noqa: BLE001
+        pass
+    stream = spark.readStream.format("deltalite_stream").option("path", tdir).load()
+
+    def _sink(df, _bid):
+        out_rows.extend((r.k, r.v) for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_source_resumes_from_checkpoint(spark, tdir):
+    """Offsets are log versions persisted in the query checkpoint: a
+    restarted query emits ONLY commits made since the last run."""
+    import tempfile as _tf
+
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    deltalite.write(spark, _df(spark, [(2, "b")]).coalesce(1), tdir, "append")
+    ckpt = _tf.mkdtemp(prefix="dlstream-ckpt-")
+    got: list = []
+    _run_stream_batch(spark, tdir, ckpt, got)
+    assert sorted(got) == [(1, "a"), (2, "b")]
+    # restart after two more commits (and an invisible OPTIMIZE)
+    deltalite.write(spark, _df(spark, [(3, "c")]).coalesce(1), tdir, "append")
+    deltalite.optimize(spark, tdir, n_files=1)
+    deltalite.write(spark, _df(spark, [(4, "d")]).coalesce(1), tdir, "append")
+    got2: list = []
+    _run_stream_batch(spark, tdir, ckpt, got2)
+    assert sorted(got2) == [(3, "c"), (4, "d")]  # no re-emission, no optimize rows
+
+
+def test_stream_source_rejects_data_rewrite(spark, tdir):
+    import tempfile as _tf
+
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    deltalite.write(spark, _df(spark, [(2, "b")]).coalesce(1), tdir, "overwrite")
+    got: list = []
+    with pytest.raises(Exception, match="append-style|STREAM_FAILED|rewrites"):
+        _run_stream_batch(
+            spark, tdir, _tf.mkdtemp(prefix="dlstream-ckpt-"), got
+        )
+
+
 def test_merge_rejects_duplicate_source_keys(spark, tdir):
     deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
     with pytest.raises(ValueError, match="duplicate"):
