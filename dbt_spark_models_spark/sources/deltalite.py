@@ -654,21 +654,37 @@ def optimize(
     return version
 
 
-def vacuum(table_path: str) -> list[str]:
-    """Delete data files no longer referenced by ANY log version (crashed
-    writers' garbage and overwritten files past retention — retention is
-    0 here for determinism; production keeps a time window so running
-    time-travel readers don't lose files under them)."""
+def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
+    """Delete unreferenced data files.
+
+    Default (``retain_versions=None``): only never-committed garbage goes
+    (crashed writers' staging leftovers) — every committed version stays
+    time-travelable.
+
+    With ``retain_versions=N``: keep only the files some version in the
+    last N+1 commits still references; files that exist solely for OLDER
+    snapshots are deleted, after which time travel past the horizon
+    raises on its missing files — the same trade real VACUUM makes with
+    its retention window (production sets it to hours/days so running
+    readers don't lose files under them; a version count keeps the gate
+    deterministic)."""
+    versions = _list_versions(table_path)
     referenced: set[str] = set()
-    for v in _list_versions(table_path):
-        with open(_version_file(table_path, v)) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    referenced.add(action["add"]["path"])
+    if retain_versions is None:
+        for v in versions:
+            with open(_version_file(table_path, v)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        referenced.add(action["add"]["path"])
+    else:
+        horizon = versions[-1] - retain_versions if versions else -1
+        for v in versions:
+            if v >= horizon:
+                referenced.update(_replay(table_path, v)[0])
     removed = []
     for f in os.listdir(table_path):
         if f.endswith(".parquet") and f not in referenced:

@@ -301,6 +301,34 @@ def test_stream_source_rejects_data_rewrite(spark, tdir):
         )
 
 
+def test_schema_evolution_append_new_column(spark, tdir):
+    """Appending a batch with an extra column evolves the table schema
+    (latest commit's metaData wins): old files null-fill the new column,
+    and time travel still sees the old schema."""
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    wide = spark.createDataFrame([(2, "b", 9.5)], "k int, v string, score double")
+    deltalite.write(spark, wide.coalesce(1), tdir, "append")
+    got = deltalite.read(spark, tdir)
+    assert [f.name for f in got.schema.fields] == ["k", "v", "score"]
+    rows = {r.k: r.score for r in got.collect()}
+    assert rows == {1: None, 2: 9.5}
+    assert deltalite.read(spark, tdir, version=0).columns == ["k", "v"]
+
+
+def test_vacuum_retention_drops_old_snapshots_only(spark, tdir):
+    """retain_versions=1 keeps the files of the last two versions; a file
+    referenced only by older snapshots is physically deleted, recent time
+    travel still works."""
+    for i in range(3):
+        deltalite.write(
+            spark, _df(spark, [(i, str(i))]).coalesce(1), tdir, "overwrite"
+        )
+    removed = deltalite.vacuum(tdir, retain_versions=1)
+    assert len(removed) == 1  # v0's file, referenced by no retained version
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {2}
+    assert {r.k for r in deltalite.read(spark, tdir, version=1).collect()} == {1}
+
+
 def test_merge_rejects_duplicate_source_keys(spark, tdir):
     deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
     with pytest.raises(ValueError, match="duplicate"):
