@@ -552,3 +552,183 @@ def engine_deltalite_merge_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("price").cast("decimal(18,2)").alias("total_price"),
     )
+
+
+@query(
+    "sink_deltalite_partition_pruning",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       SUM(o_orderkey) AS key_sum,
+       SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_price,
+       1 AS files_scanned,
+       3 AS files_total
+FROM orders
+WHERE o_orderstatus = 'F'
+""",
+)
+def sink_deltalite_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned table (spec: metaData ``partitionColumns``
+    + per-add ``partitionValues``): orders land partitioned by
+    o_orderstatus (3 values → 3 files: repartition(col) hashes all rows
+    of a value into one task, and each task writes one file per value it
+    holds), then a status-equality read prunes on the LOG's
+    partitionValues — 1 of 3 files survives before Spark lists anything —
+    and the aggregate over the pruned read must equal the oracle's plain
+    filtered aggregate (pruning is provably lossless, not sampled).
+
+    Partition values are the strongest zone map (every row equals the
+    value exactly), and at 100 TB they prune without opening a single
+    parquet footer: the reference's models partition by day for the same
+    reason (``partition_by`` on 197 model configs). The partition column
+    itself lives in directory names, not the data files — read()
+    reconstructs it via Spark's partition discovery."""
+    path = _table_dir(sf_dir, "partition_pruning")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    deltalite.write(
+        spark,
+        o.repartition("o_orderstatus"),
+        path,
+        partition_by=["o_orderstatus"],
+    )
+    filters = [("o_orderstatus", "=", "F")]
+    kept, total = deltalite.scan_file_counts(path, skip_filters=filters)
+    snap = deltalite.read(spark, path, skip_filters=filters).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        "total_price",
+        F.lit(kept).cast("int").alias("files_scanned"),
+        F.lit(total).cast("int").alias("files_total"),
+    )
+
+
+@query(
+    "sink_deltalite_schema_evolution",
+    oracle="""
+WITH unioned AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18, 2)) AS price,
+           CAST(NULL AS VARCHAR) AS priority_class
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18, 2)),
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 3 = 1
+)
+SELECT COALESCE(priority_class, '<pre-evolution>') AS priority_class,
+       COUNT(*) AS n_rows,
+       SUM(o_orderkey) AS key_sum,
+       SUM(price) AS price_sum,
+       2 AS cols_v0,
+       3 AS cols_v1
+FROM unioned
+GROUP BY 1
+""",
+)
+def sink_deltalite_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on append (spec: the latest commit's metaData
+    schemaString IS the table schema): v0 commits (o_orderkey, price),
+    v1 appends a batch carrying a NEW priority_class column. The evolved
+    read null-fills the column for v0's files — which are NOT rewritten —
+    and versionAsOf 0 still sees the 2-column schema (cols_v0/cols_v1 are
+    the published schema-width evidence, read from table metadata, no
+    data motion).
+
+    This is mergeSchema-on-write at the log level: at 100 TB adding a
+    column costs one metadata commit, zero file rewrites — the property
+    that makes wide gold tables evolvable in place (the reference's
+    models grow columns across releases the same way)."""
+    path = _table_dir(sf_dir, "schema_evolution")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    widened = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_orderpriority").alias("priority_class"),
+    )
+    deltalite.write(spark, base, path)
+    deltalite.write(spark, widened, path, "append")
+    cols_v0 = len(deltalite.read(spark, path, version=0).columns)
+    snap = deltalite.read(spark, path)
+    cols_v1 = len(snap.columns)
+    return (
+        snap.groupBy(
+            F.coalesce(F.col("priority_class"), F.lit("<pre-evolution>")).alias(
+                "priority_class"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("price").alias("price_sum"),
+        )
+        .select(
+            "priority_class",
+            "n_rows",
+            "key_sum",
+            "price_sum",
+            F.lit(cols_v0).cast("int").alias("cols_v0"),
+            F.lit(cols_v1).cast("int").alias("cols_v1"),
+        )
+    )
+
+
+@query(
+    "engine_deltalite_column_rename",
+    oracle="""
+SELECT o_orderpriority AS priority_class,
+       COUNT(*) AS n_rows,
+       SUM(o_orderkey) AS key_sum,
+       SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS price_sum,
+       0 AS files_rewritten
+FROM orders
+GROUP BY 1
+""",
+)
+def engine_deltalite_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename via the spec's column mapping
+    (``delta.columnMapping.mode = name``): o_totalprice becomes ``price``
+    in ONE metadata commit. The data-file set before and after the rename
+    is compared in-plan (files_rewritten must be 0 — the published
+    evidence that no bytes moved), reads alias the old physical column to
+    the new logical name, and the post-rename aggregate must match the
+    oracle computed straight from the source — proving the alias is
+    lossless.
+
+    At 100 TB a rename is O(1) metadata vs a full-table rewrite on plain
+    parquet; it is also the migration primitive the reference's model
+    releases rely on (column renames between model versions)."""
+    path = _table_dir(sf_dir, "column_rename")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    deltalite.write(spark, o, path)
+    before, _ = deltalite._replay(path)
+    deltalite.rename_column(path, "o_totalprice", "price")
+    after, _ = deltalite._replay(path)
+    rewritten = len(set(before) ^ set(after))
+    snap = deltalite.read(spark, path)
+    return (
+        snap.groupBy(F.col("o_orderpriority").alias("priority_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(F.col("price").cast("decimal(18,2)")).alias("price_sum"),
+        )
+        .select(
+            "priority_class",
+            "n_rows",
+            "key_sum",
+            "price_sum",
+            F.lit(rewritten).cast("int").alias("files_rewritten"),
+        )
+    )

@@ -261,34 +261,99 @@ def _file_stats(path: str) -> dict | None:
         return None
 
 
-def _write_data_files(df: DataFrame, table_path: str) -> list[dict]:
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _decode_partition_dir(segment: str) -> tuple[str, str | None]:
+    """``day=2024-01-01`` → ("day", "2024-01-01"); hive %-escapes undone,
+    the null sentinel becomes None (spec: partitionValues null = null)."""
+    from urllib.parse import unquote
+
+    k, _, v = segment.partition("=")
+    v = unquote(v)
+    return k, (None if v == _NULL_PARTITION else v)
+
+
+def coerce_partition_value(value: str | None, type_name: str):
+    """partitionValues are strings in the log (spec); coerce to the
+    schema's type for comparisons / row reconstruction. Unknown types stay
+    strings — callers treat coercion failure as 'cannot prove anything'."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    try:
+        if type_name in ("byte", "short", "integer", "long"):
+            return int(value)
+        if type_name in ("float", "double"):
+            return float(value)
+        if type_name == "boolean":
+            return value.lower() == "true"
+        if type_name == "date":
+            return _dt.date.fromisoformat(value)
+        if type_name.startswith("timestamp"):
+            return _dt.datetime.fromisoformat(value)
+        if type_name.startswith("decimal"):
+            import decimal as _dec
+
+            return _dec.Decimal(value)
+    except (ValueError, ArithmeticError):
+        return None
+    return value
+
+
+def _write_data_files(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+) -> list[dict]:
     """Write df's rows as parquet files with globally-unique names under
     the table root (spec: data files are inert until committed). Returns
-    the ``add`` payloads, each carrying footer-derived column stats."""
+    the ``add`` payloads, each carrying footer-derived column stats.
+
+    With ``partition_by``, files land in hive-style subdirectories
+    (``day=2024-01-01/part-….parquet``) and each add carries the spec's
+    ``partitionValues`` map; the partition columns themselves are NOT in
+    the data files — readers re-derive them from the log/paths, exactly
+    like real Delta."""
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     adds = []
     now_ms = int(time.time() * 1000)
-    for f in os.listdir(staging):
-        if not f.endswith(".parquet"):
-            continue
-        unique = f"part-{uuid.uuid4().hex}.parquet"
-        src = os.path.join(staging, f)
-        dest = os.path.join(table_path, unique)
-        os.rename(src, dest)
-        stats = _file_stats(dest)
-        if stats is not None and stats["numRecords"] == 0:
-            os.remove(dest)  # empty part files are never committed
-            continue
-        add = {
-            "path": unique,
-            "size": os.path.getsize(dest),
-            "modificationTime": now_ms,
-            "dataChange": True,
-        }
-        if stats is not None:
-            add["stats"] = json.dumps(stats, separators=(",", ":"))
-        adds.append(add)
+    for dirpath, _dirs, files in os.walk(staging):
+        rel_dir = os.path.relpath(dirpath, staging)
+        segments = [] if rel_dir == "." else rel_dir.split(os.sep)
+        pvals: dict[str, str | None] = {}
+        for seg in segments:
+            if "=" in seg:
+                k, v = _decode_partition_dir(seg)
+                pvals[k] = v
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            unique = f"part-{uuid.uuid4().hex}.parquet"
+            src = os.path.join(dirpath, f)
+            dest = os.path.join(table_path, *segments, unique)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(src, dest)
+            stats = _file_stats(dest)
+            if stats is not None and stats["numRecords"] == 0:
+                os.remove(dest)  # empty part files are never committed
+                continue
+            add = {
+                "path": "/".join([*segments, unique]),
+                "size": os.path.getsize(dest),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            if partition_by:
+                add["partitionValues"] = pvals
+            if stats is not None:
+                add["stats"] = json.dumps(stats, separators=(",", ":"))
+            adds.append(add)
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 
@@ -320,13 +385,111 @@ def _commit(
             pass  # losing one costs replay time, never correctness
 
 
-def _meta_action(df: DataFrame, table_id: str) -> dict:
+_PHYS_KEY = "delta.columnMapping.physicalName"
+
+
+def _column_mapping(meta: dict) -> dict[str, str]:
+    """{logical name: physical file-column name} when the table has ever
+    been column-mapped (spec: columnMapping mode=name stores the physical
+    name in each schema field's metadata); {} otherwise."""
+    if not meta or "schemaString" not in meta:
+        return {}
+    fields = json.loads(meta["schemaString"])["fields"]
+    m = {
+        f["name"]: (f.get("metadata") or {}).get(_PHYS_KEY, f["name"])
+        for f in fields
+    }
+    return m if any(k != v for k, v in m.items()) else {}
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename logical columns to their physical file names for writing."""
+    return df.select(
+        *[F.col(logical).alias(phys) for logical, phys in mapping.items()]
+    )
+
+
+def _physical_schema(schema: StructType, mapping: dict[str, str]) -> StructType:
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(mapping[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _translate_filters(skip_filters, mapping: dict[str, str]):
+    if not skip_filters or not mapping:
+        return skip_filters
+    return [(mapping.get(c, c), op, lit) for c, op, lit in skip_filters]
+
+
+def rename_column(table_path: str, old: str, new: str) -> int:
+    """Metadata-only column rename — the spec's column mapping
+    (``delta.columnMapping.mode = name``): the schema field takes the new
+    LOGICAL name while remembering its PHYSICAL name (the column header
+    inside the existing parquet files) in field metadata. ONE metadata
+    commit, zero file rewrites; readers alias physical→logical at scan
+    time, and time travel before the rename still sees the old name.
+
+    At 100 TB this is the difference between an instant rename and
+    rewriting every file of the table (what plain parquet tables must
+    do). Renaming a partition column is out of this subset (the physical
+    directory layout carries its name)."""
+    state = _replay_state(table_path)
+    meta = state["meta"]
+    if not meta:
+        raise FileNotFoundError(f"no DeltaLite table at {table_path}")
+    if old in meta.get("partitionColumns", []):
+        raise ValueError(f"cannot rename partition column {old!r}")
+    sch = json.loads(meta["schemaString"])
+    names = [f["name"] for f in sch["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    for f in sch["fields"]:
+        md = f.setdefault("metadata", {})
+        md.setdefault(_PHYS_KEY, f["name"])
+        if f["name"] == old:
+            f["name"] = new
+    meta = dict(
+        meta,
+        schemaString=json.dumps(sch, separators=(",", ":")),
+        configuration={
+            **meta.get("configuration", {}),
+            "delta.columnMapping.mode": "name",
+        },
+    )
+    version = _list_versions(table_path)[-1] + 1
+    _commit(
+        table_path,
+        version,
+        [
+            {
+                "commitInfo": {
+                    "operation": "RENAME COLUMN",
+                    "timestamp": int(time.time() * 1000),
+                }
+            },
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+        ],
+    )
+    return version
+
+
+def _meta_action(
+    df: DataFrame, table_id: str, partition_by: list[str] | None = None
+) -> dict:
     return {
         "metaData": {
             "id": table_id,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": df.schema.json(),
-            "partitionColumns": [],
+            "partitionColumns": list(partition_by or []),
             "configuration": {},
         }
     }
@@ -337,10 +500,18 @@ def write(
     df: DataFrame,
     table_path: str,
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the table. ``overwrite`` removes every currently
     active file and adds the new ones in ONE commit; ``append`` only adds.
-    Returns the committed version."""
+    Returns the committed version.
+
+    ``partition_by`` gives the table a hive-style partition layout with
+    ``partitionValues`` on every add (spec §Add File and Remove File):
+    partition pruning then happens on the LOG, before any file is listed.
+    Appends must keep the table's existing partitioning (spec: metaData
+    partitionColumns are table-level, changing them is a schema change
+    that requires overwrite)."""
     os.makedirs(table_path, exist_ok=True)
     versions = _list_versions(table_path)
     if not versions:
@@ -350,11 +521,33 @@ def write(
     else:
         version = versions[-1] + 1
         prior, meta = _replay(table_path)
-    adds = _write_data_files(df, table_path)
+    existing_parts = meta.get("partitionColumns", [])
+    if mode == "append" and versions:
+        if partition_by is None:
+            partition_by = list(existing_parts)
+        elif list(partition_by) != list(existing_parts):
+            raise ValueError(
+                f"append partitioning {partition_by} != table's {existing_parts}"
+            )
+    mapping = _column_mapping(meta)
+    if mapping and mode == "append":
+        # column-mapped table: new files carry PHYSICAL names, the
+        # metaData (logical schema + mapping) is preserved verbatim;
+        # evolving the schema of a mapped table is out of this subset
+        if set(df.columns) != set(mapping):
+            raise ValueError(
+                "schema evolution on a column-mapped table is not "
+                f"supported (table columns {sorted(mapping)})"
+            )
+        adds = _write_data_files(_to_physical(df, mapping), table_path, partition_by)
+        meta_action: dict = {"metaData": meta}
+    else:
+        adds = _write_data_files(df, table_path, partition_by)
+        meta_action = _meta_action(df, meta.get("id", uuid.uuid4().hex), partition_by)
     actions: list[dict] = [
         {"commitInfo": {"operation": mode.upper(), "timestamp": int(time.time() * 1000)}},
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        _meta_action(df, meta.get("id", uuid.uuid4().hex)),
+        meta_action,
     ]
     if mode == "overwrite":
         now_ms = int(time.time() * 1000)
@@ -369,11 +562,66 @@ def write(
     return version
 
 
+def _coerce_like(value: str | None, lit):
+    """Coerce a partitionValues string to the filter literal's type; None
+    when it can't be done (→ the caller must keep the file)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if value is None:
+        return None
+    try:
+        if isinstance(lit, bool):
+            return value.lower() == "true"
+        if isinstance(lit, int):
+            return int(value)
+        if isinstance(lit, float):
+            return float(value)
+        if isinstance(lit, _dt.datetime):
+            return _dt.datetime.fromisoformat(value)
+        if isinstance(lit, _dt.date):
+            return _dt.date.fromisoformat(value)
+        if isinstance(lit, _dec.Decimal):
+            return _dec.Decimal(value)
+    except (ValueError, ArithmeticError):
+        return None
+    return value
+
+
 def _maybe_skip(add: dict, skip_filters) -> bool:
-    """True iff the file's stats PROVE it cannot contain a matching row.
-    A file without stats (or without stats for the filtered column) is
-    never skipped — pruning must be lossless."""
-    if not skip_filters or "stats" not in add:
+    """True iff the file's metadata PROVES it cannot contain a matching
+    row — first the add's ``partitionValues`` (every row in the file has
+    EXACTLY that value in the partition column: the strongest possible
+    zone map), then the stats min/max. A file without stats (or without
+    stats for the filtered column) is never skipped — pruning must be
+    lossless."""
+    if not skip_filters:
+        return False
+    pv = add.get("partitionValues") or {}
+    for col, op, lit in skip_filters:
+        if col not in pv:
+            continue
+        if pv[col] is None:
+            # a null partition: col IS NULL on every row, so no
+            # comparison predicate can match — provably disjoint
+            return True
+        val = _coerce_like(pv[col], lit)
+        if val is None:
+            continue
+        try:
+            if op == "<" and not (val < lit):
+                return True
+            if op == "<=" and not (val <= lit):
+                return True
+            if op == ">" and not (val > lit):
+                return True
+            if op == ">=" and not (val >= lit):
+                return True
+            if op in ("=", "==") and val != lit:
+                return True
+        except TypeError:
+            continue
+    if "stats" not in add:
         return False
     try:
         stats = json.loads(add["stats"])
@@ -416,13 +664,31 @@ def read(
     active = state["active"]
     meta = state["meta"]
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta)
+    skip_filters = _translate_filters(skip_filters, mapping)
     kept = [
         p for p in sorted(active) if not _maybe_skip(active[p], skip_filters)
     ]
     if not kept:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table_path, p) for p in kept]
-    return spark.read.schema(schema).parquet(*paths)
+    scan_schema = _physical_schema(schema, mapping) if mapping else schema
+    reader = spark.read.schema(scan_schema)
+    if meta.get("partitionColumns"):
+        # hive-layout table: the partition columns live in the DIRECTORY
+        # names, not the files — basePath makes Spark's partition
+        # discovery reconstruct them (typed per the schema) even though we
+        # hand it an explicit active-file list
+        reader = reader.option("basePath", table_path)
+    df = reader.parquet(*paths)
+    if mapping:
+        # physical→logical aliasing at scan time (column mapping)
+        return df.select(
+            *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields]
+        )
+    # partition discovery appends partition columns last; restore the
+    # committed column order
+    return df.select(*[f.name for f in schema.fields])
 
 
 def scan_file_counts(
@@ -434,6 +700,7 @@ def scan_file_counts(
     the data-skipping gate publishes."""
     state = _replay_state(table_path, version)
     active = state["active"]
+    skip_filters = _translate_filters(skip_filters, _column_mapping(state["meta"]))
     kept = sum(
         1 for p in active if not _maybe_skip(active[p], skip_filters)
     )
@@ -468,12 +735,18 @@ def merge(
     versions = _list_versions(table_path)
     version = versions[-1] + 1
     prior, meta = _replay(table_path)
-    adds = _write_data_files(result, table_path)
+    pcols = meta.get("partitionColumns") or None
+    mapping = _column_mapping(meta)
+    adds = _write_data_files(
+        _to_physical(result, mapping) if mapping else result, table_path, pcols
+    )
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {"commitInfo": {"operation": "MERGE", "timestamp": now_ms}},
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        _meta_action(result, meta.get("id", uuid.uuid4().hex)),
+        {"metaData": meta}
+        if mapping
+        else _meta_action(result, meta.get("id", uuid.uuid4().hex), pcols),
         *(
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
             for p in prior
@@ -558,20 +831,33 @@ def delete(
     state = _replay_state(table_path)
     active, meta = state["active"], state["meta"]
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta)
+    phys_filters = _translate_filters(filters, mapping)
     untouched, rewrite = [], []
     for p in sorted(active):
-        (untouched if _maybe_skip(active[p], filters) else rewrite).append(p)
+        (untouched if _maybe_skip(active[p], phys_filters) else rewrite).append(p)
+    pcols = meta.get("partitionColumns") or None
     adds: list[dict] = []
     if rewrite:
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(table_path, p) for p in rewrite]
-        )
+        scan_schema = _physical_schema(schema, mapping) if mapping else schema
+        reader = spark.read.schema(scan_schema)
+        if pcols:
+            reader = reader.option("basePath", table_path)
+        df = reader.parquet(*[os.path.join(table_path, p) for p in rewrite])
+        if mapping:
+            df = df.select(
+                *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields]
+            )
+        else:
+            df = df.select(*[f.name for f in schema.fields])
         match = F.lit(True)
         for col, op, lit in filters:
             match = match & _OPS[op](F.col(col), F.lit(lit))
         # NULL predicate = row does NOT match = row is KEPT (SQL DELETE)
         kept = df.filter(F.coalesce(~match, F.lit(True)))
-        adds = _write_data_files(kept, table_path)
+        if mapping:
+            kept = _to_physical(kept, mapping)
+        adds = _write_data_files(kept, table_path, pcols)
     now_ms = int(time.time() * 1000)
     versions = _list_versions(table_path)
     version = versions[-1] + 1
@@ -612,7 +898,18 @@ def optimize(
     boundaries.
 
     Scale: one read + n_files writes + one metadata commit; run it on the
-    cold partition set on a schedule, exactly like production OPTIMIZE."""
+    cold partition set on a schedule, exactly like production OPTIMIZE.
+    On a hive-partitioned table the compaction preserves the layout (one
+    output file per partition per coalesced task); Z-order within
+    partitions is out of this subset — real OPTIMIZE ZORDER also operates
+    per partition."""
+    _, table_meta = _replay(table_path)
+    pcols = table_meta.get("partitionColumns") or None
+    if pcols and zorder_by is not None:
+        raise ValueError(
+            "ZORDER on a hive-partitioned table is not supported; run it "
+            "on unpartitioned (or per-partition-exported) tables"
+        )
     snap = read(spark, table_path)
     if zorder_by is not None:
         x, y = zorder_by
@@ -633,7 +930,7 @@ def optimize(
         part = (
             snap.filter(bucket == i) if bucket is not None else snap
         ).coalesce(1)
-        adds += _write_data_files(part, table_path)
+        adds += _write_data_files(part, table_path, pcols)
         if bucket is None:
             break
     now_ms = int(time.time() * 1000)
@@ -642,7 +939,7 @@ def optimize(
     actions: list[dict] = [
         {"commitInfo": {"operation": "OPTIMIZE", "timestamp": now_ms}},
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        _meta_action(snap, meta.get("id", uuid.uuid4().hex)),
+        _meta_action(snap, meta.get("id", uuid.uuid4().hex), pcols),
         *(
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": False}}
             for p in prior
@@ -686,8 +983,19 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
             if v >= horizon:
                 referenced.update(_replay(table_path, v)[0])
     removed = []
-    for f in os.listdir(table_path):
-        if f.endswith(".parquet") and f not in referenced:
-            os.remove(os.path.join(table_path, f))
-            removed.append(f)
+    for dirpath, dirs, files in os.walk(table_path):
+        # never descend into the log or a live writer's staging dir
+        dirs[:] = [
+            d
+            for d in dirs
+            if d != _LOG_DIR and not d.startswith("_staging_")
+        ]
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, f), table_path)
+            rel = rel.replace(os.sep, "/")
+            if rel not in referenced:
+                os.remove(os.path.join(dirpath, f))
+                removed.append(rel)
     return sorted(removed)

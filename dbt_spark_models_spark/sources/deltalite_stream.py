@@ -73,6 +73,14 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
         removes (not an append stream)."""
         import pyarrow.parquet as pq
 
+        state = deltalite._replay_state(self.path)
+        meta = state["meta"]
+        fields = [
+            (f["name"], f["type"] if isinstance(f["type"], str) else "struct")
+            for f in json.loads(meta["schemaString"])["fields"]
+        ]
+        pcols = set(meta.get("partitionColumns", []))
+        mapping = deltalite._column_mapping(meta)  # logical → physical
         versions = [
             v for v in deltalite._list_versions(self.path) if start_v < v <= end_v
         ]
@@ -85,7 +93,7 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
                         continue
                     action = json.loads(line)
                     if "add" in action and action["add"].get("dataChange", True):
-                        adds.append(action["add"]["path"])
+                        adds.append(action["add"])
                     elif "remove" in action and action["remove"].get(
                         "dataChange", True
                     ):
@@ -95,9 +103,27 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
                     f"commit {v} rewrites data (overwrite/merge/delete); the "
                     "deltalite_stream source reads append-style commits only"
                 )
-            for rel in adds:
-                table = pq.read_table(os.path.join(self.path, rel))
-                yield from (tuple(r) for r in zip(*(c.to_pylist() for c in table.columns)))
+            for add in adds:
+                table = pq.read_table(os.path.join(self.path, add["path"]))
+                cols = {c: table.column(c).to_pylist() for c in table.column_names}
+                n = table.num_rows
+                pv = add.get("partitionValues") or {}
+                # hive-partitioned tables keep partition columns in the
+                # LOG, not the files — rebuild each row in schema order,
+                # coercing the partitionValues strings per the schema type
+                out = []
+                for name, tname in fields:
+                    if name in pcols:
+                        val = deltalite.coerce_partition_value(
+                            pv.get(name), tname
+                        )
+                        out.append([val] * n)
+                    else:
+                        # files store PHYSICAL names (column mapping);
+                        # pre-schema-evolution files lack late columns:
+                        # null-fill, same as the batch reader
+                        out.append(cols.get(mapping.get(name, name), [None] * n))
+                yield from (tuple(r) for r in zip(*out))
 
     def read(self, start: dict):
         latest = deltalite.latest_version(self.path)

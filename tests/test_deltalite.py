@@ -335,3 +335,161 @@ def test_merge_rejects_duplicate_source_keys(spark, tdir):
         deltalite.merge(
             spark, _df(spark, [(2, "x"), (2, "y")]), tdir, ["k"]
         )
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, day string")
+
+
+def test_partitioned_write_layout_and_read(spark, tdir):
+    """partition_by gives hive-style dirs + partitionValues on every add;
+    read() reconstructs the partition column (it is NOT in the files) in
+    the committed order."""
+    df = _pdf(spark, [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d2")])
+    deltalite.write(spark, df.repartition("day"), tdir, partition_by=["day"])
+    assert os.path.isdir(os.path.join(tdir, "day=d1"))
+    got = deltalite.read(spark, tdir)
+    assert got.columns == ["k", "v", "day"]
+    assert {(r.k, r.day) for r in got.collect()} == {
+        (1, "d1"), (2, "d2"), (3, "d2")
+    }
+    # the data files must NOT contain the partition column
+    import pyarrow.parquet as pq
+
+    f = next(
+        os.path.join(tdir, "day=d1", x)
+        for x in os.listdir(os.path.join(tdir, "day=d1"))
+        if x.endswith(".parquet")
+    )
+    assert "day" not in pq.ParquetFile(f).schema_arrow.names
+
+
+def test_partition_pruning_skips_files(spark, tdir):
+    df = _pdf(spark, [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d3")])
+    deltalite.write(spark, df.repartition("day"), tdir, partition_by=["day"])
+    kept, total = deltalite.scan_file_counts(
+        tdir, skip_filters=[("day", "=", "d2")]
+    )
+    assert (kept, total) == (1, 3)
+    got = deltalite.read(spark, tdir, skip_filters=[("day", "=", "d2")])
+    assert [(r.k, r.day) for r in got.collect()] == [(2, "d2")]
+
+
+def test_partition_pruning_int_range_and_null(spark, tdir):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "k int, bucket int"
+    )
+    deltalite.write(
+        spark, df.repartition("bucket"), tdir, partition_by=["bucket"]
+    )
+    # int-typed partitionValues compare numerically, not lexically
+    kept, total = deltalite.scan_file_counts(
+        tdir, skip_filters=[("bucket", ">=", 15)]
+    )
+    assert (kept, total) == (1, 3)  # null partition provably disjoint too
+    got = deltalite.read(spark, tdir, skip_filters=[("bucket", ">=", 15)])
+    assert [r.k for r in got.collect()] == [2]
+
+
+def test_partitioned_append_delete_vacuum(spark, tdir):
+    deltalite.write(
+        spark,
+        _pdf(spark, [(1, "a", "d1")]).coalesce(1),
+        tdir,
+        partition_by=["day"],
+    )
+    # append inherits the table's partitioning without restating it
+    deltalite.write(
+        spark, _pdf(spark, [(2, "b", "d2")]).coalesce(1), tdir, "append"
+    )
+    with pytest.raises(ValueError, match="partitioning"):
+        deltalite.write(
+            spark,
+            _pdf(spark, [(9, "x", "d9")]).coalesce(1),
+            tdir,
+            "append",
+            partition_by=["v"],
+        )
+    # targeted delete leaves the d1 file untouched (partitionValues prove
+    # disjointness) and rewrites only d2's
+    version, untouched, rewritten = deltalite.delete(
+        spark, tdir, [("day", "=", "d2")]
+    )
+    assert (untouched, rewritten) == (1, 1)
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1}
+    # vacuum walks partition subdirectories
+    removed = deltalite.vacuum(tdir, retain_versions=0)
+    assert len(removed) == 1 and removed[0].startswith("day=d2/")
+
+
+def test_partitioned_stream_source_rebuilds_partition_column(spark, tdir):
+    from dbt_spark_models_spark.sources.deltalite_stream import (
+        DeltaLiteStreamReader,
+    )
+
+    deltalite.write(
+        spark,
+        _pdf(spark, [(1, "a", "d1"), (2, "b", "d2")]).repartition("day"),
+        tdir,
+        partition_by=["day"],
+    )
+    rows = sorted(DeltaLiteStreamReader({"path": tdir})._rows_for_versions(-1, 0))
+    assert rows == [(1, "a", "d1"), (2, "b", "d2")]
+
+
+def test_rename_column_metadata_only(spark, tdir):
+    """rename_column is ONE metadata commit: no file is added, removed,
+    or rewritten; reads alias physical→logical; time travel before the
+    rename sees the old name; appends after it keep working (new files
+    carry physical names)."""
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    files_before = {
+        f for f in os.listdir(tdir) if f.endswith(".parquet")
+    }
+    v = deltalite.rename_column(tdir, "v", "label")
+    assert v == 1
+    assert {
+        f for f in os.listdir(tdir) if f.endswith(".parquet")
+    } == files_before
+    assert deltalite.read(spark, tdir).columns == ["k", "label"]
+    assert deltalite.read(spark, tdir, version=0).columns == ["k", "v"]
+    # append with the NEW logical name, then read both files coherently
+    two = spark.createDataFrame([(2, "b")], "k int, label string")
+    deltalite.write(spark, two.coalesce(1), tdir, "append")
+    assert {(r.k, r.label) for r in deltalite.read(spark, tdir).collect()} == {
+        (1, "a"), (2, "b")
+    }
+    # data skipping on the renamed column's stats still works (stats are
+    # keyed by physical name in the log)
+    kept, total = deltalite.scan_file_counts(
+        tdir, skip_filters=[("k", ">=", 2)]
+    )
+    assert (kept, total) == (1, 2)
+
+
+def test_rename_column_guards(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    with pytest.raises(ValueError, match="no column"):
+        deltalite.rename_column(tdir, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        deltalite.rename_column(tdir, "v", "k")
+    deltalite.rename_column(tdir, "v", "label")
+    # schema evolution on a mapped table is documented out-of-subset
+    wide = spark.createDataFrame([(2, "b", 1.0)], "k int, label string, s double")
+    with pytest.raises(ValueError, match="column-mapped"):
+        deltalite.write(spark, wide.coalesce(1), tdir, "append")
+
+
+def test_rename_then_delete_and_merge(spark, tdir):
+    from pyspark.sql import functions as F  # noqa: N812
+
+    deltalite.write(
+        spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), tdir
+    )
+    deltalite.rename_column(tdir, "v", "label")
+    deltalite.delete(spark, tdir, [("k", "=", 2)])
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1, 3}
+    src = spark.createDataFrame([(3, "C"), (4, "d")], "k int, label string")
+    deltalite.merge(spark, src, tdir, ["k"])
+    got = {(r.k, r.label) for r in deltalite.read(spark, tdir).collect()}
+    assert got == {(1, "a"), (3, "C"), (4, "d")}
