@@ -101,6 +101,8 @@ def load_all() -> dict[str, Query]:
         dedup,
         engine_gate,
         deltalite_gate,
+        retrieval,
+        timeseries,
     )
     from dbt_spark_models_spark.operators._graded import DRIVER_GRADED
 

@@ -422,3 +422,121 @@ def text_significant_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFram
             "rk",
         )
     )
+
+
+_GOPHER_STOPS = ("the", "a", "and", "of", "to", "in")
+
+
+@query(
+    "text_gopher_quality_rules",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), feats AS (
+    SELECT doc_id,
+           len(tokens) AS n_words,
+           list_sum(list_transform(tokens, x -> len(x)))
+               / CAST(len(tokens) AS DOUBLE) AS mean_word_len,
+           len(list_filter(tokens,
+               x -> list_contains({list(_GOPHER_STOPS)!r}, x))) AS n_stop,
+           len(list_distinct(tokens)) / CAST(len(tokens) AS DOUBLE)
+               AS distinct_ratio
+    FROM toks
+    WHERE len(tokens) > 0
+), counts AS (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks) u
+    GROUP BY doc_id, tok
+), dom AS (
+    SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_word_share
+    FROM counts GROUP BY doc_id
+)
+SELECT f.doc_id,
+       (f.n_words BETWEEN 20 AND 90) AS word_count_ok,
+       (f.mean_word_len >= 4.0 AND f.mean_word_len <= 10.0)
+           AS mean_word_len_ok,
+       (f.n_stop >= 2) AS stopwords_ok,
+       (f.distinct_ratio >= 0.3) AS distinct_ratio_ok,
+       (d.top_word_share <= 0.12) AS dominance_ok,
+       ((f.n_words BETWEEN 20 AND 90)
+        AND f.mean_word_len >= 4.0 AND f.mean_word_len <= 10.0
+        AND f.n_stop >= 2
+        AND f.distinct_ratio >= 0.3
+        AND d.top_word_share <= 0.12) AS keep
+FROM feats f JOIN dom d USING (doc_id)
+""",
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filtering (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1's heuristics), with
+    thresholds adapted to the synthetic corpus scale (documented: real
+    Gopher uses 50–100k words; this corpus is 10–99-word docs, so the
+    bounds are 20–90 etc. — the RULE STRUCTURE is the point):
+
+    - word count within bounds;
+    - mean word length within [4, 10];
+    - ≥ 2 stopwords (the "has real sentences" proxy);
+    - distinct-token ratio ≥ 0.3 (repetition);
+    - top-token share ≤ 0.12 (single-token dominance).
+
+    All but dominance are row-local column math (zero shuffle at any
+    scale); dominance is one (doc, token) map-side-combined count plus a
+    per-doc max/sum — the same shape as word-count itself. The keep
+    column is the conjunction — the actual filter a pipeline applies."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    n_words = F.size("tokens").cast("long")
+    feats = (
+        d.select("doc_id", toks.alias("tokens"))
+        .filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            "tokens",
+            n_words.alias("n_words"),
+            (
+                F.aggregate(
+                    F.transform("tokens", lambda x: F.length(x).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                / n_words.cast("double")
+            ).alias("mean_word_len"),
+            F.size(
+                F.filter("tokens", lambda x: F.array_contains(stop_arr, x))
+            ).cast("long").alias("n_stop"),
+            (
+                F.size(F.array_distinct("tokens")) / n_words.cast("double")
+            ).alias("distinct_ratio"),
+        )
+    )
+    dom = (
+        feats.select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c") / F.sum("c").cast("double")).alias("top_word_share")
+        )
+    )
+    j = feats.drop("tokens").join(dom, "doc_id")
+    word_ok = F.col("n_words").between(20, 90)
+    mwl_ok = (F.col("mean_word_len") >= 4.0) & (F.col("mean_word_len") <= 10.0)
+    stop_ok = F.col("n_stop") >= 2
+    dr_ok = F.col("distinct_ratio") >= 0.3
+    dom_ok = F.col("top_word_share") <= 0.12
+    return j.select(
+        "doc_id",
+        word_ok.alias("word_count_ok"),
+        mwl_ok.alias("mean_word_len_ok"),
+        stop_ok.alias("stopwords_ok"),
+        dr_ok.alias("distinct_ratio_ok"),
+        dom_ok.alias("dominance_ok"),
+        (word_ok & mwl_ok & stop_ok & dr_ok & dom_ok).alias("keep"),
+    )
