@@ -39,26 +39,33 @@ def query(name: str, oracle: str | None = None):
 
 
 # Module priority for the front of the registry (never-driver-graded
-# queries within these modules are graded first).  Round-4 rotation per
-# VERDICT.md r3 #1/#6: engine lifecycle gates (MERGE/SCD2/erasure/bucketed
-# join — the framework's strongest correctness stories), then the scalar /
-# window / nested / similarity / streaming / funnel / multimodal families.
+# queries within these modules are graded first).  Round-5 rotation per
+# VERDICT.md r4 #5: the 12 red re-grades first (deltalite_gate ×11 +
+# agg_approx_distinct in aggregates), then the families with ZERO driver
+# signal (graph=clustering, multimodal, tokenizer, retrieval), then agg
+# sketches / train+eval (quality) / streaming / funnels / text — breadth
+# of family over count.
 _ROTATION_FRONT = [
     "deltalite_gate",
-    "engine_gate",
-    "scalars",
-    "windows",
-    "nested",
-    "similarity",
+    "clustering",
+    "multimodal",
+    "tokenizer",
+    "retrieval",
+    "aggregates",
+    "quality",
     "streaming_gate",
     "funnels",
-    "multimodal",
-    "grouped_pandas",
+    "text",
+    "curation",
+    "dedup",
+    "contamination",
+    "arrays",
+    "timeseries",
+    "skew",
     "reshape",
     "pysource_gate",
     "udtf_gate",
-    "tokenizer",
-    "skew",
+    "grouped_pandas",
 ]
 
 

@@ -446,7 +446,7 @@ WITH daily AS (
 SELECT n_name,
        CAST(date_trunc('month', day) AS DATE) AS month,
        ROUND(CAST(SUM(day_rev) AS DOUBLE), 2) AS month_rev,
-       SUM(day_orders) AS month_orders,
+       CAST(SUM(day_orders) AS BIGINT) AS month_orders,
        COUNT(*) AS n_active_days
 FROM daily GROUP BY n_name, month
 """,
@@ -525,7 +525,7 @@ SELECT l_returnflag,
                  THEN EXP((bucket + 0.5) * 0.05) END), 4) AS p95_est,
        ROUND(MIN(CASE WHEN cum >= 0.99 * tot
                  THEN EXP((bucket + 0.5) * 0.05) END), 4) AS p99_est,
-       MAX(tot) AS n_rows
+       CAST(MAX(tot) AS BIGINT) AS n_rows
 FROM c
 GROUP BY l_returnflag
 """,

@@ -565,7 +565,8 @@ WITH toks AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS n_bloom_hits,
+       CAST(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_hits,
        ROUND(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) / COUNT(*), 4)
            AS bloom_hit_ratio
 FROM per_gram

@@ -55,8 +55,9 @@ WITH snap AS (
 )
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_price,
-       SUM(o_orderkey) AS key_sum
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+           AS total_price,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
 FROM snap GROUP BY o_orderpriority
 """,
 )
@@ -79,23 +80,28 @@ def sink_deltalite_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap = deltalite.read(spark, path)
     return snap.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
         F.sum("o_orderkey").alias("key_sum"),
-    )
+    ).select("o_orderpriority", "n_orders", "total_price", "key_sum")
 
 
 @query(
     "sink_deltalite_time_travel",
     oracle="""
 WITH v0 AS (
-    SELECT 0 AS version, COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum
+    SELECT 0 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
     FROM orders WHERE o_orderkey % 3 = 0
 ), v1 AS (
-    SELECT 1 AS version, COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
     FROM orders WHERE o_orderkey % 3 IN (0, 1)
 ), v2 AS (
-    SELECT 2 AS version, COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum
+    SELECT 2 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
     FROM orders WHERE o_orderkey % 3 = 2
 )
 SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
@@ -149,8 +155,8 @@ WITH v1 AS (
     FROM v1 WHERE product_id % 10 = 0 AND product_id % 97 <> 3
 ), s0 AS (
     SELECT 0 AS version, COUNT(*) AS n_rows, COUNT(*) AS n_current,
-           0 AS n_closed,
-           CAST(SUM(price) AS DECIMAL(18, 2)) AS price_sum
+           CAST(0 AS BIGINT) AS n_closed,
+           CAST(SUM(price) AS DOUBLE) AS price_sum
     FROM v1
 ), s1 AS (
     SELECT 1 AS version,
@@ -159,7 +165,7 @@ WITH v1 AS (
            (SELECT COUNT(*) FROM v1 WHERE product_id % 97 = 3)
              + (SELECT COUNT(*) FROM upd) AS n_closed,
            CAST((SELECT SUM(price) FROM v1) + (SELECT SUM(price) FROM upd)
-                AS DECIMAL(18, 2)) AS price_sum
+                AS DOUBLE) AS price_sum
 )
 SELECT * FROM s0 UNION ALL SELECT * FROM s1
 """,
@@ -225,7 +231,7 @@ def engine_deltalite_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
                 F.count(
                     F.when(F.col("dbt_valid_to").isNotNull(), 1)
                 ).alias("n_closed"),
-                F.sum("price").cast("decimal(18,2)").alias("price_sum"),
+                F.sum("price").cast("double").alias("price_sum"),
             ).select(F.lit(v).alias("version"), "*")
         )
     return snaps[0].unionByName(snaps[1])
@@ -236,12 +242,19 @@ def engine_deltalite_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 WITH params AS (
     SELECT CAST(CEIL((MAX(o_orderkey) + 1) / 8.0) AS BIGINT) AS w FROM orders
+), buckets AS (
+    -- one committed file per NON-EMPTY key range; a file survives the
+    -- <=cutoff skip filter iff its min key is under the cutoff
+    SELECT o_orderkey // w AS b, MIN(o_orderkey) AS mn
+    FROM orders, params GROUP BY 1
 )
 SELECT COUNT(*) AS n_rows,
-       SUM(o_orderkey) AS key_sum,
-       SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_price,
-       2 AS files_scanned,
-       8 AS files_total
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+           AS total_price,
+       CAST((SELECT COUNT(*) FROM buckets, params WHERE mn <= w + w // 2)
+            AS INT) AS files_scanned,
+       CAST((SELECT COUNT(*) FROM buckets) AS INT) AS files_total
 FROM orders, params
 WHERE o_orderkey <= w + w // 2
 """,
@@ -282,7 +295,9 @@ def sink_deltalite_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").alias("key_sum"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
     ).select(
         "n_rows",
         "key_sum",
@@ -302,10 +317,11 @@ WITH src AS (
     FROM events
 )
 SELECT COUNT(*) AS n_rows,
-       SUM(xk) AS xk_sum,
+       CAST(SUM(xk) AS BIGINT) AS xk_sum,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18, 6))), 2) AS DOUBLE)
            AS value_sum,
-       8 AS files_before,
+       CAST((SELECT COUNT(DISTINCT event_id % 8) FROM events) AS INT)
+           AS files_before,
        4 AS files_after,
        2 AS files_scanned_low_x
 FROM src
@@ -385,7 +401,7 @@ def sink_deltalite_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       SUM(o_orderkey) AS key_sum
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -440,13 +456,20 @@ def streaming_deltalite_source_tail(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
 WITH params AS (
     SELECT CAST(CEIL((MAX(o_custkey) + 1) / 8.0) AS BIGINT) AS w FROM orders
+), buckets AS (
+    -- one committed file per NON-EMPTY key range; a file is rewritten iff
+    -- its stats overlap the delete predicate (min key under the cutoff)
+    SELECT o_custkey // w AS b, MIN(o_custkey) AS mn
+    FROM orders, params GROUP BY 1
 )
 SELECT COUNT(*) AS n_rows,
-       SUM(o_custkey) AS cust_sum,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
            AS total_price,
-       6 AS files_untouched,
-       2 AS files_rewritten
+       CAST((SELECT COUNT(*) FROM buckets, params WHERE mn > w + w // 2)
+            AS INT) AS files_untouched,
+       CAST((SELECT COUNT(*) FROM buckets, params WHERE mn <= w + w // 2)
+            AS INT) AS files_rewritten
 FROM orders, params
 WHERE NOT (o_custkey <= w + w // 2)
 """,
@@ -486,7 +509,7 @@ def engine_deltalite_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFr
     return snap.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_custkey").alias("cust_sum"),
-        F.sum("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+        F.sum("o_totalprice").cast("double").alias("total_price"),
     ).select(
         "n_rows",
         "cust_sum",
@@ -515,7 +538,7 @@ WITH base AS (
 )
 SELECT o_orderkey % 4 AS key_bucket,
        COUNT(*) AS n_rows,
-       CAST(SUM(price) AS DECIMAL(18, 2)) AS total_price
+       CAST(SUM(price) AS DOUBLE) AS total_price
 FROM merged GROUP BY o_orderkey % 4
 """,
 )
@@ -530,9 +553,11 @@ def engine_deltalite_merge_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the log). Oracle recomputes the dbt-spark merge semantics
     (``macros/spark_adapter_patch/create_table.sql:21-38``) from source.
 
-    Scale: this subset rewrites all files per merge; real delta prunes
-    the rewrite to key-range-overlapping files — the commit protocol,
-    which is what's under test, is identical."""
+    Scale: like real delta, the rewrite set is pruned to the files whose
+    key-range stats overlap the source — non-overlapping files keep their
+    bytes untouched (pytest: test_merge_rewrites_only_overlapping_files);
+    here the base slice is key-interleaved so every file overlaps and the
+    full dbt-spark merge semantics are exercised."""
     path = _table_dir(sf_dir, "merge_acid")
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     base = o.select(
@@ -550,7 +575,7 @@ def engine_deltalite_merge_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = deltalite.read(spark, path)
     return final.groupBy((F.col("o_orderkey") % 4).alias("key_bucket")).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("price").cast("decimal(18,2)").alias("total_price"),
+        F.sum("price").cast("double").alias("total_price"),
     )
 
 
@@ -558,10 +583,13 @@ def engine_deltalite_merge_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_deltalite_partition_pruning",
     oracle="""
 SELECT COUNT(*) AS n_rows,
-       SUM(o_orderkey) AS key_sum,
-       SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_price,
-       1 AS files_scanned,
-       3 AS files_total
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+           AS total_price,
+       CAST((SELECT COUNT(DISTINCT o_orderstatus) FROM orders
+             WHERE o_orderstatus = 'F') AS INT) AS files_scanned,
+       CAST((SELECT COUNT(DISTINCT o_orderstatus) FROM orders) AS INT)
+           AS files_total
 FROM orders
 WHERE o_orderstatus = 'F'
 """,
@@ -600,7 +628,9 @@ def sink_deltalite_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     return snap.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").alias("key_sum"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
     ).select(
         "n_rows",
         "key_sum",
@@ -624,8 +654,8 @@ WITH unioned AS (
 )
 SELECT COALESCE(priority_class, '<pre-evolution>') AS priority_class,
        COUNT(*) AS n_rows,
-       SUM(o_orderkey) AS key_sum,
-       SUM(price) AS price_sum,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(price) AS DOUBLE) AS price_sum,
        2 AS cols_v0,
        3 AS cols_v1
 FROM unioned
@@ -669,7 +699,7 @@ def sink_deltalite_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("o_orderkey").alias("key_sum"),
-            F.sum("price").alias("price_sum"),
+            F.sum("price").cast("double").alias("price_sum"),
         )
         .select(
             "priority_class",
@@ -687,8 +717,9 @@ def sink_deltalite_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
 SELECT o_orderpriority AS priority_class,
        COUNT(*) AS n_rows,
-       SUM(o_orderkey) AS key_sum,
-       SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS price_sum,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+           AS price_sum,
        0 AS files_rewritten
 FROM orders
 GROUP BY 1
@@ -722,7 +753,9 @@ def engine_deltalite_column_rename(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("o_orderkey").alias("key_sum"),
-            F.sum(F.col("price").cast("decimal(18,2)")).alias("price_sum"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
         )
         .select(
             "priority_class",

@@ -551,8 +551,10 @@ WITH purchases AS (
 )
 SELECT touch_type,
        COUNT(*) AS n_touches,
-       SUM(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) AS first_touch_wins,
-       SUM(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS last_touch_wins,
+       CAST(SUM(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS first_touch_wins,
+       CAST(SUM(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS last_touch_wins,
        ROUND(SUM(1.0 / n_touches), 4) AS linear_credit
 FROM sized
 GROUP BY touch_type

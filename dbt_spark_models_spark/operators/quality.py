@@ -1001,7 +1001,9 @@ WITH flagged AS (
            CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_a
     FROM events
 ), counts AS (
-    SELECT event_type, SUM(is_a) AS n_a, SUM(1 - is_a) AS n_b
+    SELECT event_type,
+           CAST(SUM(is_a) AS BIGINT) AS n_a,
+           CAST(SUM(1 - is_a) AS BIGINT) AS n_b
     FROM flagged GROUP BY 1
 ), probs AS (
     SELECT event_type, n_a, n_b,
@@ -1076,8 +1078,8 @@ WITH g AS (
     FROM g
 )
 SELECT ROUND(MAX(ABS(cdf_a - cdf_b)), 6) AS ks_d,
-       (SELECT SUM(n_a) FROM g) AS n_a,
-       (SELECT SUM(n_b) FROM g) AS n_b
+       (SELECT CAST(SUM(n_a) AS BIGINT) FROM g) AS n_a,
+       (SELECT CAST(SUM(n_b) AS BIGINT) FROM g) AS n_b
 FROM c
 """,
 )
@@ -1125,8 +1127,10 @@ def eval_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH counts AS (
     SELECT event_type,
-           SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_a,
-           SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS n_b
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_b
     FROM events GROUP BY 1
 ), tot AS (
     SELECT event_type, n_a, n_b,
@@ -1270,7 +1274,8 @@ WITH assign AS (
                     THEN 1 ELSE 0 END) AS converted
     FROM events GROUP BY user_id
 ), arms AS (
-    SELECT arm, COUNT(*) AS n, SUM(converted) AS conv,
+    SELECT arm, COUNT(*) AS n,
+           CAST(SUM(converted) AS BIGINT) AS conv,
            SUM(converted) * 1.0 / COUNT(*) AS rate
     FROM assign GROUP BY arm
 ), wide AS (

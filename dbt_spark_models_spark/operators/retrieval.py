@@ -88,7 +88,7 @@ WITH toks AS (
            ) AS rank
     FROM scored
 )
-SELECT query_id, rank, doc_id, bm25
+SELECT query_id, rank, doc_id, CAST(bm25 AS DOUBLE) AS bm25
 FROM ranked WHERE rank <= {_TOP_K}
 """,
 )
@@ -166,5 +166,11 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("rank") <= _TOP_K).select(
-        "query_id", "rank", "doc_id", "bm25"
+        "query_id",
+        "rank",
+        "doc_id",
+        # rank on the exact DECIMAL, publish as DOUBLE (decimal output
+        # renders as Decimal on the Spark side but float64 through the
+        # driver's DuckDB fetch — a guaranteed hash mismatch)
+        F.col("bm25").cast("double").alias("bm25"),
     )

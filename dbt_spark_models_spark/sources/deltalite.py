@@ -481,6 +481,34 @@ def rename_column(table_path: str, old: str, new: str) -> int:
     return version
 
 
+def _evolved_schema(meta: dict, df: DataFrame) -> StructType:
+    """Validate an append batch against the committed schema and return
+    the (possibly widened) TABLE schema. Existing columns keep their
+    committed type — a batch that retypes one is rejected, like real
+    Delta rejects incompatible appends (a silent retype would narrow the
+    table for every reader). A batch may OMIT existing columns (readers
+    null-fill parquet files that lack them) and may APPEND new ones —
+    additive evolution: one metadata commit, zero file rewrites."""
+    existing = StructType.fromJson(json.loads(meta["schemaString"]))
+    by_name = {f.name: f for f in existing.fields}
+    for f in df.schema.fields:
+        cur = by_name.get(f.name)
+        if cur is not None and cur.dataType != f.dataType:
+            raise ValueError(
+                f"append batch retypes column {f.name!r}: table has "
+                f"{cur.dataType.simpleString()}, batch has "
+                f"{f.dataType.simpleString()}"
+            )
+    from pyspark.sql.types import StructField
+
+    new = [
+        StructField(f.name, f.dataType, True)
+        for f in df.schema.fields
+        if f.name not in by_name
+    ]
+    return StructType(existing.fields + new)
+
+
 def _meta_action(
     df: DataFrame, table_id: str, partition_by: list[str] | None = None
 ) -> dict:
@@ -541,6 +569,18 @@ def write(
             )
         adds = _write_data_files(_to_physical(df, mapping), table_path, partition_by)
         meta_action: dict = {"metaData": meta}
+    elif mode == "append" and versions:
+        # validate BEFORE writing: existing columns keep their committed
+        # type, partitioning is preserved, new columns widen the schema
+        evolved = _evolved_schema(meta, df)
+        adds = _write_data_files(df, table_path, partition_by)
+        meta_action = {
+            "metaData": dict(
+                meta,
+                schemaString=evolved.json(),
+                partitionColumns=list(partition_by or []),
+            )
+        }
     else:
         adds = _write_data_files(df, table_path, partition_by)
         meta_action = _meta_action(df, meta.get("id", uuid.uuid4().hex), partition_by)
@@ -717,44 +757,96 @@ def merge(
     Delta uses for matched files: matched keys update every column,
     unmatched insert (dbt-spark merge semantics,
     ``macros/spark_adapter_patch/create_table.sql:21-38``). The rewrite
-    and the swap land in ONE atomic commit — remove(all prior) +
-    add(rewritten), so readers see pre- or post-merge state, never
+    and the swap land in ONE atomic commit — remove(rewritten files) +
+    add(replacements), so readers see pre- or post-merge state, never
     between. Duplicate-key sources are rejected like delta's MERGE.
 
-    At scale, real delta rewrites only files whose key-range min/max
-    overlap the source (data skipping); this subset rewrites the table —
-    documented, and the COMMIT protocol (the hard part) is identical."""
+    Like ``delete``, the rewrite set is PRUNED by stats: a 1-row probe
+    computes the source's min/max per key column, and only active files
+    whose key-range stats overlap it are read and rewritten — files that
+    provably contain no matched key keep their bytes untouched (at 100 TB
+    a merge aligned with the table's clustering touches the handful of
+    files holding the upserted keys, not the table). The snapshot version
+    is captured ONCE and the commit lands at snapshot+1, so a concurrent
+    commit makes the O_EXCL create raise ConcurrentWriteError (retry on a
+    fresh snapshot) instead of being silently clobbered."""
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError("merge source has duplicate unique_key rows")
-    target = read(spark, table_path)
-    result = target.join(source, on=keys, how="left_anti").unionByName(
-        source.select(*target.columns)
-    )
-    # one commit: remove every prior active file, add the rewrite
     versions = _list_versions(table_path)
-    version = versions[-1] + 1
-    prior, meta = _replay(table_path)
+    snap_version = versions[-1]
+    state = _replay_state(table_path, snap_version)
+    active, meta = state["active"], state["meta"]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns") or None
     mapping = _column_mapping(meta)
-    adds = _write_data_files(
-        _to_physical(result, mapping) if mapping else result, table_path, pcols
+    out_cols = [f.name for f in schema.fields]
+    # conform the source to the COMMITTED schema (column order and types):
+    # the metaData is preserved, so the written files must match it — a
+    # source expression like decimal(18,2)*2 widens to decimal(19,2) and
+    # would otherwise write files the committed schema can't read
+    source = source.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+    # 1-row source key-range probe (driver-side O(1)); a file can hold a
+    # matched key only if, for EVERY key column, its [min,max] intersects
+    # the source's [min,max]
+    rng = source.agg(
+        *[F.min(k).alias(f"mn_{k}") for k in keys],
+        *[F.max(k).alias(f"mx_{k}") for k in keys],
+    ).collect()[0]
+    overlap: list[tuple] | None = []
+    for k in keys:
+        mn, mx = rng[f"mn_{k}"], rng[f"mx_{k}"]
+        if mn is None:
+            overlap = None  # empty source: no file holds a matched key
+            break
+        overlap += [(k, "<=", mx), (k, ">=", mn)]
+    phys_overlap = _translate_filters(overlap, mapping) if overlap else None
+    rewrite = [
+        p
+        for p in sorted(active)
+        if overlap is not None and not _maybe_skip(active[p], phys_overlap)
+    ]
+    adds: list[dict] = []
+    if overlap is not None:  # empty source merges nothing
+        if rewrite:
+            scan_schema = _physical_schema(schema, mapping) if mapping else schema
+            reader = spark.read.schema(scan_schema)
+            if pcols:
+                reader = reader.option("basePath", table_path)
+            target = reader.parquet(
+                *[os.path.join(table_path, p) for p in rewrite]
+            )
+            if mapping:
+                target = target.select(
+                    *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields]
+                )
+            else:
+                target = target.select(*out_cols)
+            result = target.join(source, on=keys, how="left_anti").unionByName(
+                source.select(*out_cols)
+            )
+        else:
+            result = source.select(*out_cols)
+        adds = _write_data_files(
+            _to_physical(result, mapping) if mapping else result,
+            table_path,
+            pcols,
+        )
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {"commitInfo": {"operation": "MERGE", "timestamp": now_ms}},
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {"metaData": meta}
-        if mapping
-        else _meta_action(result, meta.get("id", uuid.uuid4().hex), pcols),
+        {"metaData": meta},
         *(
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
-            for p in prior
+            for p in rewrite
         ),
         *({"add": a} for a in adds),
     ]
-    _commit(table_path, version, actions)
-    return version
+    _commit(table_path, snap_version + 1, actions)
+    return snap_version + 1
 
 
 def txn_append(
@@ -777,20 +869,32 @@ def txn_append(
     re-reads, and then no-ops via the token."""
     os.makedirs(table_path, exist_ok=True)
     versions = _list_versions(table_path)
+    pcols: list[str] | None = None
     if versions:
         state = _replay_state(table_path)
         if state["txns"].get(app_id, -1) >= txn_version:
             return None  # retry of an already-committed micro-batch
         version = versions[-1] + 1
-        meta_id = state["meta"].get("id", uuid.uuid4().hex)
+        meta = state["meta"]
+        pcols = meta.get("partitionColumns") or None
+        if _column_mapping(meta):
+            raise ValueError(
+                "txn_append to a column-mapped table is not supported"
+            )
+        # reuse the TABLE's metaData (validated/widened) — a narrower or
+        # retyped batch must never replace the committed schema, and the
+        # table's partitioning is preserved on the written files
+        meta_action = {
+            "metaData": dict(meta, schemaString=_evolved_schema(meta, df).json())
+        }
     else:
         version = 0
-        meta_id = uuid.uuid4().hex
-    adds = _write_data_files(df, table_path)
+        meta_action = _meta_action(df, uuid.uuid4().hex)
+    adds = _write_data_files(df, table_path, pcols)
     actions: list[dict] = [
         {"commitInfo": {"operation": "STREAMING UPDATE", "timestamp": int(time.time() * 1000)}},
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        _meta_action(df, meta_id),
+        meta_action,
         {"txn": {"appId": app_id, "version": txn_version}},
         *({"add": a} for a in adds),
     ]
@@ -828,7 +932,11 @@ def delete(
         "=": lambda c, v: c == v,
         "==": lambda c, v: c == v,
     }
-    state = _replay_state(table_path)
+    # capture the snapshot version ONCE and commit at snapshot+1 (see
+    # merge: a concurrent commit must fail the O_EXCL create, not be
+    # silently clobbered)
+    snap_version = _list_versions(table_path)[-1]
+    state = _replay_state(table_path, snap_version)
     active, meta = state["active"], state["meta"]
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = _column_mapping(meta)
@@ -859,8 +967,7 @@ def delete(
             kept = _to_physical(kept, mapping)
         adds = _write_data_files(kept, table_path, pcols)
     now_ms = int(time.time() * 1000)
-    versions = _list_versions(table_path)
-    version = versions[-1] + 1
+    version = snap_version + 1
     actions: list[dict] = [
         {"commitInfo": {"operation": "DELETE", "timestamp": now_ms}},
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
@@ -903,14 +1010,19 @@ def optimize(
     output file per partition per coalesced task); Z-order within
     partitions is out of this subset — real OPTIMIZE ZORDER also operates
     per partition."""
-    _, table_meta = _replay(table_path)
-    pcols = table_meta.get("partitionColumns") or None
+    # capture the snapshot version ONCE and commit at snapshot+1: a
+    # concurrent commit landing in between makes the O_EXCL create fail
+    # (ConcurrentWriteError) instead of being silently clobbered
+    versions = _list_versions(table_path)
+    snap_version = versions[-1]
+    prior, meta = _replay(table_path, snap_version)
+    pcols = meta.get("partitionColumns") or None
     if pcols and zorder_by is not None:
         raise ValueError(
             "ZORDER on a hive-partitioned table is not supported; run it "
             "on unpartitioned (or per-partition-exported) tables"
         )
-    snap = read(spark, table_path)
+    snap = read(spark, table_path, version=snap_version)
     if zorder_by is not None:
         x, y = zorder_by
         terms = []
@@ -919,12 +1031,15 @@ def optimize(
             terms.append(f"((((`{y}`) >> {b}) & 1) << {2 * b + 1})")
         z = F.expr(" + ".join(terms))
         width = max(1, (1 << (2 * zorder_bits)) // n_files)
-        # clamp so a non-dividing n_files can't push rows past the loop
-        bucket = F.least((z / width).cast("long"), F.lit(n_files - 1))
+        # clamp so a non-dividing n_files can't push rows past the loop;
+        # NULL cluster keys (z is NULL) route deterministically to bucket
+        # 0 — a layout pass must never drop rows (dataChange=false means
+        # the content is IDENTICAL, not "identical minus NULL keys")
+        bucket = F.coalesce(
+            F.least((z / width).cast("long"), F.lit(n_files - 1)), F.lit(0)
+        )
     else:
         bucket = None
-    versions = _list_versions(table_path)
-    prior, meta = _replay(table_path)
     adds: list[dict] = []
     for i in range(n_files):
         part = (
@@ -946,7 +1061,7 @@ def optimize(
         ),
         *({"add": a} for a in adds),
     ]
-    version = versions[-1] + 1
+    version = snap_version + 1
     _commit(table_path, version, actions)
     return version
 

@@ -493,3 +493,121 @@ def test_rename_then_delete_and_merge(spark, tdir):
     deltalite.merge(spark, src, tdir, ["k"])
     got = {(r.k, r.label) for r in deltalite.read(spark, tdir).collect()}
     assert got == {(1, "a"), (3, "C"), (4, "d")}
+
+
+def test_optimize_zorder_routes_null_keys_to_bucket_zero(spark, tdir):
+    """A layout-only OPTIMIZE must never drop rows: NULL cluster keys
+    (Morton interleave evaluates to NULL) route to bucket 0 instead of
+    falling out of every bucket filter."""
+    rows = [(i, i % 7, (i * 3) % 7) for i in range(40)]
+    rows += [(100, None, 3), (101, 4, None), (102, None, None)]
+    df = spark.createDataFrame(rows, "id int, xk int, yk int")
+    deltalite.write(spark, df.coalesce(2), tdir)
+    deltalite.optimize(spark, tdir, n_files=4, zorder_by=("xk", "yk"))
+    got = deltalite.read(spark, tdir).collect()
+    assert len(got) == 43
+    assert {r.id for r in got if r.xk is None or r.yk is None} == {100, 101, 102}
+
+
+def test_merge_rewrites_only_overlapping_files(spark, tdir):
+    """Stats pruning on MERGE: a file whose key range is disjoint from
+    the source's min/max keeps its bytes — only overlapping files are
+    removed and rewritten."""
+    lo = spark.createDataFrame([(i, "lo") for i in range(1, 11)], "k int, v string")
+    hi = spark.createDataFrame([(i, "hi") for i in range(100, 111)], "k int, v string")
+    deltalite.write(spark, lo.coalesce(1), tdir)
+    deltalite.write(spark, hi.coalesce(1), tdir, "append")
+    before, _ = deltalite._replay(tdir)
+    lo_file = [p for p in before if p in before][0]
+    src = spark.createDataFrame([(105, "UP"), (200, "new")], "k int, v string")
+    deltalite.merge(spark, src.coalesce(1), tdir, ["k"])
+    after, _ = deltalite._replay(tdir)
+    # the low-range file survived untouched; the overlapping high file didn't
+    survivors = set(before) & set(after)
+    assert len(survivors) == 1
+    got = {r.k: r.v for r in deltalite.read(spark, tdir).collect()}
+    assert got[105] == "UP" and got[200] == "new" and got[1] == "lo"
+    assert len(got) == 22
+
+
+def test_merge_insert_only_touches_no_files(spark, tdir):
+    """A source entirely outside every file's key range is pure insert:
+    zero files removed, one commit, all prior bytes untouched."""
+    deltalite.write(
+        spark,
+        spark.createDataFrame([(i, "a") for i in range(10)], "k int, v string").coalesce(1),
+        tdir,
+    )
+    before, _ = deltalite._replay(tdir)
+    src = spark.createDataFrame([(500, "new")], "k int, v string")
+    deltalite.merge(spark, src.coalesce(1), tdir, ["k"])
+    after, _ = deltalite._replay(tdir)
+    assert set(before) <= set(after)  # prior files all survive
+    assert len(deltalite.read(spark, tdir).collect()) == 11
+
+
+def test_merge_concurrent_commit_raises_not_clobbers(spark, tdir, monkeypatch):
+    """A commit landing between MERGE's snapshot and its O_EXCL create
+    must raise ConcurrentWriteError — and the concurrent rows survive."""
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    orig = deltalite._write_data_files
+    state = {"raced": False}
+
+    def sneaky(df, table_path, partition_by=None):
+        adds = orig(df, table_path, partition_by)
+        if not state["raced"]:
+            state["raced"] = True
+            deltalite.write(
+                spark, _df(spark, [(9, "z")]).coalesce(1), tdir, "append"
+            )
+        return adds
+
+    monkeypatch.setattr(deltalite, "_write_data_files", sneaky)
+    with pytest.raises(deltalite.ConcurrentWriteError):
+        deltalite.merge(spark, _df(spark, [(1, "A")]).coalesce(1), tdir, ["k"])
+    monkeypatch.undo()
+    got = {r.k: r.v for r in deltalite.read(spark, tdir).collect()}
+    assert got == {1: "a", 9: "z"}  # the concurrent append was NOT clobbered
+
+
+def test_append_rejects_retyped_column(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    bad = spark.createDataFrame([("one", "b")], "k string, v string")
+    with pytest.raises(ValueError, match="retypes column"):
+        deltalite.write(spark, bad.coalesce(1), tdir, "append")
+    # and the narrower batch did not replace the table schema
+    assert deltalite.read(spark, tdir).columns == ["k", "v"]
+
+
+def test_append_missing_column_null_fills(spark, tdir):
+    """An append batch may omit existing columns (its files simply lack
+    them; reads null-fill) — the table schema must NOT narrow."""
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    narrow = spark.createDataFrame([(2,)], "k int")
+    deltalite.write(spark, narrow.coalesce(1), tdir, "append")
+    got = {r.k: r.v for r in deltalite.read(spark, tdir).collect()}
+    assert got == {1: "a", 2: None}
+    assert deltalite.read(spark, tdir).columns == ["k", "v"]
+
+
+def test_txn_append_preserves_partitioning_and_schema(spark, tdir):
+    """txn_append must reuse the table's metaData: partitionColumns stay
+    (files land in the hive layout) and a narrower batch can't shrink
+    the schema for readers."""
+    df = spark.createDataFrame(
+        [(1, "x", "p1"), (2, "y", "p2")], "k int, v string, part string"
+    )
+    deltalite.write(spark, df.coalesce(1), tdir, partition_by=["part"])
+    out = deltalite.txn_append(
+        spark,
+        spark.createDataFrame([(3, "z", "p1")], "k int, v string, part string"),
+        tdir,
+        "app",
+        0,
+    )
+    assert out is not None
+    _, meta = deltalite._replay(tdir)
+    assert meta.get("partitionColumns") == ["part"]
+    kept, total = deltalite.scan_file_counts(tdir, skip_filters=[("part", "=", "p1")])
+    assert kept == 2 and total == 3  # pruning still works on the appended file
+    assert len(deltalite.read(spark, tdir).collect()) == 3

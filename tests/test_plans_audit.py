@@ -247,6 +247,8 @@ BNLJ_ALLOWED = {
     "train_logreg_quality_weights",  # 1-row GD weight vector per round
     "agg_hll_mergeable_distinct",  # 1-row global exact-count broadcast
     # (error-bound oracle harness joined onto the merged sketch row)
+    "retrieval_bm25_topk",  # 1-row corpus stats (N, avgdl) broadcast —
+    # same class as text_tfidf_top_terms
 }
 
 

@@ -16,10 +16,23 @@ OUT = os.path.join(REPO, "dbt_spark_models_spark", "operators", "_graded.py")
 
 
 def main() -> None:
-    graded: set[str] = set()
+    # GREEN rows only: a failed or errored row must stay at the registry
+    # FRONT so the driver re-grades it next round (r4 lesson: unioning all
+    # keys buried the 11 red DeltaLite rows and agg_approx_distinct).
+    # Later rounds win: a query red in r4 but green in r5 counts as graded.
+    latest: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path) as f:
-            graded |= set(json.load(f))
+            latest.update(json.load(f))
+    graded = {
+        name
+        for name, row in latest.items()
+        if isinstance(row, dict)
+        and row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and not row.get("err")
+    }
     doc = (
         '"""Driver-graded query names (green rows in CORRECTNESS_r*.json).\n'
         "\n"

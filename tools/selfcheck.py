@@ -2,8 +2,18 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 over the same parquet tables, then compares row count, sorted column names,
-and an order-insensitive value comparison (exact for non-floats, 1e-9
-relative tolerance for floats). Usage:
+and an order-insensitive value comparison.
+
+Both result sets are fetched THROUGH PANDAS (``DataFrame.toPandas()`` /
+``duckdb.sql(...).df()``) because that is the driver's fetch path: DuckDB
+HUGEINT (``SUM(BIGINT)``) and DECIMAL coerce to float64 on the way out, so
+an oracle whose sums are not CAST to BIGINT/DOUBLE renders ``15011263.0``
+against Spark's ``15011263`` and hash-fails even on bit-identical values
+(the round-4 incident: 11 red rows, all representation-only).  The compare
+is STRICT about int-vs-float rendering — a mismatch in numeric class is a
+FAIL even when the values are numerically equal, exactly like the driver's
+canonical hash.  Float-vs-float keeps a small tolerance for genuine
+cross-engine double math.  Usage:
 
     python tools/selfcheck.py [sf_dir] [query_name ...]
 """
@@ -16,10 +26,50 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dbt_spark_models_spark.sources.testdata import TABLES, table_path
+
+
+def _py(v):
+    """Canonicalize one fetched value the way the driver renders it.
+
+    Dates and timestamps UNIFY (a DATE and a midnight TIMESTAMP hash the
+    same — driver-green rows with DATE outputs prove it: DuckDB DATE
+    becomes datetime64 through pandas while Spark keeps datetime.date,
+    yet they match); int and float do NOT unify (the r4 HUGEINT/DECIMAL
+    incident proves that)."""
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    import datetime as _dt
+
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return _dt.datetime.combine(v, _dt.time())
+    if isinstance(v, np.ndarray):
+        return [_py(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_py(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _py(x) for k, x in sorted(v.items())}
+    if hasattr(v, "asDict"):  # pyspark Row struct inside an object column
+        return {k: _py(x) for k, x in sorted(v.asDict().items())}
+    return v
+
+
+def _fetch(pdf: pd.DataFrame):
+    cols = [str(c) for c in pdf.columns]
+    rows = [
+        tuple(_py(v) for v in rec)
+        for rec in pdf.itertuples(index=False, name=None)
+    ]
+    return cols, rows
 
 
 def _normalize(rows, cols):
@@ -39,6 +89,20 @@ def _normalize(rows, cols):
     return sorted(out)
 
 
+def _num_class(s: str):
+    """'int' / 'float' / None for the repr of a cell value."""
+    try:
+        int(s)
+        return "int"
+    except ValueError:
+        pass
+    try:
+        float(s)
+        return "float"
+    except ValueError:
+        return None
+
+
 def _values_close(a: str, b: str) -> bool:
     if a == b:
         return True
@@ -48,11 +112,17 @@ def _values_close(a: str, b: str) -> bool:
     for x, y in zip(pa, pb):
         if x == y:
             continue
-        try:
-            fx, fy = float(x), float(y)
-        except ValueError:
+        cx, cy = _num_class(x), _num_class(y)
+        if cx is None or cy is None:
             return False
-        if not math.isclose(fx, fy, rel_tol=1e-6, abs_tol=1e-6):
+        if cx != cy:
+            # int-vs-float rendering mismatch: the driver's canonical hash
+            # diverges here even when the values are numerically equal
+            # (HUGEINT/DECIMAL float64 coercion) — strict fail.
+            return False
+        if cx == "int":
+            return False
+        if not math.isclose(float(x), float(y), rel_tol=1e-6, abs_tol=1e-6):
             return False
     return True
 
@@ -84,8 +154,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = sdf.collect()
+            scols, srows = _fetch(sdf.toPandas())
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -97,9 +166,7 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
+            dcols, drows = _fetch(con.sql(oracles[name]).df())
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -111,7 +178,7 @@ def main() -> int:
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
         if not problems:
-            sn = _normalize([tuple(r) for r in srows], scols)
+            sn = _normalize(srows, scols)
             dn = _normalize(drows, dcols)
             n_bad = sum(
                 1 for x, y in zip(sn, dn) if not _values_close(x, y)
