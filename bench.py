@@ -122,6 +122,9 @@ HEADLINE = [
     "eval_embedding_drift",
     "eval_ab_proportion_ztest",
     "sample_neyman_allocation",
+    # round-5: BM25 retrieval (inverted-index build + broadcast query
+    # terms — plan-bound; the postings shuffle dominates at scale)
+    "retrieval_bm25_topk",
 ]
 
 

@@ -765,3 +765,85 @@ def engine_deltalite_column_rename(spark: SparkSession, sf_dir: str) -> DataFram
             F.lit(rewritten).cast("int").alias("files_rewritten"),
         )
     )
+
+
+@query(
+    "engine_deltalite_merge_pruned",
+    oracle="""
+WITH params AS (
+    SELECT CAST(CEIL((MAX(o_orderkey) + 1) / 8.0) AS BIGINT) AS w FROM orders
+), buckets AS (
+    -- one committed file per NON-EMPTY key range; a file is rewritten by
+    -- the merge iff its key range intersects the source's [min, max]
+    SELECT o_orderkey // w AS b,
+           MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+    FROM orders, params GROUP BY 1
+), srng AS (
+    SELECT MIN(o_orderkey) AS smn, MAX(o_orderkey) AS smx
+    FROM orders, params
+    WHERE o_orderkey >= w AND o_orderkey <= w + w // 2
+), merged AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey >= w AND o_orderkey <= w + w // 2
+                THEN CAST(o_totalprice AS DECIMAL(18, 2)) * 2
+                ELSE CAST(o_totalprice AS DECIMAL(18, 2)) END AS price
+    FROM orders, params
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(price) AS DOUBLE) AS total_price,
+       CAST((SELECT COUNT(*) FROM buckets, srng
+             WHERE NOT (mn <= smx AND mx >= smn)) AS INT) AS files_untouched,
+       CAST((SELECT COUNT(*) FROM buckets, srng
+             WHERE mn <= smx AND mx >= smn) AS INT) AS files_rewritten
+FROM merged
+""",
+)
+def engine_deltalite_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned MERGE — the companion evidence gate to
+    ``engine_deltalite_targeted_delete``: orders land as 8 single-file
+    commits with disjoint o_orderkey ranges, then ONE merge commit
+    upserts a source that doubles the price of every key in
+    [w, w + w/2]. Only the files whose key-range stats overlap the
+    source's 1-row min/max probe are removed and rewritten; the published
+    files_untouched/files_rewritten columns (computed from the active
+    file set before/after) prove the other files' bytes never moved, and
+    the post-merge aggregate must equal the oracle's recomputation.
+
+    Scale: rewrite cost ∝ files containing upserted keys, not table size
+    — the property that makes continuous upsert ingestion viable on a
+    clustered 100 TB table (real delta prunes matched files identically).
+    Cites the dbt-spark merge semantics the reference snapshots rely on
+    (``macros/spark_adapter_patch/create_table.sql:21-38``)."""
+    path = _table_dir(sf_dir, "merge_pruned")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]  # 1-row probe
+    w = (mx + 8) // 8
+    for i in range(8):
+        part = o.filter(
+            (F.col("o_orderkey") >= i * w) & (F.col("o_orderkey") < (i + 1) * w)
+        ).coalesce(1)
+        deltalite.write(spark, part, path, "overwrite" if i == 0 else "append")
+    src = o.filter(
+        (F.col("o_orderkey") >= w) & (F.col("o_orderkey") <= w + w // 2)
+    ).withColumn("price", (F.col("price") * 2).cast("decimal(18,2)"))
+    before = set(deltalite._replay(path)[0])
+    deltalite.merge(spark, src.coalesce(1), path, ["o_orderkey"])
+    after = set(deltalite._replay(path)[0])
+    untouched = len(before & after)
+    rewritten = len(before - after)
+    snap = deltalite.read(spark, path)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum("price").cast("double").alias("total_price"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        "total_price",
+        F.lit(untouched).cast("int").alias("files_untouched"),
+        F.lit(rewritten).cast("int").alias("files_rewritten"),
+    )
