@@ -847,3 +847,91 @@ def engine_deltalite_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(untouched).cast("int").alias("files_untouched"),
         F.lit(rewritten).cast("int").alias("files_rewritten"),
     )
+
+
+@query(
+    "sink_deltalite_change_feed",
+    oracle="""
+WITH params AS (
+    SELECT MAX(o_orderkey) // 2 AS cutoff FROM orders
+), base AS (
+    SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18, 2)) AS price
+    FROM orders
+), b AS (
+    SELECT * FROM base WHERE k % 3 = 1
+), upd_pre AS (
+    SELECT * FROM base WHERE k % 6 = 0
+), upd_post AS (
+    SELECT k, CAST(price * 2 AS DECIMAL(18, 2)) AS price
+    FROM base WHERE k % 6 = 0
+), ins AS (
+    SELECT k, CAST(price * 2 AS DECIMAL(18, 2)) AS price
+    FROM base WHERE k % 6 = 2
+), state3 AS (
+    SELECT k, price FROM base WHERE k % 3 = 0 AND k % 6 <> 0
+    UNION ALL SELECT * FROM upd_post
+    UNION ALL SELECT * FROM b
+    UNION ALL SELECT * FROM ins
+), del AS (
+    SELECT s.k, s.price FROM state3 s, params WHERE s.k <= cutoff
+), feed AS (
+    SELECT 1 AS commit_version, 'insert' AS change_type, k, price FROM b
+    UNION ALL SELECT 2, 'update_preimage', k, price FROM upd_pre
+    UNION ALL SELECT 2, 'update_postimage', k, price FROM upd_post
+    UNION ALL SELECT 2, 'insert', k, price FROM ins
+    UNION ALL SELECT 3, 'delete', k, price FROM del
+)
+SELECT commit_version, change_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       CAST(SUM(price) AS DOUBLE) AS price_sum
+FROM feed GROUP BY 1, 2
+""",
+)
+def sink_deltalite_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed (spec: ``cdc`` actions + ``_change_data/``
+    files): the table lives through create(v0) / append(v1) /
+    MERGE(v2: every (k%6==0)th key repriced ×2, every (k%6==2)th
+    inserted) / targeted DELETE(v3: keys under the median), and
+    ``read_changes(1, 3)`` must reproduce EXACTLY the per-commit row
+    changes — appends as derived inserts, the merge via its CDC files
+    (updated keys twice: update_preimage at the old price and
+    update_postimage at the new — the carried-over rows of the rewritten
+    files must NOT leak into the feed), the delete via its CDC file of
+    exactly the deleted rows. The oracle recomputes all five
+    (commit, change_type) groups from source.
+
+    Scale: CDF is the incremental-consumption primitive — a downstream
+    consumer updates from |changed rows| per commit instead of diffing
+    two 100 TB snapshots; per-commit file lists come from the log
+    (metadata-only), CDC files are written once by the DML that already
+    scanned those rows. Reference parity: delta's
+    table_changes()/readChangeFeed surface (file_format='delta' ×197)."""
+    path = _table_dir(sf_dir, "change_feed")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    deltalite.write(spark, base.filter(F.col("k") % 3 == 0).coalesce(2), path)
+    deltalite.write(
+        spark, base.filter(F.col("k") % 3 == 1).coalesce(2), path, "append"
+    )
+    src = base.filter((F.col("k") % 6).isin(0, 2)).withColumn(
+        "price", (F.col("price") * 2).cast("decimal(18,2)")
+    )
+    deltalite.merge(spark, src.coalesce(2), path, ["k"])
+    cutoff = base.agg(F.max("k")).collect()[0][0] // 2  # 1-row probe
+    deltalite.delete(spark, path, [("k", "<=", cutoff)])
+    feed = deltalite.read_changes(spark, path, 1, 3)
+    return (
+        feed.groupBy(
+            F.col(deltalite.COMMIT_VERSION_COL).alias("commit_version"),
+            F.col(deltalite.CHANGE_TYPE_COL).alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("key_sum"),
+            F.sum("price").cast("double").alias("price_sum"),
+        )
+    )

@@ -752,6 +752,7 @@ def merge(
     source: DataFrame,
     table_path: str,
     keys: list[str],
+    change_feed: bool = True,
 ) -> int:
     """MERGE by copy-on-write rewrite, the parquet-table strategy real
     Delta uses for matched files: matched keys update every column,
@@ -809,6 +810,7 @@ def merge(
         if overlap is not None and not _maybe_skip(active[p], phys_overlap)
     ]
     adds: list[dict] = []
+    cdc_adds: list[dict] = []
     if overlap is not None:  # empty source merges nothing
         if rewrite:
             scan_schema = _physical_schema(schema, mapping) if mapping else schema
@@ -834,6 +836,30 @@ def merge(
             table_path,
             pcols,
         )
+        if change_feed:
+            # spec CDC: update rows appear twice (pre- and post-image),
+            # pure inserts once; only the rewrite files + source are
+            # scanned (real delta gates this on
+            # delta.enableChangeDataFeed — pass change_feed=False to skip)
+            if rewrite:
+                key_set = target.select(*keys)
+                changes = (
+                    target.join(source.select(*keys), on=keys, how="left_semi")
+                    .withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+                    .unionByName(
+                        source.join(key_set, on=keys, how="left_semi")
+                        .withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+                    )
+                    .unionByName(
+                        source.join(key_set, on=keys, how="left_anti")
+                        .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+                    )
+                )
+            else:
+                changes = source.select(*out_cols).withColumn(
+                    CHANGE_TYPE_COL, F.lit("insert")
+                )
+            cdc_adds = _write_cdc_files(changes, table_path)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {"commitInfo": {"operation": "MERGE", "timestamp": now_ms}},
@@ -844,6 +870,7 @@ def merge(
             for p in rewrite
         ),
         *({"add": a} for a in adds),
+        *({"cdc": c} for c in cdc_adds),
     ]
     _commit(table_path, snap_version + 1, actions)
     return snap_version + 1
@@ -906,6 +933,7 @@ def delete(
     spark: SparkSession,
     table_path: str,
     filters: list[tuple],
+    change_feed: bool = True,
 ) -> tuple[int, int, int]:
     """Targeted copy-on-write DELETE: remove every row matching ALL
     ``filters`` (the same (column, op, literal) triples data skipping
@@ -946,6 +974,7 @@ def delete(
         (untouched if _maybe_skip(active[p], phys_filters) else rewrite).append(p)
     pcols = meta.get("partitionColumns") or None
     adds: list[dict] = []
+    cdc_adds: list[dict] = []
     if rewrite:
         scan_schema = _physical_schema(schema, mapping) if mapping else schema
         reader = spark.read.schema(scan_schema)
@@ -963,6 +992,12 @@ def delete(
             match = match & _OPS[op](F.col(col), F.lit(lit))
         # NULL predicate = row does NOT match = row is KEPT (SQL DELETE)
         kept = df.filter(F.coalesce(~match, F.lit(True)))
+        if change_feed:
+            deleted = df.filter(F.coalesce(match, F.lit(False)))
+            cdc_adds = _write_cdc_files(
+                deleted.withColumn(CHANGE_TYPE_COL, F.lit("delete")),
+                table_path,
+            )
         if mapping:
             kept = _to_physical(kept, mapping)
         adds = _write_data_files(kept, table_path, pcols)
@@ -977,6 +1012,7 @@ def delete(
             for p in rewrite
         ),
         *({"add": a} for a in adds),
+        *({"cdc": c} for c in cdc_adds),
     ]
     _commit(table_path, version, actions)
     return version, len(untouched), len(rewrite)
@@ -1082,18 +1118,27 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
     deterministic)."""
     versions = _list_versions(table_path)
     referenced: set[str] = set()
-    if retain_versions is None:
-        for v in versions:
-            with open(_version_file(table_path, v)) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    if "add" in action:
-                        referenced.add(action["add"]["path"])
-    else:
-        horizon = versions[-1] - retain_versions if versions else -1
+    horizon = (
+        -1
+        if retain_versions is None
+        else (versions[-1] - retain_versions if versions else -1)
+    )
+    for v in versions:
+        with open(_version_file(table_path, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action and retain_versions is None:
+                    referenced.add(action["add"]["path"])
+                # CDC files belong to their commit: keep them while the
+                # commit is inside the retention window (read_changes
+                # from an older start raises on the missing file, the
+                # same trade as time travel past the horizon)
+                if "cdc" in action and v >= horizon:
+                    referenced.add(action["cdc"]["path"])
+    if retain_versions is not None:
         for v in versions:
             if v >= horizon:
                 referenced.update(_replay(table_path, v)[0])
@@ -1114,3 +1159,206 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
                 os.remove(os.path.join(dirpath, f))
                 removed.append(rel)
     return sorted(removed)
+
+
+# --------------------------------------------------------------------------
+# Change Data Feed (spec: ``cdc`` actions + ``_change_data/`` files) and
+# RESTORE — the incremental-consumption half of the protocol.
+
+_CDC_DIR = "_change_data"
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
+
+def _write_cdc_files(df: DataFrame, table_path: str) -> list[dict]:
+    """Write change rows (data columns + ``_change_type``) as parquet
+    under ``_change_data/`` and return the ``cdc`` action payloads. CDC
+    files are NOT part of any snapshot (``_apply_action`` ignores the
+    action), so they carry ``dataChange: false`` per the spec."""
+    staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    cdir = os.path.join(table_path, _CDC_DIR)
+    os.makedirs(cdir, exist_ok=True)
+    out: list[dict] = []
+    for f in os.listdir(staging):
+        if not f.endswith(".parquet"):
+            continue
+        unique = f"cdc-{uuid.uuid4().hex}.parquet"
+        dest = os.path.join(cdir, unique)
+        os.rename(os.path.join(staging, f), dest)
+        stats = _file_stats(dest)
+        if stats is not None and stats["numRecords"] == 0:
+            os.remove(dest)  # empty part files are never committed
+            continue
+        out.append(
+            {
+                "path": f"{_CDC_DIR}/{unique}",
+                "partitionValues": {},
+                "size": os.path.getsize(dest),
+                "dataChange": False,
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def _commit_actions(table_path: str, version: int) -> list[dict]:
+    with open(_version_file(table_path, version)) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _scan_files(
+    spark: SparkSession, table_path: str, meta: dict, rel_paths: list[str]
+) -> DataFrame:
+    """Read an explicit data-file list under the committed (logical)
+    schema: physical→logical column-mapping alias, hive partition-column
+    reconstruction, and null-fill for files predating newer columns —
+    the same semantics as ``read`` but for an arbitrary file set."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta)
+    scan_schema = _physical_schema(schema, mapping) if mapping else schema
+    reader = spark.read.schema(scan_schema)
+    if meta.get("partitionColumns"):
+        reader = reader.option("basePath", table_path)
+    df = reader.parquet(*[os.path.join(table_path, p) for p in rel_paths])
+    if mapping:
+        return df.select(
+            *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields]
+        )
+    return df.select(*[f.name for f in schema.fields])
+
+
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed read over [starting_version, ending_version]:
+    every row change each commit made, with ``_change_type`` in
+    {insert, delete, update_preimage, update_postimage} and
+    ``_commit_version`` — the table_changes() surface real Delta exposes.
+
+    Per commit, exactly like the spec's reader contract:
+    - a commit carrying ``cdc`` actions (MERGE/DELETE write them) is
+      represented ONLY by its ``_change_data`` files, which already carry
+      ``_change_type`` (update rows appear twice: pre- and post-image);
+    - otherwise dataChange ``remove`` actions surface the removed files'
+      rows as ``delete`` and dataChange ``add`` actions the added files'
+      rows as ``insert`` (blind appends and overwrites need no CDC
+      files — the adds/removes ARE the change);
+    - dataChange=false commits (OPTIMIZE) contribute nothing.
+
+    Scale: this is the incremental-consumption primitive — a downstream
+    aggregate updates from |changed rows| per commit instead of
+    re-diffing two 100 TB snapshots; the per-commit file lists come from
+    the log (metadata), and each list is scanned as plain parquet."""
+    versions = _list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no DeltaLite log at {table_path}")
+    ending = versions[-1] if ending_version is None else ending_version
+    frames: list[DataFrame] = []
+    meta_now = _replay_state(table_path, ending)["meta"]
+    for v in versions:
+        if v < starting_version or v > ending:
+            continue
+        actions = _commit_actions(table_path, v)
+        meta_v = next(
+            (a["metaData"] for a in actions if "metaData" in a), None
+        ) or _replay_state(table_path, v)["meta"]
+        cdc = [a["cdc"] for a in actions if "cdc" in a]
+        if cdc:
+            schema = StructType.fromJson(json.loads(meta_v["schemaString"]))
+            from pyspark.sql.types import StringType, StructField
+
+            cdc_schema = StructType(
+                schema.fields + [StructField(CHANGE_TYPE_COL, StringType(), True)]
+            )
+            df = spark.read.schema(cdc_schema).parquet(
+                *[os.path.join(table_path, c["path"]) for c in cdc]
+            )
+            frames.append(df.withColumn(COMMIT_VERSION_COL, F.lit(v)))
+            continue
+        removes = [
+            a["remove"]["path"]
+            for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        adds = [
+            a["add"]["path"]
+            for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        if removes:
+            frames.append(
+                _scan_files(spark, table_path, meta_v, removes)
+                .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+                .withColumn(COMMIT_VERSION_COL, F.lit(v))
+            )
+        if adds:
+            frames.append(
+                _scan_files(spark, table_path, meta_v, adds)
+                .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+                .withColumn(COMMIT_VERSION_COL, F.lit(v))
+            )
+    if not frames:
+        from pyspark.sql.types import IntegerType, StringType, StructField
+
+        schema = StructType.fromJson(json.loads(meta_now["schemaString"]))
+        empty = StructType(
+            schema.fields
+            + [
+                StructField(CHANGE_TYPE_COL, StringType(), True),
+                StructField(COMMIT_VERSION_COL, IntegerType(), True),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def restore(spark: SparkSession, table_path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — one commit whose adds/removes
+    turn the active set back into ``version``'s (re-adding each old file
+    with its ORIGINAL add payload, stats included) and whose metaData is
+    the old schema. History is preserved: the restore is itself a new
+    version, every intermediate snapshot stays time-travelable, and its
+    adds/removes carry dataChange=true so the change feed surfaces the
+    rollback as deletes+inserts. Raises FileNotFoundError when VACUUM has
+    already dropped a required old file (the same failure mode real
+    RESTORE documents).
+
+    Scale: pure metadata — no data file is read, copied, or rewritten."""
+    versions = _list_versions(table_path)
+    snap_version = versions[-1]
+    cur = _replay_state(table_path, snap_version)
+    old = _replay_state(table_path, version)
+    missing = [
+        p
+        for p in old["active"]
+        if not os.path.exists(os.path.join(table_path, p))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: {len(missing)} data "
+            f"file(s) were vacuumed (first: {missing[0]})"
+        )
+    now_ms = int(time.time() * 1000)
+    removes = [p for p in sorted(cur["active"]) if p not in old["active"]]
+    adds = [
+        old["active"][p] for p in sorted(old["active"]) if p not in cur["active"]
+    ]
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "RESTORE", "timestamp": now_ms}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": old["meta"]},
+        *(
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+            for p in removes
+        ),
+        *({"add": dict(a, dataChange=True)} for a in adds),
+    ]
+    _commit(table_path, snap_version + 1, actions)
+    return snap_version + 1

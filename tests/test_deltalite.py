@@ -611,3 +611,94 @@ def test_txn_append_preserves_partitioning_and_schema(spark, tdir):
     kept, total = deltalite.scan_file_counts(tdir, skip_filters=[("part", "=", "p1")])
     assert kept == 2 and total == 3  # pruning still works on the appended file
     assert len(deltalite.read(spark, tdir).collect()) == 3
+
+
+def _changes(spark, tdir, start=0, end=None):
+    rows = deltalite.read_changes(spark, tdir, start, end).collect()
+    return sorted(
+        (r._commit_version, r._change_type, r.k, r.v) for r in rows
+    )
+
+
+def test_change_feed_append_overwrite_optimize(spark, tdir):
+    """Blind appends surface as inserts, overwrite as deletes+inserts —
+    derived from the adds/removes, no CDC files needed; dataChange=false
+    OPTIMIZE contributes nothing to the feed."""
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    deltalite.write(spark, _df(spark, [(2, "b")]).coalesce(1), tdir, "append")
+    deltalite.optimize(spark, tdir, n_files=1)
+    deltalite.write(spark, _df(spark, [(3, "c")]).coalesce(1), tdir, "overwrite")
+    got = _changes(spark, tdir)
+    assert got == [
+        (0, "insert", 1, "a"),
+        (1, "insert", 2, "b"),
+        (3, "delete", 1, "a"),
+        (3, "delete", 2, "b"),
+        (3, "insert", 3, "c"),
+    ]
+    # a bounded window sees only its commits
+    assert _changes(spark, tdir, 1, 1) == [(1, "insert", 2, "b")]
+
+
+def test_change_feed_merge_pre_post_images(spark, tdir):
+    """MERGE commits are represented ONLY by their CDC files: updated
+    rows appear twice (update_preimage with the old values,
+    update_postimage with the new), pure inserts once — and the
+    carried-over unmatched rows do NOT appear, even though the
+    copy-on-write rewrite rewrote their file."""
+    deltalite.write(spark, _df(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
+    deltalite.merge(spark, _df(spark, [(2, "B"), (3, "c")]).coalesce(1), tdir, ["k"])
+    got = _changes(spark, tdir, 1, 1)
+    assert got == [
+        (1, "insert", 3, "c"),
+        (1, "update_postimage", 2, "B"),
+        (1, "update_preimage", 2, "b"),
+    ]
+
+
+def test_change_feed_delete_rows_only(spark, tdir):
+    """DELETE's CDC carries exactly the deleted rows — kept rows in the
+    rewritten file stay out of the feed."""
+    deltalite.write(
+        spark, _df(spark, [(1, "a"), (5, "e"), (9, "i")]).coalesce(1), tdir
+    )
+    deltalite.delete(spark, tdir, [("k", "<=", 5)])
+    assert _changes(spark, tdir, 1, 1) == [
+        (1, "delete", 1, "a"),
+        (1, "delete", 5, "e"),
+    ]
+
+
+def test_change_feed_survives_default_vacuum(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
+    deltalite.delete(spark, tdir, [("k", "=", 1)])
+    removed = deltalite.vacuum(tdir)
+    assert removed == []  # cdc files are referenced, not garbage
+    assert _changes(spark, tdir, 1, 1) == [(1, "delete", 1, "a")]
+
+
+def test_restore_rolls_back_metadata_only(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    deltalite.write(spark, _df(spark, [(2, "b")]).coalesce(1), tdir, "append")
+    deltalite.write(spark, _df(spark, [(9, "z")]).coalesce(1), tdir, "overwrite")
+    v = deltalite.restore(spark, tdir, 1)
+    assert v == 3
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1, 2}
+    # history preserved: the overwritten state stays time-travelable
+    assert {r.k for r in deltalite.read(spark, tdir, version=2).collect()} == {9}
+    # and the rollback itself is visible in the change feed
+    got = _changes(spark, tdir, 3, 3)
+    assert got == [
+        (3, "delete", 9, "z"),
+        (3, "insert", 1, "a"),
+        (3, "insert", 2, "b"),
+    ]
+
+
+def test_restore_after_vacuum_raises(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    deltalite.write(spark, _df(spark, [(2, "b")]).coalesce(1), tdir, "overwrite")
+    deltalite.write(spark, _df(spark, [(3, "c")]).coalesce(1), tdir, "overwrite")
+    deltalite.vacuum(tdir, retain_versions=0)  # drops v0/v1-only files
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        deltalite.restore(spark, tdir, 0)
