@@ -1023,3 +1023,103 @@ def engine_deltalite_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> Da
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+@query(
+    "streaming_deltalite_cdf_tail",
+    oracle="""
+WITH params AS (
+    SELECT MAX(o_orderkey) // 2 AS cutoff FROM orders
+), base AS (
+    SELECT o_orderkey AS k, o_orderpriority AS pri,
+           CAST(o_totalprice AS DECIMAL(18, 2)) AS price
+    FROM orders
+), state3 AS (
+    SELECT k, pri, price FROM (
+        SELECT k, pri, price FROM base WHERE k % 3 = 0 AND k % 6 <> 0
+        UNION ALL
+        SELECT k, pri, CAST(price * 2 AS DECIMAL(18, 2)) FROM base
+        WHERE k % 6 = 0
+        UNION ALL
+        SELECT k, pri, price FROM base WHERE k % 3 = 1
+        UNION ALL
+        SELECT k, pri, CAST(price * 2 AS DECIMAL(18, 2)) FROM base
+        WHERE k % 6 = 2
+    ) s, params WHERE s.k > cutoff
+)
+SELECT pri,
+       COUNT(*) AS n_orders,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       CAST(SUM(price) AS DOUBLE) AS price_sum
+FROM state3 GROUP BY pri
+""",
+)
+def streaming_deltalite_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Change Data Feed (Delta's ``readChangeFeed`` as a
+    Structured-Streaming source, ``.option("changeFeed", "true")``): the
+    table lives through create / append / MERGE / targeted DELETE, and
+    the streamed feed — cdc files for the DML commits, derived inserts
+    for the appends, ``_change_type``/``_commit_version`` appended — is
+    folded into a signed per-priority aggregate (+1 insert/postimage,
+    −1 delete/preimage). Telescoping from the empty state, the streamed
+    aggregate must equal the oracle's direct aggregate of the FINAL
+    table, which proves every change surfaced exactly once with the
+    right polarity THROUGH the streaming offsets path.
+
+    This is what the plain streaming source cannot do (it raises on
+    rewriting commits): with CDF a downstream streaming consumer follows
+    a table through upserts and deletes. Scale: per micro-batch work ∝
+    changed rows in the commit window; the documented production variant
+    is the partitioned reader (one InputPartition per change file)."""
+    from dbt_spark_models_spark.sources.deltalite_stream import (
+        DeltaLiteStreamSource,
+    )
+    from dbt_spark_models_spark.streaming.pipelines import _run_to_memory
+
+    path = _table_dir(sf_dir, "stream_cdf")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    deltalite.write(spark, base.filter(F.col("k") % 3 == 0).coalesce(2), path)
+    deltalite.write(
+        spark, base.filter(F.col("k") % 3 == 1).coalesce(2), path, "append"
+    )
+    src = base.filter((F.col("k") % 6).isin(0, 2)).withColumn(
+        "price", (F.col("price") * 2).cast("decimal(18,2)")
+    )
+    deltalite.merge(spark, src.coalesce(2), path, ["k"])
+    cutoff = base.agg(F.max("k")).collect()[0][0] // 2  # 1-row probe
+    deltalite.delete(spark, path, [("k", "<=", cutoff)])
+    try:
+        spark.dataSource.register(DeltaLiteStreamSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    stream = (
+        spark.readStream.format("deltalite_stream")
+        .option("path", path)
+        .option("changeFeed", "true")
+        .load()
+    )
+    signed = stream.select(
+        "pri",
+        "k",
+        "price",
+        F.when(
+            F.col(deltalite.CHANGE_TYPE_COL).isin("insert", "update_postimage"),
+            1,
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    agg = (
+        signed.groupBy("pri")
+        .agg(
+            F.sum("sign").alias("n_orders"),
+            F.sum(F.col("k") * F.col("sign")).alias("key_sum"),
+            F.sum(F.col("price") * F.col("sign")).cast("double").alias("price_sum"),
+        )
+    )
+    return _run_to_memory(agg, "complete").filter(F.col("n_orders") > 0)

@@ -18,8 +18,14 @@ log versions, so:
 Contract: append-style commits only (the default contract of Delta's own
 streaming source). A commit that REMOVES files with ``dataChange: true``
 (overwrite/merge/delete) raises, because emitted rows can't be retracted
-from a stream — the caller opts into CDC semantics by handling those
-upstream.
+from a stream — unless the caller opts into CDC semantics with
+``.option("changeFeed", "true")`` (Delta's ``readChangeFeed``): then every
+commit streams its CHANGES — ``_change_data`` files where the commit wrote
+them (MERGE/DELETE pre/post-images and deletes), derived inserts/deletes
+from dataChange adds/removes otherwise — with ``_change_type`` and
+``_commit_version`` columns appended, and a downstream signed aggregate
+can maintain exact state through rewrites (see
+``streaming_deltalite_cdf_tail``).
 
 Scale: this ``SimpleDataSourceStreamReader`` reads add-files on the
 driver — right for metadata-rate tails and the gate scale. The
@@ -49,9 +55,18 @@ class DeltaLiteStreamSource(DataSource):
 
     def schema(self):
         state = deltalite._replay_state(self.options["path"])
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-        return StructType.fromJson(json.loads(state["meta"]["schemaString"]))
+        base = StructType.fromJson(json.loads(state["meta"]["schemaString"]))
+        if self.options.get("changeFeed", "false").lower() == "true":
+            return StructType(
+                base.fields
+                + [
+                    StructField(deltalite.CHANGE_TYPE_COL, StringType(), True),
+                    StructField(deltalite.COMMIT_VERSION_COL, IntegerType(), True),
+                ]
+            )
+        return base
 
     def simpleStreamReader(self, schema) -> "DeltaLiteStreamReader":
         return DeltaLiteStreamReader(self.options)
@@ -63,6 +78,7 @@ class DeltaLiteStreamSource(DataSource):
 class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
+        self.change_feed = options.get("changeFeed", "false").lower() == "true"
 
     def initialOffset(self) -> dict:
         return {"version": -1}  # start of log: replay everything
@@ -125,17 +141,103 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
                         out.append(cols.get(mapping.get(name, name), [None] * n))
                 yield from (tuple(r) for r in zip(*out))
 
+    def _file_rows(self, rel_path: str, fields, pcols, mapping):
+        """One data file's rows in logical-schema order: physical-name
+        mapping, null-fill for pre-evolution files, partition columns
+        re-derived from the hive path segments."""
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(os.path.join(self.path, rel_path))
+        cols = {c: table.column(c).to_pylist() for c in table.column_names}
+        n = table.num_rows
+        pv: dict[str, str | None] = {}
+        for seg in rel_path.split("/")[:-1]:
+            if "=" in seg:
+                k, v = deltalite._decode_partition_dir(seg)
+                pv[k] = v
+        out = []
+        for name, tname in fields:
+            if name in pcols:
+                out.append(
+                    [deltalite.coerce_partition_value(pv.get(name), tname)] * n
+                )
+            else:
+                out.append(cols.get(mapping.get(name, name), [None] * n))
+        return out, n
+
+    def _rows_changes(self, start_v: int, end_v: int):
+        """Change-feed rows for commits in (start_v, end_v]: the spec's
+        reader contract — cdc files where present, derived insert/delete
+        from dataChange adds/removes otherwise, dataChange=false commits
+        skipped. Each row gains (_change_type, _commit_version)."""
+        import pyarrow.parquet as pq
+
+        state = deltalite._replay_state(self.path)
+        meta = state["meta"]
+        fields = [
+            (f["name"], f["type"] if isinstance(f["type"], str) else "struct")
+            for f in json.loads(meta["schemaString"])["fields"]
+        ]
+        pcols = set(meta.get("partitionColumns", []))
+        mapping = deltalite._column_mapping(meta)
+        versions = [
+            v for v in deltalite._list_versions(self.path) if start_v < v <= end_v
+        ]
+        for v in versions:
+            adds, removes, cdc = [], [], []
+            with open(deltalite._version_file(self.path, v)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "add" in action and action["add"].get("dataChange", True):
+                        adds.append(action["add"]["path"])
+                    elif "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        removes.append(action["remove"]["path"])
+                    elif "cdc" in action:
+                        cdc.append(action["cdc"]["path"])
+            if cdc:
+                # cdc files carry logical names + _change_type already
+                for path in cdc:
+                    table = pq.read_table(os.path.join(self.path, path))
+                    cols = {
+                        c: table.column(c).to_pylist()
+                        for c in table.column_names
+                    }
+                    n = table.num_rows
+                    out = [
+                        cols.get(name, [None] * n) for name, _ in fields
+                    ]
+                    out.append(cols[deltalite.CHANGE_TYPE_COL])
+                    out.append([v] * n)
+                    yield from (tuple(r) for r in zip(*out))
+                continue
+            for paths, ctype in ((removes, "delete"), (adds, "insert")):
+                for path in paths:
+                    out, n = self._file_rows(path, fields, pcols, mapping)
+                    out.append([ctype] * n)
+                    out.append([v] * n)
+                    yield from (tuple(r) for r in zip(*out))
+
     def read(self, start: dict):
         latest = deltalite.latest_version(self.path)
         end_v = latest if latest is not None else -1
         start_v = int(start["version"])
         if end_v <= start_v:
             return iter(()), start
-        rows = list(self._rows_for_versions(start_v, end_v))
-        return iter(rows), {"version": end_v}
+        gen = (
+            self._rows_changes(start_v, end_v)
+            if self.change_feed
+            else self._rows_for_versions(start_v, end_v)
+        )
+        return iter(list(gen)), {"version": end_v}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._rows_for_versions(int(start["version"]), int(end["version"]))
+        fn = self._rows_changes if self.change_feed else self._rows_for_versions
+        return fn(int(start["version"]), int(end["version"]))
 
     def commit(self, end: dict) -> None:
         # offsets live in the query checkpoint; the log itself keeps all

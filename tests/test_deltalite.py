@@ -702,3 +702,61 @@ def test_restore_after_vacuum_raises(spark, tdir):
     deltalite.vacuum(tdir, retain_versions=0)  # drops v0/v1-only files
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         deltalite.restore(spark, tdir, 0)
+
+
+def _run_cdf_stream_batch(spark, tdir, ckpt, out_rows):
+    from dbt_spark_models_spark.sources.deltalite_stream import (
+        DeltaLiteStreamSource,
+    )
+
+    try:
+        spark.dataSource.register(DeltaLiteStreamSource)
+    except Exception:  # noqa: BLE001
+        pass
+    stream = (
+        spark.readStream.format("deltalite_stream")
+        .option("path", tdir)
+        .option("changeFeed", "true")
+        .load()
+    )
+
+    def _sink(df, _bid):
+        out_rows.extend(
+            (r._commit_version, r._change_type, r.k, r.v) for r in df.collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_cdf_follows_rewrites_and_resumes(spark, tdir):
+    """changeFeed mode streams THROUGH merge/delete (the plain source
+    raises): updates as pre/post pairs, deletes as deletes; a restart
+    from the checkpoint emits only commits since the last run."""
+    import tempfile as _tf
+
+    deltalite.write(spark, _df(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
+    deltalite.merge(spark, _df(spark, [(2, "B"), (3, "c")]).coalesce(1), tdir, ["k"])
+    ckpt = _tf.mkdtemp(prefix="dlcdf-ckpt-")
+    got: list = []
+    _run_cdf_stream_batch(spark, tdir, ckpt, got)
+    assert sorted(got) == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+        (1, "insert", 3, "c"),
+        (1, "update_postimage", 2, "B"),
+        (1, "update_preimage", 2, "b"),
+    ]
+    # restart after a delete and an invisible OPTIMIZE
+    deltalite.delete(spark, tdir, [("k", "=", 1)])
+    deltalite.optimize(spark, tdir, n_files=1)
+    got2: list = []
+    _run_cdf_stream_batch(spark, tdir, ckpt, got2)
+    assert sorted(got2) == [(2, "delete", 1, "a")]
