@@ -1123,3 +1123,58 @@ def streaming_deltalite_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete").filter(F.col("n_orders") > 0)
+
+
+@query(
+    "streaming_deltalite_partitioned_tail",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def streaming_deltalite_partitioned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITIONED streaming reader (``deltalite_stream_dist``,
+    Spark 4 ``DataSourceStreamReader``): same log-version offsets as the
+    Simple reader, but ``partitions(start, end)`` plans one
+    InputPartition per committed file and ``read(partition)`` executes on
+    EXECUTORS — the micro-batch scan parallelizes like any parquet read
+    while planning stays metadata-rate on the driver. The table is built
+    as 3 append commits plus an OPTIMIZE (invisible, dataChange=false);
+    the streamed aggregate must equal the batch aggregate of the whole
+    source table — every file surfaced exactly once, through the
+    executor-parallel path.
+
+    This is the 100 TB shape the Simple reader's gate
+    (``streaming_deltalite_source_tail``) documents as the production
+    variant; both are now driver-graded."""
+    from dbt_spark_models_spark.sources.deltalite_stream import (
+        DeltaLiteDistStreamSource,
+    )
+    from dbt_spark_models_spark.streaming.pipelines import _run_to_memory
+
+    path = _table_dir(sf_dir, "stream_dist")
+    for i in range(3):
+        deltalite.write(
+            spark,
+            _orders_slice(spark, sf_dir, i).coalesce(2),
+            path,
+            "overwrite" if i == 0 else "append",
+        )
+    deltalite.optimize(spark, path, n_files=2)
+    try:
+        spark.dataSource.register(DeltaLiteDistStreamSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    stream = (
+        spark.readStream.format("deltalite_stream_dist")
+        .option("path", path)
+        .load()
+    )
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+    return _run_to_memory(agg, "complete")

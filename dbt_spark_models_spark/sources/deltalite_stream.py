@@ -27,13 +27,16 @@ from dataChange adds/removes otherwise — with ``_change_type`` and
 can maintain exact state through rewrites (see
 ``streaming_deltalite_cdf_tail``).
 
-Scale: this ``SimpleDataSourceStreamReader`` reads add-files on the
-driver — right for metadata-rate tails and the gate scale. The
-production path implements the partitioned ``DataSourceStreamReader``
-instead: ``partitions(start, end)`` returns one InputPartition per added
-file (the offsets and skip logic here carry over unchanged) and each
-executor task reads one file, so a micro-batch parallelizes like any
-parquet scan.
+Two readers, same offsets and options:
+
+- ``deltalite_stream`` — ``SimpleDataSourceStreamReader``, reads files on
+  the driver; right for metadata-rate tails and tests.
+- ``deltalite_stream_dist`` — the production path: a partitioned
+  ``DataSourceStreamReader`` whose ``partitions(start, end)`` returns one
+  InputPartition per data/CDC file (planning is log replay, metadata-rate)
+  and whose ``read(partition)`` runs ON EXECUTORS, so a micro-batch
+  parallelizes like any parquet scan — the shape real Delta's streaming
+  source uses at 100 TB.
 """
 
 from __future__ import annotations
@@ -41,7 +44,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from dbt_spark_models_spark.sources import deltalite
 
@@ -242,4 +250,157 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # offsets live in the query checkpoint; the log itself keeps all
         # versions (no retention in this subset), so nothing to release
+        pass
+
+
+# --------------------------------------------------------------------------
+# Partitioned (executor-parallel) streaming reader — the production path
+# the Simple reader's docstring defers to: one InputPartition per data
+# file, so a micro-batch parallelizes like any parquet scan.
+
+
+class DeltaLiteFilePartition(InputPartition):
+    """One data file of one commit: everything an executor needs to emit
+    its rows without touching the log (small, picklable metadata)."""
+
+    def __init__(
+        self,
+        table_path: str,
+        rel_path: str,
+        fields: list,
+        pcols: list,
+        mapping: dict,
+        change_type: str | None,
+        version: int,
+        cdc: bool,
+    ):
+        self.table_path = table_path
+        self.rel_path = rel_path
+        self.fields = fields
+        self.pcols = pcols
+        self.mapping = mapping
+        self.change_type = change_type
+        self.version = version
+        self.cdc = cdc
+
+
+class DeltaLiteDistStreamSource(DataSource):
+    """``spark.readStream.format("deltalite_stream_dist")`` — same offsets
+    and options as ``deltalite_stream`` (incl. ``changeFeed``), but the
+    files of each micro-batch are read BY EXECUTORS, one InputPartition
+    per file: planning stays metadata-rate on the driver (log replay
+    only), scan bandwidth scales with the cluster. This is the reader
+    shape real Delta's streaming source uses at 100 TB."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltalite_stream_dist"
+
+    def schema(self):
+        return DeltaLiteStreamSource(self.options).schema()
+
+    def streamReader(self, schema) -> "DeltaLiteDistStreamReader":
+        return DeltaLiteDistStreamReader(self.options)
+
+
+class DeltaLiteDistStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.change_feed = options.get("changeFeed", "false").lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        latest = deltalite.latest_version(self.path)
+        return {"version": latest if latest is not None else -1}
+
+    def partitions(self, start: dict, end: dict):
+        """Driver-side planning: replay the log tail for (start, end] and
+        emit one partition per file — adds (and in changeFeed mode cdc
+        files / dataChange removes) with the schema metadata snapshotted
+        so executors never read the log."""
+        state = deltalite._replay_state(self.path)
+        meta = state["meta"]
+        fields = [
+            (f["name"], f["type"] if isinstance(f["type"], str) else "struct")
+            for f in json.loads(meta["schemaString"])["fields"]
+        ]
+        pcols = list(meta.get("partitionColumns", []))
+        mapping = deltalite._column_mapping(meta)
+        start_v, end_v = int(start["version"]), int(end["version"])
+        parts: list[DeltaLiteFilePartition] = []
+
+        def part(rel, ctype, v, cdc=False):
+            return DeltaLiteFilePartition(
+                self.path, rel, fields, pcols, mapping, ctype, v, cdc
+            )
+
+        for v in deltalite._list_versions(self.path):
+            if not (start_v < v <= end_v):
+                continue
+            adds, removes, cdc = [], [], []
+            with open(deltalite._version_file(self.path, v)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "add" in action and action["add"].get("dataChange", True):
+                        adds.append(action["add"]["path"])
+                    elif "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        removes.append(action["remove"]["path"])
+                    elif "cdc" in action:
+                        cdc.append(action["cdc"]["path"])
+            if not self.change_feed:
+                if removes:
+                    raise ValueError(
+                        f"commit {v} rewrites data (overwrite/merge/delete); "
+                        "use .option('changeFeed', 'true') to stream changes"
+                    )
+                parts += [part(p, None, v) for p in adds]
+            elif cdc:
+                parts += [part(p, None, v, cdc=True) for p in cdc]
+            else:
+                parts += [part(p, "delete", v) for p in removes]
+                parts += [part(p, "insert", v) for p in adds]
+        return parts
+
+    def read(self, partition: "DeltaLiteFilePartition"):
+        """Executor-side: one file → its rows in logical-schema order
+        (physical-name mapping, hive partition reconstruction from the
+        path, null-fill for pre-evolution files)."""
+        import pyarrow.parquet as pq
+
+        p = partition
+        table = pq.read_table(os.path.join(p.table_path, p.rel_path))
+        cols = {c: table.column(c).to_pylist() for c in table.column_names}
+        n = table.num_rows
+        if p.cdc:
+            out = [cols.get(name, [None] * n) for name, _ in p.fields]
+            out.append(cols[deltalite.CHANGE_TYPE_COL])
+            out.append([p.version] * n)
+            return iter(tuple(r) for r in zip(*out))
+        pv: dict[str, str | None] = {}
+        for seg in p.rel_path.split("/")[:-1]:
+            if "=" in seg:
+                k, v = deltalite._decode_partition_dir(seg)
+                pv[k] = v
+        pset = set(p.pcols)
+        out = []
+        for name, tname in p.fields:
+            if name in pset:
+                out.append(
+                    [deltalite.coerce_partition_value(pv.get(name), tname)] * n
+                )
+            else:
+                out.append(cols.get(p.mapping.get(name, name), [None] * n))
+        if p.change_type is not None:
+            out.append([p.change_type] * n)
+            out.append([p.version] * n)
+        return iter(tuple(r) for r in zip(*out))
+
+    def commit(self, end: dict) -> None:
         pass

@@ -760,3 +760,89 @@ def test_stream_cdf_follows_rewrites_and_resumes(spark, tdir):
     got2: list = []
     _run_cdf_stream_batch(spark, tdir, ckpt, got2)
     assert sorted(got2) == [(2, "delete", 1, "a")]
+
+
+def _run_dist_stream_batch(spark, tdir, ckpt, out_rows, change_feed=False):
+    from dbt_spark_models_spark.sources.deltalite_stream import (
+        DeltaLiteDistStreamSource,
+    )
+
+    try:
+        spark.dataSource.register(DeltaLiteDistStreamSource)
+    except Exception:  # noqa: BLE001
+        pass
+    reader = (
+        spark.readStream.format("deltalite_stream_dist").option("path", tdir)
+    )
+    if change_feed:
+        reader = reader.option("changeFeed", "true")
+    stream = reader.load()
+
+    def _sink(df, _bid):
+        if change_feed:
+            out_rows.extend(
+                (r._commit_version, r._change_type, r.k, r.v)
+                for r in df.collect()
+            )
+        else:
+            out_rows.extend((r.k, r.v) for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_dist_stream_reader_parallel_files(spark, tdir):
+    """The partitioned reader (one InputPartition per file, executor-side
+    reads) emits the same rows as the Simple reader and resumes from its
+    checkpoint emitting only new commits."""
+    import tempfile as _tf
+
+    deltalite.write(spark, _df(spark, [(1, "a"), (2, "b")]).coalesce(2), tdir)
+    deltalite.write(spark, _df(spark, [(3, "c")]).coalesce(1), tdir, "append")
+    ckpt = _tf.mkdtemp(prefix="dldist-ckpt-")
+    got: list = []
+    _run_dist_stream_batch(spark, tdir, ckpt, got)
+    assert sorted(got) == [(1, "a"), (2, "b"), (3, "c")]
+    deltalite.optimize(spark, tdir, n_files=1)
+    deltalite.write(spark, _df(spark, [(4, "d")]).coalesce(1), tdir, "append")
+    got2: list = []
+    _run_dist_stream_batch(spark, tdir, ckpt, got2)
+    assert sorted(got2) == [(4, "d")]
+
+
+def test_dist_stream_reader_change_feed(spark, tdir):
+    import tempfile as _tf
+
+    deltalite.write(spark, _df(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
+    deltalite.merge(spark, _df(spark, [(2, "B"), (3, "c")]).coalesce(1), tdir, ["k"])
+    deltalite.delete(spark, tdir, [("k", "=", 1)])
+    got: list = []
+    _run_dist_stream_batch(
+        spark, tdir, _tf.mkdtemp(prefix="dldist-ckpt-"), got, change_feed=True
+    )
+    assert sorted(got) == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+        (1, "insert", 3, "c"),
+        (1, "update_postimage", 2, "B"),
+        (1, "update_preimage", 2, "b"),
+        (2, "delete", 1, "a"),
+    ]
+
+
+def test_dist_stream_reader_rejects_rewrite_without_cdf(spark, tdir):
+    import tempfile as _tf
+
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    deltalite.write(spark, _df(spark, [(2, "b")]).coalesce(1), tdir, "overwrite")
+    with pytest.raises(Exception, match="changeFeed|STREAM_FAILED|rewrites"):
+        _run_dist_stream_batch(
+            spark, tdir, _tf.mkdtemp(prefix="dldist-ckpt-"), []
+        )
