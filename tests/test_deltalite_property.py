@@ -1,0 +1,109 @@
+"""Property-based DeltaLite protocol test: random DML sequences vs a
+plain-dict model.
+
+Hypothesis drives arbitrary interleavings of append / overwrite / merge /
+delete / optimize / restore against a DeltaLite table while a dict
+mirrors the expected keyspace. After EVERY committed version:
+- the latest snapshot equals the model exactly;
+- every historical version still equals its recorded model state
+  (time travel never decays as the log grows);
+- the signed change feed telescopes to the final state (each change
+  surfaced exactly once with the right polarity, through rewrites,
+  layout-only commits, and restores).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dbt_spark_models_spark.sources import deltalite
+
+# ops: ("append", rows) | ("overwrite", rows) | ("merge", rows) |
+#      ("delete", cutoff) | ("optimize", n) | ("restore", rel_pos)
+_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.sampled_from("abcdef")),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda r: r[0],
+)
+_op = st.one_of(
+    st.tuples(st.just("append"), _rows),
+    st.tuples(st.just("overwrite"), _rows),
+    st.tuples(st.just("merge"), _rows),
+    st.tuples(st.just("delete"), st.integers(0, 9)),
+    st.tuples(st.just("optimize"), st.integers(1, 2)),
+    st.tuples(st.just("restore"), st.integers(0, 100)),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    first=_rows,
+    ops=st.lists(_op, min_size=1, max_size=4),
+)
+def test_deltalite_random_dml_matches_model(spark, first, ops):
+    with tempfile.TemporaryDirectory(prefix="dlprop-") as tdir:
+        def df_of(rows):
+            return spark.createDataFrame(rows, "k int, v string").coalesce(1)
+
+        model: dict[int, str] = dict(first)
+        deltalite.write(spark, df_of(first), tdir)
+        history = {0: dict(model)}  # version -> expected state
+        for kind, arg in ops:
+            if kind == "append":
+                # keep appends key-disjoint from the live state (the
+                # table has no PK constraint; the model is a dict)
+                rows = [(k, v) for k, v in arg if k not in model]
+                if not rows:
+                    continue
+                v = deltalite.write(spark, df_of(rows), tdir, "append")
+                model.update(rows)
+            elif kind == "overwrite":
+                v = deltalite.write(spark, df_of(arg), tdir, "overwrite")
+                model = dict(arg)
+            elif kind == "merge":
+                v = deltalite.merge(spark, df_of(arg), tdir, ["k"])
+                model.update(arg)
+            elif kind == "delete":
+                v, _, _ = deltalite.delete(spark, tdir, [("k", "<=", arg)])
+                model = {k: x for k, x in model.items() if k > arg}
+            elif kind == "optimize":
+                v = deltalite.optimize(spark, tdir, n_files=arg)
+                # layout only: state unchanged
+            else:  # restore to an arbitrary recorded version
+                versions = sorted(history)
+                target = versions[arg % len(versions)]
+                v = deltalite.restore(spark, tdir, target)
+                model = dict(history[target])
+            history[v] = dict(model)
+            got = {r.k: r.v for r in deltalite.read(spark, tdir).collect()}
+            assert got == model, f"after {kind}: {got} != {model}"
+        # every historical version still replays exactly
+        for ver, expected in history.items():
+            got = {
+                r.k: r.v
+                for r in deltalite.read(spark, tdir, version=ver).collect()
+            }
+            assert got == expected, f"version {ver} decayed"
+        # the signed change feed telescopes to the final state
+        feed = deltalite.read_changes(spark, tdir).collect()
+        state: dict[int, str] = {}
+        # within one commit, deletes apply before inserts (an overwrite
+        # deletes and re-inserts the same key in the same commit)
+        order = {"delete": 0, "update_preimage": 0, "insert": 1, "update_postimage": 1}
+        for r in sorted(
+            feed, key=lambda r: (r._commit_version, order[r._change_type])
+        ):
+            if r._change_type in ("insert", "update_postimage"):
+                state[r.k] = r.v
+            elif r._change_type == "delete":
+                state.pop(r.k, None)
+        assert state == model, "change feed does not telescope to final state"
