@@ -46,6 +46,12 @@ COLLECT_ALLOWED = {
     "sink_deltalite_data_skipping": "1-row max() range-sizing probe",
     # 1-row max(o_custkey) sizes the delete-key band.
     "engine_deltalite_targeted_delete": "1-row max() band-sizing probe",
+    # 1-row max(o_orderkey) sizes the 8 disjoint merge-file ranges.
+    "engine_deltalite_merge_pruned": "1-row max() range-sizing probe",
+    # 1-row max(o_orderkey)//2 sets the delete cutoff of the history.
+    "sink_deltalite_change_feed": "1-row max() cutoff probe",
+    "engine_deltalite_cdf_incremental_agg": "1-row max() cutoff probe",
+    "streaming_deltalite_cdf_tail": "1-row max() cutoff probe",
 }
 
 
