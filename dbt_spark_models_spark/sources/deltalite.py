@@ -859,6 +859,12 @@ def merge(
                 changes = source.select(*out_cols).withColumn(
                     CHANGE_TYPE_COL, F.lit("insert")
                 )
+            if mapping:
+                # CDC files carry PHYSICAL names (rename-stable)
+                changes = changes.select(
+                    *[F.col(lg).alias(ph) for lg, ph in mapping.items()],
+                    CHANGE_TYPE_COL,
+                )
             cdc_adds = _write_cdc_files(changes, table_path)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
@@ -994,6 +1000,12 @@ def delete(
         kept = df.filter(F.coalesce(~match, F.lit(True)))
         if change_feed:
             deleted = df.filter(F.coalesce(match, F.lit(False)))
+            if mapping:
+                # CDC files carry PHYSICAL names, like data files — a
+                # later rename must not orphan them
+                deleted = deleted.select(
+                    *[F.col(lg).alias(ph) for lg, ph in mapping.items()]
+                )
             cdc_adds = _write_cdc_files(
                 deleted.withColumn(CHANGE_TYPE_COL, F.lit("delete")),
                 table_path,
@@ -1258,25 +1270,40 @@ def read_changes(
         raise FileNotFoundError(f"no DeltaLite log at {table_path}")
     ending = versions[-1] if ending_version is None else ending_version
     frames: list[DataFrame] = []
+    # the feed presents the ENDING version's logical schema (delta's CDF
+    # convention): older files read their physical column names through
+    # the column mapping and null-fill columns added later
     meta_now = _replay_state(table_path, ending)["meta"]
+    schema_now = StructType.fromJson(json.loads(meta_now["schemaString"]))
+    mapping_now = _column_mapping(meta_now)
     for v in versions:
         if v < starting_version or v > ending:
             continue
         actions = _commit_actions(table_path, v)
-        meta_v = next(
-            (a["metaData"] for a in actions if "metaData" in a), None
-        ) or _replay_state(table_path, v)["meta"]
         cdc = [a["cdc"] for a in actions if "cdc" in a]
         if cdc:
-            schema = StructType.fromJson(json.loads(meta_v["schemaString"]))
             from pyspark.sql.types import StringType, StructField
 
+            scan_schema = (
+                _physical_schema(schema_now, mapping_now)
+                if mapping_now
+                else schema_now
+            )
             cdc_schema = StructType(
-                schema.fields + [StructField(CHANGE_TYPE_COL, StringType(), True)]
+                scan_schema.fields
+                + [StructField(CHANGE_TYPE_COL, StringType(), True)]
             )
             df = spark.read.schema(cdc_schema).parquet(
                 *[os.path.join(table_path, c["path"]) for c in cdc]
             )
+            if mapping_now:
+                df = df.select(
+                    *[
+                        F.col(mapping_now[f.name]).alias(f.name)
+                        for f in schema_now.fields
+                    ],
+                    CHANGE_TYPE_COL,
+                )
             frames.append(df.withColumn(COMMIT_VERSION_COL, F.lit(v)))
             continue
         removes = [
@@ -1291,13 +1318,13 @@ def read_changes(
         ]
         if removes:
             frames.append(
-                _scan_files(spark, table_path, meta_v, removes)
+                _scan_files(spark, table_path, meta_now, removes)
                 .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
                 .withColumn(COMMIT_VERSION_COL, F.lit(v))
             )
         if adds:
             frames.append(
-                _scan_files(spark, table_path, meta_v, adds)
+                _scan_files(spark, table_path, meta_now, adds)
                 .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
                 .withColumn(COMMIT_VERSION_COL, F.lit(v))
             )

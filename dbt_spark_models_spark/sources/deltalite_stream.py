@@ -216,8 +216,10 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
                         for c in table.column_names
                     }
                     n = table.num_rows
+                    # cdc files carry PHYSICAL names (rename-stable)
                     out = [
-                        cols.get(name, [None] * n) for name, _ in fields
+                        cols.get(mapping.get(name, name), [None] * n)
+                        for name, _ in fields
                     ]
                     out.append(cols[deltalite.CHANGE_TYPE_COL])
                     out.append([v] * n)
@@ -379,7 +381,11 @@ class DeltaLiteDistStreamReader(DataSourceStreamReader):
         cols = {c: table.column(c).to_pylist() for c in table.column_names}
         n = table.num_rows
         if p.cdc:
-            out = [cols.get(name, [None] * n) for name, _ in p.fields]
+            # cdc files carry PHYSICAL names (rename-stable)
+            out = [
+                cols.get(p.mapping.get(name, name), [None] * n)
+                for name, _ in p.fields
+            ]
             out.append(cols[deltalite.CHANGE_TYPE_COL])
             out.append([p.version] * n)
             return iter(tuple(r) for r in zip(*out))

@@ -846,3 +846,18 @@ def test_dist_stream_reader_rejects_rewrite_without_cdf(spark, tdir):
         _run_dist_stream_batch(
             spark, tdir, _tf.mkdtemp(prefix="dldist-ckpt-"), []
         )
+
+
+def test_change_feed_after_column_rename(spark, tdir):
+    """CDC files carry LOGICAL names: a feed read spanning a rename works
+    for both derived (add/remove) and explicit (cdc) change commits."""
+    deltalite.write(spark, _df(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
+    deltalite.rename_column(tdir, "v", "label")
+    deltalite.delete(spark, tdir, [("k", "=", 1)])
+    rows = deltalite.read_changes(spark, tdir).collect()
+    got = sorted((r._commit_version, r._change_type, r.k, r.label) for r in rows)
+    assert got == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+        (2, "delete", 1, "a"),
+    ]
