@@ -1178,3 +1178,58 @@ def streaming_deltalite_partitioned_tail(spark: SparkSession, sf_dir: str) -> Da
         F.sum("o_orderkey").alias("key_sum"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "sink_deltalite_restore",
+    oracle="""
+WITH v1state AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18, 2)) AS price
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(price) AS DOUBLE) AS total_price,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 2) AS v2_rows,
+       4 AS n_versions
+FROM v1state
+""",
+)
+def sink_deltalite_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION AS OF: after create(v0) / append(v1) /
+    overwrite(v2), ``restore(1)`` commits v3 whose adds/removes turn the
+    active set back into v1's — re-adding v1's files with their ORIGINAL
+    add payloads, zero data movement. The latest snapshot must equal the
+    v1 union exactly (the oracle recomputes it from source), the
+    published v2_rows proves the overwritten state REMAINS time-travelable
+    (history is preserved, not erased), and n_versions shows the restore
+    is itself a new commit.
+
+    Scale: rollback of a bad load on a 100 TB table is one metadata
+    commit — no copy-back, no rewrite; contrast parquet tables, where
+    undo means re-materializing from upstream."""
+    path = _table_dir(sf_dir, "restore")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    for i, mode in ((0, "overwrite"), (1, "append"), (2, "overwrite")):
+        deltalite.write(
+            spark, base.filter(F.col("o_orderkey") % 3 == i).coalesce(2), path, mode
+        )
+    deltalite.restore(spark, path, 1)
+    n_versions = len(deltalite._list_versions(path))
+    v2_rows = deltalite.read(spark, path, version=2).count()
+    snap = deltalite.read(spark, path)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum("price").cast("double").alias("total_price"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        "total_price",
+        F.lit(v2_rows).cast("long").alias("v2_rows"),
+        F.lit(n_versions).cast("int").alias("n_versions"),
+    )

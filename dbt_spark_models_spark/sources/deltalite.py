@@ -1389,3 +1389,35 @@ def restore(spark: SparkSession, table_path: str, version: int) -> int:
     ]
     _commit(table_path, snap_version + 1, actions)
     return snap_version + 1
+
+
+def describe_history(table_path: str) -> list[dict]:
+    """DESCRIBE HISTORY parity: one dict per commit, newest first —
+    version, operation (from commitInfo), timestamp, and the action
+    counts (adds / removes / cdc files) that tell an operator what each
+    commit did. Pure log metadata; no data file is touched."""
+    out: list[dict] = []
+    for v in _list_versions(table_path):
+        ops, ts = "UNKNOWN", None
+        n_add = n_remove = n_cdc = 0
+        for action in _commit_actions(table_path, v):
+            if "commitInfo" in action:
+                ops = action["commitInfo"].get("operation", "UNKNOWN")
+                ts = action["commitInfo"].get("timestamp")
+            elif "add" in action:
+                n_add += 1
+            elif "remove" in action:
+                n_remove += 1
+            elif "cdc" in action:
+                n_cdc += 1
+        out.append(
+            {
+                "version": v,
+                "operation": ops,
+                "timestamp": ts,
+                "num_added_files": n_add,
+                "num_removed_files": n_remove,
+                "num_cdc_files": n_cdc,
+            }
+        )
+    return sorted(out, key=lambda r: -r["version"])

@@ -861,3 +861,17 @@ def test_change_feed_after_column_rename(spark, tdir):
         (0, "insert", 2, "b"),
         (2, "delete", 1, "a"),
     ]
+
+
+def test_describe_history_reports_operations(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    deltalite.write(spark, _df(spark, [(2, "b")]).coalesce(1), tdir, "append")
+    deltalite.merge(spark, _df(spark, [(2, "B")]).coalesce(1), tdir, ["k"])
+    deltalite.optimize(spark, tdir, n_files=1)
+    hist = deltalite.describe_history(tdir)
+    assert [h["operation"] for h in hist] == [
+        "OPTIMIZE", "MERGE", "APPEND", "OVERWRITE",
+    ]
+    merge_row = hist[1]
+    assert merge_row["num_cdc_files"] >= 1  # change feed recorded
+    assert hist[0]["version"] == 3
