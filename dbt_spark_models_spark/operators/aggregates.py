@@ -657,3 +657,107 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_theta_sketch_overlap",
+    oracle="""
+WITH hashed AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM events WHERE event_type IN ('click', 'view')
+), ranked AS (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM hashed
+), sk AS (
+    SELECT event_type, h FROM ranked WHERE rk <= 256
+), theta AS (
+    SELECT MIN(mx) AS theta FROM (
+        SELECT event_type, MAX(h) AS mx FROM sk GROUP BY event_type
+    )
+), sample AS (
+    SELECT a.h FROM sk a JOIN sk b ON a.h = b.h
+     AND a.event_type = 'click' AND b.event_type = 'view'
+    CROSS JOIN theta WHERE a.h < theta
+), exact AS (
+    SELECT COUNT(*) AS n FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'view'
+    )
+)
+SELECT (SELECT n FROM exact) AS exact_overlap,
+       (SELECT COUNT(*) FROM sample) AS sample_size,
+       CAST(ROUND((SELECT COUNT(*) FROM sample) * POWER(2.0, 60)
+                  / (SELECT theta FROM theta), 2) AS DOUBLE) AS est_overlap
+""",
+)
+def agg_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET INTERSECTION — the sketch HLL cannot provide:
+    per event-type user sets are summarized as their k=256 smallest
+    distinct 60-bit hashes (θ = k-th smallest), and |click ∩ view| is
+    estimated as |{h ∈ skA ∩ skB : h < min(θA, θB)}| · 2⁶⁰ / θmin
+    (Beyer et al., SIGMOD'07 KMV synopses; the DataSketches theta
+    estimator). The hash is seeded md5, so the ESTIMATE itself is
+    deterministic and the oracle recomputes the identical value — a
+    hash-exact gate for an approximate operator, alongside the published
+    exact overlap.
+
+    Scale: the sketch build is TakeOrderedAndProject (per-partition
+    top-k, then a k-row merge — no full sort, no global shuffle of the
+    set); sketches are k rows each, so the intersection is a broadcast
+    join of two 256-row sides. This is the corpus-overlap /
+    contamination-rate primitive at 100 TB: estimating |A ∩ B| across
+    sources costs two scans + kilobytes of state, where exact INTERSECT
+    shuffles both sets."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = 256
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select("event_type", h.alias("h"))
+        .distinct()
+    )
+    sk = {
+        t: hashed.filter(F.col("event_type") == t)
+        .select("h")
+        .orderBy("h")
+        .limit(k)
+        for t in ("click", "view")
+    }
+    theta = (
+        sk["click"].agg(F.max("h").alias("mx"))
+        .unionByName(sk["view"].agg(F.max("h").alias("mx")))
+        .agg(F.min("mx").alias("theta"))
+    )
+    sample = (
+        sk["click"]
+        .join(sk["view"], "h")
+        .join(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(
+            F.count(F.lit(1)).alias("sample_size"),
+            F.first("theta").alias("theta"),
+        )
+    )
+    exact = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "view").select("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        exact.join(F.broadcast(sample))
+        .select(
+            "exact_overlap",
+            "sample_size",
+            F.round(
+                F.col("sample_size") * F.pow(F.lit(2.0), 60) / F.col("theta"), 2
+            )
+            .cast("double")
+            .alias("est_overlap"),
+        )
+    )

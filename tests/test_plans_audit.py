@@ -255,6 +255,8 @@ BNLJ_ALLOWED = {
     # (error-bound oracle harness joined onto the merged sketch row)
     "retrieval_bm25_topk",  # 1-row corpus stats (N, avgdl) broadcast —
     # same class as text_tfidf_top_terms
+    "agg_theta_sketch_overlap",  # 1-row theta scalar + 1-row sample-size
+    # broadcast joined onto the 1-row exact count (k=256-row sketch sides)
 }
 
 
