@@ -1402,3 +1402,199 @@ def train_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("cat_n"),
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative pmf), embedded as IDENTICAL
+# double literals on both engines so the seeded-uniform comparison picks the
+# same branch everywhere.
+_POIS1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+)
+_BOOT_B = 64
+
+_BOOT_W_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c} THEN {i}" for i, c in enumerate(_POIS1_CDF)
+    )
+    + " ELSE 7 END"
+)
+
+
+@query(
+    "eval_bootstrap_metric_ci",
+    oracle=f"""
+WITH reps AS (SELECT r FROM range({_BOOT_B}) t(r)),
+drawn AS (
+    SELECT r, n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':boot:'
+                               || CAST(r AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+    FROM documents CROSS JOIN reps
+),
+weighted AS (SELECT r, n_chars, {_BOOT_W_SQL} AS w FROM drawn),
+means AS (
+    SELECT r, SUM(w * n_chars) / SUM(w) AS m FROM weighted GROUP BY r
+),
+ordered AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM means)
+SELECT CAST(ROUND((SELECT AVG(n_chars) FROM documents), 6) AS DOUBLE)
+           AS point_mean,
+       CAST(ROUND(MIN(CASE WHEN rn = 2 THEN m END), 6) AS DOUBLE) AS ci_lo,
+       CAST(ROUND(MAX(CASE WHEN rn = {_BOOT_B - 1} THEN m END), 6) AS DOUBLE)
+           AS ci_hi,
+       CAST({_BOOT_B} AS BIGINT) AS b
+FROM ordered
+""",
+)
+def eval_bootstrap_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for a corpus metric (mean document
+    length), the distributed bootstrap of Chamandy et al. (Google,
+    "Estimating Uncertainty for Massive Data Streams", 2012): instead of
+    resampling N rows B times (impossible at 100 TB — each replicate is a
+    full shuffle), every row contributes Poisson(1) weight to each of
+    B=64 replicates, drawn by inverting the Poisson CDF at a seeded
+    md5-uniform. Replicate means are weighted means; the CI is the
+    2.5th/97.5th order statistic of the B means. Deterministic end to
+    end — the DuckDB oracle reproduces the identical interval, so even
+    the resampling noise is hash-gated.
+
+    Scale: the explode is CPU-only row-local fan-out (B small ints per
+    row); partial aggregation combines map-side, so the shuffle carries
+    ≤ B rows per task regardless of N, and the order statistic runs over
+    a B-row frame. One extra scan computes the point estimate. Compare:
+    naive bootstrap = B full-data shuffles."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    drawn = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"),
+    ).select(
+        "n_chars",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":boot:"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    weighted = drawn.withColumn("w", F.expr(_BOOT_W_SQL))
+    means = weighted.groupBy("r").agg(
+        (F.sum(F.col("w") * F.col("n_chars")) / F.sum("w")).alias("m")
+    )
+    # 64-row frame; m is nullable (division) so isNotNull doesn't fold
+    ordered = means.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.col("m").isNotNull()).orderBy("m")
+        ),
+    )
+    ci = ordered.agg(
+        F.round(F.min(F.when(F.col("rn") == 2, F.col("m"))), 6)
+        .cast("double")
+        .alias("ci_lo"),
+        F.round(F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("m"))), 6)
+        .cast("double")
+        .alias("ci_hi"),
+    )
+    point = docs.agg(
+        F.round(F.avg("n_chars"), 6).cast("double").alias("point_mean")
+    )
+    return point.join(F.broadcast(ci)).select(
+        "point_mean", "ci_lo", "ci_hi", F.lit(_BOOT_B).cast("long").alias("b")
+    )
+
+
+@query(
+    "eval_cohens_kappa",
+    oracle="""
+WITH toks AS (
+    SELECT n_chars,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), labeled AS (
+    SELECT CASE WHEN len(list_distinct(tokens)) >= 0.5 * len(tokens)
+               THEN 1 ELSE 0 END AS a,
+           CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS b
+    FROM toks WHERE len(tokens) > 0
+), counts AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(a * b) AS n11, SUM(a * (1 - b)) AS n10,
+           SUM((1 - a) * b) AS n01, SUM((1 - a) * (1 - b)) AS n00
+    FROM labeled
+)
+SELECT n,
+       CAST(ROUND((n11 + n00) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS po,
+       CAST(ROUND(((n11 + n10) * (n11 + n01)
+                   + (n01 + n00) * (n10 + n00))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS DOUBLE)
+           AS pe,
+       CAST(ROUND(((n11 + n00) / CAST(n AS DOUBLE)
+                   - ((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  / (1.0 - ((n11 + n10) * (n11 + n01)
+                            + (n01 + n00) * (n10 + n00))
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+            AS DOUBLE) AS kappa
+FROM counts
+""",
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent quality annotators — the
+    label-agreement audit every human- or model-labeled training set
+    needs before the labels are trusted (kappa corrects raw agreement
+    for the agreement two annotators would reach by chance from their
+    marginals). Annotator A judges lexical quality (distinct-token
+    ratio ≥ 0.5); annotator B judges by size (n_chars ≥ 300); kappa =
+    (po − pe)/(1 − pe) from the 2×2 contingency table.
+
+    Scale: labels are row-local column math and the contingency table is
+    ONE map-side-combined global aggregate of four conditional sums —
+    a single 4-counter row crosses the wire per task, at any corpus
+    size. All downstream algebra is on that one row."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    toks = d.withColumn("tokens", _tokens()).filter(F.size("tokens") > 0)
+    a = F.when(
+        F.size(F.array_distinct("tokens")) >= 0.5 * F.size("tokens"), 1
+    ).otherwise(0)
+    b = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+    labeled = toks.select(a.alias("a"), b.alias("b"))
+    counts = labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    n_d = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n_d
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (n_d * n_d)
+    return counts.select(
+        "n",
+        F.round(po, 6).cast("double").alias("po"),
+        F.round(pe, 6).cast("double").alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).cast("double").alias("kappa"),
+    )

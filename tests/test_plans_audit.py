@@ -257,6 +257,8 @@ BNLJ_ALLOWED = {
     # same class as text_tfidf_top_terms
     "agg_theta_sketch_overlap",  # 1-row theta scalar + 1-row sample-size
     # broadcast joined onto the 1-row exact count (k=256-row sketch sides)
+    "eval_bootstrap_metric_ci",  # 1-row CI frame broadcast onto the
+    # 1-row point estimate
 }
 
 
