@@ -125,6 +125,12 @@ HEADLINE = [
     # round-5: BM25 retrieval (inverted-index build + broadcast query
     # terms — plan-bound; the postings shuffle dominates at scale)
     "retrieval_bm25_topk",
+    # round-5 continuation: KMV sketch intersection (per-partition top-k
+    # build), Poisson bootstrap (explode fan-out + map-side combine),
+    # kappa (single 4-counter agg)
+    "agg_theta_sketch_overlap",
+    "eval_bootstrap_metric_ci",
+    "eval_cohens_kappa",
 ]
 
 

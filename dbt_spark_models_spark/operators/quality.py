@@ -1598,3 +1598,99 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).cast("double").alias("pe"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).cast("double").alias("kappa"),
     )
+
+
+@query(
+    "quality_k_anonymity_audit",
+    oracle="""
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 2000.0) AS INTEGER) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, bal_band, n
+FROM classes WHERE n < 5
+""",
+)
+def quality_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier tuple
+    (nation, market segment, account-balance band): every equivalence
+    class with fewer than k=5 members is a re-identification risk — a
+    row in such a class is distinguishable among <k candidates even
+    after direct identifiers are dropped. This is the release gate a
+    training corpus with user-derived columns runs before export; the
+    output is exactly the violating classes (publish nothing, fix by
+    coarsening bands or suppressing rows).
+
+    Scale: one map-side-combined groupBy on the QI tuple — the class
+    table is bounded by the QI domain (nations × segments × bands), not
+    by row count, and the k-filter prunes it further. Audit cost is a
+    single aggregation pass at any corpus size."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("int").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return classes.filter(F.col("n") < 5)
+
+
+@query(
+    "quality_dp_noisy_counts",
+    oracle="""
+WITH counts AS (
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS exact_n
+    FROM customer GROUP BY c_mktsegment
+), drawn AS (
+    SELECT c_mktsegment, exact_n,
+           ('0x' || substr(md5(c_mktsegment || ':dp'), 1, 8))::BIGINT
+               / 4294967296.0 - 0.5 AS v
+    FROM counts
+)
+SELECT c_mktsegment, exact_n,
+       CAST(ROUND(-1.0 * SIGN(v)
+                  * LN(GREATEST(1e-12, 1.0 - 2.0 * ABS(v))), 6) AS DOUBLE)
+           AS noise,
+       CAST(ROUND(exact_n - 1.0 * SIGN(v)
+                  * LN(GREATEST(1e-12, 1.0 - 2.0 * ABS(v))), 6) AS DOUBLE)
+           AS noisy_n
+FROM drawn
+""",
+)
+def quality_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release shape: per-segment counts
+    plus Laplace(b = 1/epsilon, epsilon = 1) noise drawn by inverse-CDF
+    (noise = -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|)) from a seeded
+    md5-uniform. The seed makes this gate AUDITABLE — the oracle
+    reproduces the identical noise, and the exact count ships alongside
+    as verification harness. Production DP swaps the seeded uniform for
+    a fresh secure draw and drops the exact column; everything else
+    (the scan, the single group-count aggregate, the row-local
+    inverse-CDF math) is unchanged.
+
+    Scale: one map-side-combined groupBy; the noise math runs on the
+    k-row group table, not the data."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    counts = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    v = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("c_mktsegment"), F.lit(":dp"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+        - 0.5
+    )
+    noise = -F.lit(1.0) * F.signum(v) * F.log(
+        F.greatest(F.lit(1e-12), F.lit(1.0) - 2.0 * F.abs(v))
+    )
+    return counts.select(
+        "c_mktsegment",
+        "exact_n",
+        F.round(noise, 6).cast("double").alias("noise"),
+        F.round(F.col("exact_n") + noise, 6).cast("double").alias("noisy_n"),
+    )

@@ -75,3 +75,48 @@ def test_cohens_kappa_identities(spark, sf_dir):
     assert -1.0 <= r["kappa"] <= 1.0
     expect = (r["po"] - r["pe"]) / (1.0 - r["pe"])
     assert abs(r["kappa"] - expect) < 2e-6, (r, expect)
+
+
+def test_k_anonymity_flags_only_small_classes(spark, sf_dir):
+    """Every flagged class really has n < 5, and the flagged set equals
+    the brute-force recomputation from the raw table."""
+    import pyspark.sql.functions as F
+
+    from dbt_spark_models_spark.operators.quality import (
+        quality_k_anonymity_audit,
+    )
+
+    rows = quality_k_anonymity_audit(spark, sf_dir).collect()
+    assert all(r["n"] < 5 for r in rows)
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    brute = {
+        (r["c_nationkey"], r["c_mktsegment"], r["bal_band"]): r["n"]
+        for r in c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000.0).cast("int").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["n"] < 5
+    }
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"], r["bal_band"]): r["n"]
+        for r in rows
+    }
+    assert got == brute
+
+
+def test_dp_noise_is_laplace_shaped_and_consistent(spark, sf_dir):
+    """noisy_n must equal exact_n + noise, the noise must be bounded by
+    the inverse-CDF's guard ceiling, and the draw is deterministic."""
+    from dbt_spark_models_spark.operators.quality import (
+        quality_dp_noisy_counts,
+    )
+
+    rows = quality_dp_noisy_counts(spark, sf_dir).collect()
+    assert len(rows) == 5  # one row per market segment
+    for r in rows:
+        assert abs((r["exact_n"] + r["noise"]) - r["noisy_n"]) < 2e-6
+        assert abs(r["noise"]) <= 28.0  # ln(1e-12) guard ceiling
+    assert rows == quality_dp_noisy_counts(spark, sf_dir).collect()
