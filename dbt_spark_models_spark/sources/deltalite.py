@@ -31,10 +31,10 @@ commits) are implemented, so replay cost is O(commits since last
 checkpoint), not O(#commits) — the piece that keeps a
 years-of-streaming-appends table readable. ``txn`` actions (the spec's
 appId/version idempotence tokens) make ``txn_append`` a retry-safe
-exactly-once sink for Structured Streaming foreachBatch. Column-stat
-data skipping remains the documented out-of-subset piece. The
+exactly-once sink for Structured Streaming foreachBatch. The
 single-JSON-commit + put-if-absent is how the real protocol works on
-HDFS/local; object stores need a commit coordinator.
+HDFS/local; object stores need a commit coordinator — the one remaining
+documented out-of-subset piece (with partition-column rename).
 
 Data skipping (the spec's ``stats`` JSON on ``add`` actions) is also
 implemented: every committed file carries per-column min/max harvested
@@ -559,16 +559,35 @@ def write(
             )
     mapping = _column_mapping(meta)
     if mapping and mode == "append":
-        # column-mapped table: new files carry PHYSICAL names, the
-        # metaData (logical schema + mapping) is preserved verbatim;
-        # evolving the schema of a mapped table is out of this subset
-        if set(df.columns) != set(mapping):
-            raise ValueError(
-                "schema evolution on a column-mapped table is not "
-                f"supported (table columns {sorted(mapping)})"
+        # column-mapped table: new files carry PHYSICAL names. Additive
+        # evolution works like the unmapped path — existing columns keep
+        # their committed type (retype rejected), a batch may omit
+        # columns (readers null-fill) — except each NEW field also mints
+        # a fresh physical name (spec: columnMapping mode=name assigns
+        # col-<uuid>), so a later rename of the new column is still
+        # metadata-only.
+        _evolved_schema(meta, df)  # type/validity check on shared names
+        sch = json.loads(meta["schemaString"])
+        known = {f["name"] for f in sch["fields"]}
+        for f in df.schema.fields:
+            if f.name in known:
+                continue
+            phys = f"col-{uuid.uuid4().hex}"
+            mapping[f.name] = phys
+            fj = f.jsonValue()
+            fj["nullable"] = True
+            fj["metadata"] = {**(fj.get("metadata") or {}), _PHYS_KEY: phys}
+            sch["fields"].append(fj)
+        adds = _write_data_files(
+            df.select(*[F.col(c).alias(mapping[c]) for c in df.columns]),
+            table_path,
+            partition_by,
+        )
+        meta_action: dict = {
+            "metaData": dict(
+                meta, schemaString=json.dumps(sch, separators=(",", ":"))
             )
-        adds = _write_data_files(_to_physical(df, mapping), table_path, partition_by)
-        meta_action: dict = {"metaData": meta}
+        }
     elif mode == "append" and versions:
         # validate BEFORE writing: existing columns keep their committed
         # type, partitioning is preserved, new columns widen the schema
@@ -1054,10 +1073,10 @@ def optimize(
 
     Scale: one read + n_files writes + one metadata commit; run it on the
     cold partition set on a schedule, exactly like production OPTIMIZE.
-    On a hive-partitioned table the compaction preserves the layout (one
-    output file per partition per coalesced task); Z-order within
-    partitions is out of this subset — real OPTIMIZE ZORDER also operates
-    per partition."""
+    On a hive-partitioned table the compaction preserves the layout, and
+    ZORDER operates WITHIN each partition (like real OPTIMIZE ZORDER):
+    each bucket write carries partitionBy, so every partition directory
+    ends up with ≤ n_files Z-contiguous files."""
     # capture the snapshot version ONCE and commit at snapshot+1: a
     # concurrent commit landing in between makes the O_EXCL create fail
     # (ConcurrentWriteError) instead of being silently clobbered
@@ -1065,11 +1084,7 @@ def optimize(
     snap_version = versions[-1]
     prior, meta = _replay(table_path, snap_version)
     pcols = meta.get("partitionColumns") or None
-    if pcols and zorder_by is not None:
-        raise ValueError(
-            "ZORDER on a hive-partitioned table is not supported; run it "
-            "on unpartitioned (or per-partition-exported) tables"
-        )
+    mapping = _column_mapping(meta)
     snap = read(spark, table_path, version=snap_version)
     if zorder_by is not None:
         x, y = zorder_by
@@ -1093,6 +1108,11 @@ def optimize(
         part = (
             snap.filter(bucket == i) if bucket is not None else snap
         ).coalesce(1)
+        # column-mapped table: the compacted files keep PHYSICAL column
+        # headers so the preserved metaData (mapping included) still
+        # describes them
+        if mapping:
+            part = _to_physical(part, mapping)
         adds += _write_data_files(part, table_path, pcols)
         if bucket is None:
             break
@@ -1102,7 +1122,9 @@ def optimize(
     actions: list[dict] = [
         {"commitInfo": {"operation": "OPTIMIZE", "timestamp": now_ms}},
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        _meta_action(snap, meta.get("id", uuid.uuid4().hex), pcols),
+        # layout-only commit: metaData preserved VERBATIM (schema,
+        # partitioning, column mapping, table configuration)
+        {"metaData": meta},
         *(
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": False}}
             for p in prior

@@ -4,6 +4,7 @@ races, uncommitted-file invisibility, vacuum safety, empty snapshots."""
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -474,10 +475,89 @@ def test_rename_column_guards(spark, tdir):
     with pytest.raises(ValueError, match="already exists"):
         deltalite.rename_column(tdir, "v", "k")
     deltalite.rename_column(tdir, "v", "label")
-    # schema evolution on a mapped table is documented out-of-subset
-    wide = spark.createDataFrame([(2, "b", 1.0)], "k int, label string, s double")
-    with pytest.raises(ValueError, match="column-mapped"):
-        deltalite.write(spark, wide.coalesce(1), tdir, "append")
+    # retyping an existing column is still rejected on a mapped table
+    bad = spark.createDataFrame([(2, 9)], "k int, label int")
+    with pytest.raises(ValueError, match="retypes"):
+        deltalite.write(spark, bad.coalesce(1), tdir, "append")
+
+
+def test_mapped_append_schema_evolution(spark, tdir):
+    """Additive schema evolution on a COLUMN-MAPPED table: the new field
+    mints a fresh physical name (col-<uuid>), old files null-fill, and
+    the new column is itself immediately renameable metadata-only."""
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    deltalite.rename_column(tdir, "v", "label")
+    wide = spark.createDataFrame(
+        [(2, "b", 1.5)], "k int, label string, s double"
+    )
+    deltalite.write(spark, wide.coalesce(1), tdir, "append")
+    got = {
+        (r.k, r.label, r.s) for r in deltalite.read(spark, tdir).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", 1.5)}
+    # the evolved field carries a col-<uuid> physical name in the log
+    state = deltalite._replay_state(tdir)
+    fields = {
+        f["name"]: (f.get("metadata") or {})
+        for f in json.loads(state["meta"]["schemaString"])["fields"]
+    }
+    assert fields["s"].get(deltalite._PHYS_KEY, "").startswith("col-")
+    # a batch may still OMIT existing columns (readers null-fill)
+    deltalite.write(
+        spark,
+        spark.createDataFrame([(3,)], "k int").coalesce(1),
+        tdir,
+        "append",
+    )
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1, 2, 3}
+    # renaming the evolved column is one metadata commit
+    files_before = {
+        f for f in os.listdir(tdir) if f.endswith(".parquet")
+    }
+    deltalite.rename_column(tdir, "s", "score")
+    assert {
+        f for f in os.listdir(tdir) if f.endswith(".parquet")
+    } == files_before
+    assert deltalite.read(spark, tdir).columns == ["k", "label", "score"]
+
+
+def test_optimize_zorder_within_partitions(spark, tdir):
+    """ZORDER on a hive-partitioned table clusters WITHIN each partition:
+    every partition directory ends up with ≤ n_files files, all rows
+    survive, and the partition layout + metaData are preserved."""
+    rows = [(i, f"d{i % 3}", i % 7, (i * 5) % 7) for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, day string, xk int, yk int")
+    deltalite.write(spark, df.repartition(4), tdir, partition_by=["day"])
+    v = deltalite.optimize(spark, tdir, n_files=2, zorder_by=("xk", "yk"))
+    got = deltalite.read(spark, tdir).collect()
+    assert len(got) == 60
+    assert {r.id for r in got} == set(range(60))
+    state = deltalite._replay_state(tdir, v)
+    assert state["meta"]["partitionColumns"] == ["day"]
+    per_part: dict[str, int] = {}
+    for p in state["active"]:
+        part = p.split("/")[0]
+        assert part.startswith("day=")
+        per_part[part] = per_part.get(part, 0) + 1
+    assert set(per_part) == {"day=d0", "day=d1", "day=d2"}
+    assert all(n <= 2 for n in per_part.values())
+
+
+def test_optimize_preserves_mapping_and_config(spark, tdir):
+    """OPTIMIZE is layout-only: the metaData (column mapping + table
+    configuration) survives verbatim, and reads before/after agree."""
+    deltalite.write(
+        spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(3), tdir
+    )
+    deltalite.rename_column(tdir, "v", "label")
+    before = {(r.k, r.label) for r in deltalite.read(spark, tdir).collect()}
+    v = deltalite.optimize(spark, tdir, n_files=1)
+    after = {(r.k, r.label) for r in deltalite.read(spark, tdir).collect()}
+    assert before == after
+    meta = deltalite._replay_state(tdir, v)["meta"]
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    # compacted files carry PHYSICAL headers, consistent with the mapping
+    assert deltalite.read(spark, tdir, version=1).columns == ["k", "label"]
 
 
 def test_rename_then_delete_and_merge(spark, tdir):
