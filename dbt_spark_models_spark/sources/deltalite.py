@@ -703,13 +703,43 @@ def _maybe_skip(add: dict, skip_filters) -> bool:
     return False
 
 
+def version_at_timestamp(table_path: str, ts_millis: int) -> int:
+    """``timestampAsOf`` resolution (real Delta's second time-travel
+    axis): the LAST version whose commitInfo timestamp is <= the target —
+    the snapshot a reader at that wall-clock moment would have seen.
+    Raises when the target predates the table (like real Delta's
+    "timestamp before the earliest version"). Pure log metadata."""
+    best = None
+    for v in _list_versions(table_path):
+        ts = None
+        for action in _commit_actions(table_path, v):
+            if "commitInfo" in action:
+                ts = action["commitInfo"].get("timestamp")
+                break
+        # a commit without commitInfo inherits its neighbors' ordering;
+        # versions are monotone so a missing ts just can't WIN on its own
+        if ts is not None and ts <= ts_millis:
+            best = v
+        elif ts is not None and ts > ts_millis:
+            break
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_millis} predates the earliest commit of "
+            f"{table_path}"
+        )
+    return best
+
+
 def read(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     skip_filters: list[tuple] | None = None,
+    timestamp: int | None = None,
 ) -> DataFrame:
-    """Snapshot read at ``version`` (None = latest) by log replay. The
+    """Snapshot read at ``version`` (None = latest) by log replay;
+    ``timestamp`` (epoch millis, mutually exclusive with ``version``)
+    resolves through :func:`version_at_timestamp` — timestampAsOf. The
     scan is plain parquet over the active file set — pushdown/pruning
     intact. An empty snapshot returns an empty DataFrame with the
     committed schema.
@@ -719,6 +749,10 @@ def read(
     file LIST shrinks before Spark plans the scan. Lossless (files
     lacking stats are kept), and the caller must still apply the actual
     row filter; skipping only removes provably-disjoint files."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(table_path, timestamp)
     state = _replay_state(table_path, version)
     active = state["active"]
     meta = state["meta"]
@@ -1443,3 +1477,85 @@ def describe_history(table_path: str) -> list[dict]:
             }
         )
     return sorted(out, key=lambda r: -r["version"])
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    table_path: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """CONVERT TO DELTA: adopt an EXISTING plain-parquet directory (flat
+    or hive-partitioned) as a DeltaLite table IN PLACE — no data file is
+    read fully, copied, or rewritten. Commit 0 lists the current files,
+    harvests per-file min/max stats from their footers (metadata-only),
+    records partitionValues from the hive directory names, and snapshots
+    the inferred schema. From that commit on the directory has ACID
+    commits, time travel, data skipping, and the full DML surface.
+
+    At 100 TB this is the adoption path: converting a petabyte lake is a
+    file LISTING plus footer reads, not a rewrite — exactly why the real
+    feature exists (Delta spec / ``CONVERT TO DELTA`` DDL)."""
+    if _list_versions(table_path):
+        raise ValueError(f"{table_path} is already a DeltaLite table")
+    reader = spark.read.option("basePath", table_path)
+    df = reader.parquet(table_path)
+    pcols_found: set[str] = set()
+    adds: list[dict] = []
+    now_ms = int(time.time() * 1000)
+    for dirpath, dirs, files in os.walk(table_path):
+        dirs[:] = [
+            d
+            for d in dirs
+            if d != "_delta_log" and not d.startswith("_staging_")
+        ]
+        rel_dir = os.path.relpath(dirpath, table_path)
+        segments = [] if rel_dir == "." else rel_dir.split(os.sep)
+        pvals: dict[str, str | None] = {}
+        for seg in segments:
+            if "=" in seg:
+                k, v = _decode_partition_dir(seg)
+                pvals[k] = v
+        pcols_found.update(pvals)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, f)
+            add = {
+                "path": os.path.join(*segments, f) if segments else f,
+                "partitionValues": pvals,
+                "size": os.path.getsize(full),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            stats = _file_stats(full)
+            if stats is not None:
+                add["stats"] = json.dumps(stats, default=str)
+            adds.append(add)
+    if not adds:
+        raise FileNotFoundError(f"no parquet files under {table_path}")
+    pcols = list(partition_by) if partition_by else sorted(pcols_found)
+    if set(pcols) != pcols_found:
+        raise ValueError(
+            f"partition_by {pcols} != directory layout {sorted(pcols_found)}"
+        )
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "CONVERT",
+                "timestamp": now_ms,
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": pcols,
+                "configuration": {},
+            }
+        },
+        *({"add": a} for a in adds),
+    ]
+    _commit(table_path, 0, actions)
+    return 0

@@ -955,3 +955,89 @@ def test_describe_history_reports_operations(spark, tdir):
     merge_row = hist[1]
     assert merge_row["num_cdc_files"] >= 1  # change feed recorded
     assert hist[0]["version"] == 3
+
+
+def test_timestamp_as_of_resolves_to_wall_clock_snapshot(spark, tdir):
+    """timestampAsOf picks the LAST version committed at or before the
+    target instant; targets before the first commit raise."""
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    hist = deltalite.describe_history(tdir)
+    t0 = hist[0]["timestamp"]
+    # make the next commit strictly later on the millisecond clock
+    import time as _t
+
+    _t.sleep(0.01)
+    deltalite.write(spark, _df(spark, [(2, "b")]).coalesce(1), tdir, "append")
+    t1 = deltalite.describe_history(tdir)[0]["timestamp"]
+    assert t1 > t0
+    assert deltalite.version_at_timestamp(tdir, t0) == 0
+    assert deltalite.version_at_timestamp(tdir, t1 - 1) == 0
+    assert deltalite.version_at_timestamp(tdir, t1) == 1
+    got = {r.k for r in deltalite.read(spark, tdir, timestamp=t0).collect()}
+    assert got == {1}
+    got = {r.k for r in deltalite.read(spark, tdir, timestamp=t1).collect()}
+    assert got == {1, 2}
+    with pytest.raises(ValueError, match="predates"):
+        deltalite.version_at_timestamp(tdir, t0 - 1)
+    with pytest.raises(ValueError, match="not both"):
+        deltalite.read(spark, tdir, version=0, timestamp=t0)
+
+
+def test_convert_to_delta_flat_in_place(spark, tdir):
+    """CONVERT TO DELTA on a flat parquet directory: no file rewritten,
+    stats harvested (data skipping works immediately), and the converted
+    table takes the full DML surface."""
+    path = os.path.join(tdir, "plain")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k int, v string"
+    )
+    df.repartition(4).write.parquet(path)
+    files_before = {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    v = deltalite.convert_to_delta(spark, path)
+    assert v == 0
+    assert {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    } == files_before  # adoption, not rewrite
+    got = {(r.k, r.v) for r in deltalite.read(spark, path).collect()}
+    assert got == {(i, f"v{i}") for i in range(20)}
+    kept, total = deltalite.scan_file_counts(
+        path, skip_filters=[("k", ">=", 100)]
+    )
+    assert total == 4 and kept == 0  # footer stats prune everything
+    # post-convert DML + time travel back to the converted snapshot
+    deltalite.delete(spark, path, [("k", "<", 10)])
+    assert {r.k for r in deltalite.read(spark, path).collect()} == set(
+        range(10, 20)
+    )
+    assert len(deltalite.read(spark, path, version=0).collect()) == 20
+    with pytest.raises(ValueError, match="already"):
+        deltalite.convert_to_delta(spark, path)
+
+
+def test_convert_to_delta_partitioned(spark, tdir):
+    """Hive-partitioned conversion: partitionValues come from directory
+    names, partition pruning works on the log, appends keep the layout."""
+    path = os.path.join(tdir, "hive")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", i * 10) for i in range(12)],
+        "id int, day string, x int",
+    )
+    df.coalesce(1).write.partitionBy("day").parquet(path)
+    deltalite.convert_to_delta(spark, path, partition_by=["day"])
+    got = {(r.id, r.day, r.x) for r in deltalite.read(spark, path).collect()}
+    assert got == {(i, f"d{i % 3}", i * 10) for i in range(12)}
+    kept, total = deltalite.scan_file_counts(
+        path, skip_filters=[("day", "=", "d1")]
+    )
+    assert total == 3 and kept == 1
+    add = spark.createDataFrame([(99, "d9", 0)], "id int, day string, x int")
+    deltalite.write(spark, add.coalesce(1), path, "append")
+    assert (99, "d9", 0) in {
+        (r.id, r.day, r.x) for r in deltalite.read(spark, path).collect()
+    }
+    with pytest.raises(ValueError, match="partition_by"):
+        p2 = os.path.join(tdir, "hive2")
+        df.coalesce(1).write.partitionBy("day").parquet(p2)
+        deltalite.convert_to_delta(spark, p2, partition_by=["nope"])
