@@ -1559,3 +1559,60 @@ def convert_to_delta(
     ]
     _commit(table_path, 0, actions)
     return 0
+
+
+def clone(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    timestamp: int | None = None,
+) -> int:
+    """SHALLOW CLONE: a new table whose commit 0 re-adds the SOURCE
+    snapshot's files by absolute path — zero data copied, stats carried,
+    so the clone is readable (with data skipping) the instant the one
+    metadata commit lands. From then on the tables diverge copy-on-write:
+    DML on the clone writes ITS new files under the clone root and drops
+    references to source files; the source never sees any of it, and
+    appends/DML on the source never reach the clone. ``version`` /
+    ``timestamp`` clone a historical snapshot.
+
+    This is the dev-sandbox / experiment-branch primitive at 100 TB: a
+    full copy is petabytes and hours, a shallow clone is one commit.
+    Same hazard as real Delta documents: VACUUM on the SOURCE can drop
+    files a clone still references (the clone's own vacuum only ever
+    touches files under the clone root). Hive-partitioned sources are
+    out of this subset — their reads reconstruct partition columns from
+    directory names under one basePath, which a mixed-root file set
+    breaks."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(src_path, timestamp)
+    state = _replay_state(src_path, version)
+    meta = state["meta"]
+    if meta.get("partitionColumns"):
+        raise ValueError(
+            "shallow clone of a hive-partitioned table is not supported"
+        )
+    if _list_versions(dst_path):
+        raise ValueError(f"{dst_path} is already a DeltaLite table")
+    os.makedirs(dst_path, exist_ok=True)
+    src_abs = os.path.abspath(src_path)
+    now_ms = int(time.time() * 1000)
+    adds = []
+    for p, add in sorted(state["active"].items()):
+        a = dict(add)
+        # a clone of a clone keeps the original absolute pointers
+        a["path"] = p if os.path.isabs(p) else os.path.join(src_abs, p)
+        a["dataChange"] = True
+        a["modificationTime"] = now_ms
+        adds.append(a)
+    actions = [
+        {"commitInfo": {"operation": "CLONE", "timestamp": now_ms}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": dict(meta, id=uuid.uuid4().hex)},
+        *({"add": a} for a in adds),
+    ]
+    _commit(dst_path, 0, actions)
+    return 0

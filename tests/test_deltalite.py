@@ -1041,3 +1041,59 @@ def test_convert_to_delta_partitioned(spark, tdir):
         p2 = os.path.join(tdir, "hive2")
         df.coalesce(1).write.partitionBy("day").parquet(p2)
         deltalite.convert_to_delta(spark, p2, partition_by=["nope"])
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tdir):
+    """SHALLOW CLONE is one metadata commit (no parquet under the clone
+    root), reads identically, and diverges copy-on-write in BOTH
+    directions: clone DML writes local files and never touches the
+    source; source appends never reach the clone."""
+    src = os.path.join(tdir, "src")
+    dst = os.path.join(tdir, "dst")
+    deltalite.write(
+        spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).repartition(3), src
+    )
+    deltalite.clone(spark, src, dst)
+    assert not any(f.endswith(".parquet") for f in os.listdir(dst))
+    assert {(r.k, r.v) for r in deltalite.read(spark, dst).collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    # stats traveled: data skipping works on the clone immediately
+    kept, total = deltalite.scan_file_counts(dst, skip_filters=[("k", "=", 2)])
+    assert (kept, total) == (1, 3)
+    # copy-on-write: merge on the clone, source untouched
+    deltalite.merge(spark, _df(spark, [(2, "B"), (9, "z")]), dst, ["k"])
+    assert {r.v for r in deltalite.read(spark, dst).collect()} == {
+        "a", "B", "c", "z"
+    }
+    assert {r.v for r in deltalite.read(spark, src).collect()} == {
+        "a", "b", "c"
+    }
+    assert any(f.endswith(".parquet") for f in os.listdir(dst))
+    # source appends after the clone are invisible to the clone
+    deltalite.write(spark, _df(spark, [(50, "x")]).coalesce(1), src, "append")
+    assert 50 not in {r.k for r in deltalite.read(spark, dst).collect()}
+    # the clone's vacuum only ever touches files under the clone root
+    src_files = {
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    }
+    deltalite.vacuum(dst, retain_versions=0)
+    assert {
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    } == src_files
+
+
+def test_shallow_clone_at_version_and_guards(spark, tdir):
+    src = os.path.join(tdir, "src")
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), src)
+    deltalite.write(spark, _df(spark, [(2, "b")]).coalesce(1), src, "append")
+    old = os.path.join(tdir, "old")
+    deltalite.clone(spark, src, old, version=0)
+    assert {r.k for r in deltalite.read(spark, old).collect()} == {1}
+    with pytest.raises(ValueError, match="already"):
+        deltalite.clone(spark, src, old)
+    part = os.path.join(tdir, "part")
+    df = spark.createDataFrame([(1, "d0")], "id int, day string")
+    deltalite.write(spark, df.coalesce(1), part, partition_by=["day"])
+    with pytest.raises(ValueError, match="partitioned"):
+        deltalite.clone(spark, part, os.path.join(tdir, "p2"))
