@@ -756,15 +756,24 @@ def read(
     state = _replay_state(table_path, version)
     active = state["active"]
     meta = state["meta"]
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    mapping = _column_mapping(meta)
-    skip_filters = _translate_filters(skip_filters, mapping)
+    skip_filters = _translate_filters(skip_filters, _column_mapping(meta))
     kept = [
         p for p in sorted(active) if not _maybe_skip(active[p], skip_filters)
     ]
+    return _scan_active(spark, table_path, meta, kept)
+
+
+def _scan_active(
+    spark: SparkSession, table_path: str, meta: dict, kept: list[str]
+) -> DataFrame:
+    """Plain-parquet scan over an explicit active-file subset with the
+    committed (logical) schema — the shared tail of read() and the
+    selective-compaction path of optimize()."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta)
     if not kept:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_path, p) for p in kept]
+    paths = [os.path.join(table_path, p) for p in sorted(kept)]
     scan_schema = _physical_schema(schema, mapping) if mapping else schema
     reader = spark.read.schema(scan_schema)
     if meta.get("partitionColumns"):
@@ -1089,6 +1098,7 @@ def optimize(
     n_files: int = 1,
     zorder_by: tuple[str, str] | None = None,
     zorder_bits: int = 6,
+    min_file_size: int | None = None,
 ) -> int:
     """Compact the active file set into ``n_files`` files in ONE commit —
     the small-files op every long-lived streaming-append table needs.
@@ -1105,6 +1115,13 @@ def optimize(
     (z // width), deterministic on any engine — no sampled range
     boundaries.
 
+    With ``min_file_size`` (bytes; plain compaction only), ONLY active
+    files smaller than the threshold are rewritten — big files keep
+    their bytes and their add-entries' stats. That is what production
+    OPTIMIZE means on a 100 TB table: routine compaction touches the
+    streaming-append dust, never the already-right-sized bulk. When
+    fewer than two files qualify the call is a no-op (no commit).
+
     Scale: one read + n_files writes + one metadata commit; run it on the
     cold partition set on a schedule, exactly like production OPTIMIZE.
     On a hive-partitioned table the compaction preserves the layout, and
@@ -1116,10 +1133,27 @@ def optimize(
     # (ConcurrentWriteError) instead of being silently clobbered
     versions = _list_versions(table_path)
     snap_version = versions[-1]
-    prior, meta = _replay(table_path, snap_version)
+    state = _replay_state(table_path, snap_version)
+    active, meta = state["active"], state["meta"]
     pcols = meta.get("partitionColumns") or None
     mapping = _column_mapping(meta)
-    snap = read(spark, table_path, version=snap_version)
+    if min_file_size is not None:
+        if zorder_by is not None:
+            raise ValueError(
+                "min_file_size applies to plain compaction; ZORDER "
+                "rewrites every selected file by definition"
+            )
+        prior = sorted(
+            p
+            for p, a in active.items()
+            if a.get("size", 0) < min_file_size
+        )
+        if len(prior) <= 1:
+            return snap_version  # nothing worth compacting — no commit
+        snap = _scan_active(spark, table_path, meta, prior)
+    else:
+        prior = sorted(active)
+        snap = read(spark, table_path, version=snap_version)
     if zorder_by is not None:
         x, y = zorder_by
         terms = []

@@ -1097,3 +1097,33 @@ def test_shallow_clone_at_version_and_guards(spark, tdir):
     deltalite.write(spark, df.coalesce(1), part, partition_by=["day"])
     with pytest.raises(ValueError, match="partitioned"):
         deltalite.clone(spark, part, os.path.join(tdir, "p2"))
+
+
+def test_optimize_min_file_size_compacts_only_dust(spark, tdir):
+    """Selective compaction: files at or above the threshold keep their
+    bytes (same path stays active, never removed); only the small-file
+    dust is rewritten; content identical; too-few-qualifying is a no-op
+    without a commit."""
+    big = _df(spark, [(i, f"v{i}") for i in range(100)]).coalesce(1)
+    deltalite.write(spark, big, tdir)
+    for k in (200, 201, 202):
+        deltalite.write(
+            spark, _df(spark, [(k, "s")]).coalesce(1), tdir, "append"
+        )
+    state = deltalite._replay_state(tdir)
+    sizes = {p: a["size"] for p, a in state["active"].items()}
+    big_path = max(sizes, key=sizes.get)
+    threshold = sizes[big_path]  # strictly-below comparison spares it
+    v = deltalite.optimize(spark, tdir, min_file_size=threshold)
+    after = deltalite._replay_state(tdir, v)["active"]
+    assert big_path in after  # the bulk kept its bytes
+    assert len(after) == 2  # big + one compacted dust file
+    got = {r.k for r in deltalite.read(spark, tdir).collect()}
+    assert got == set(range(100)) | {200, 201, 202}
+    # all three dust files merged; layout-only commit
+    hist = deltalite.describe_history(tdir)[0]
+    assert hist["operation"] == "OPTIMIZE"
+    assert hist["num_removed_files"] == 3
+    # no-op when fewer than two files qualify: same version, no commit
+    assert deltalite.optimize(spark, tdir, min_file_size=10) == v
+    assert deltalite.latest_version(tdir) == v
