@@ -16,6 +16,8 @@ bit-identical across engines (float×small-int is exact in float64).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1279,3 +1281,96 @@ def eval_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cos, 6).alias("centroid_cosine"),
         F.round(1.0 - cos, 6).alias("drift"),
     )
+
+
+def _layout_dir(sf_dir: str, gate: str) -> str:
+    import hashlib
+    import shutil
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join("/tmp/spark_models_ivf", h, gate)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def ivf_partitioned_corpus(
+    spark: SparkSession, sf_dir: str, gate: str = "sink_ivf_partitioned_layout"
+) -> tuple[DataFrame, str]:
+    """Materialize the IVF production layout: the assigned corpus written
+    ``partitionBy(cell)`` — the on-disk shape where an ANN query reads
+    ~1/n_cells of the data via partition pruning. Returns (read-back
+    DataFrame, layout path)."""
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    path = _layout_dir(sf_dir, gate)
+    _ivf_assigned(e).write.partitionBy("cell").parquet(path)
+    return spark.read.parquet(path), path
+
+
+@query(
+    "sink_ivf_partitioned_layout",
+    oracle="__SET_BELOW__",
+)
+def sink_ivf_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF SCALE story made physical (what `similarity_ivf_topk`'s
+    docstring promises): the assigned corpus is WRITTEN partitioned by
+    cell, and the query path runs against that layout — the broadcast
+    query side joins on the partition column, so Spark's dynamic
+    partition pruning restricts the scan to the probe cells
+    (plan-asserted in `tests/test_round5_ops.py`; at 100 TB that is the
+    difference between reading ~1/n_cells and a full-corpus scan per
+    query batch). Results must equal the in-memory IVF top-k — the
+    layout is an access-path change, never an answer change.
+
+    The write is the gate's setup cost (like the DeltaLite lifecycle
+    gates, it is excluded from the bench headline: the measured product
+    is the layout, not a plan)."""
+    corpus, _ = ivf_partitioned_corpus(spark, sf_dir)
+    q = (
+        corpus.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            "cell",
+        )
+        .withColumn("q_norm", _norm_spark("q_emb"))
+    )
+    pair_scored = (
+        F.broadcast(q)
+        .join(
+            corpus.alias("a"),
+            (F.col("a.cell") == q.cell) & (F.col("a.vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            q.cell.alias("cell"),
+            F.col("a.vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q_emb"),
+                        F.col("a.embedding"),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("q_norm") * _norm_spark("a.embedding")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w_topk = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pair_scored.withColumn("rnk", F.row_number().over(w_topk))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "cell", "neighbor_id", "cosine", "rnk")
+    )
+
+
+REGISTRY["sink_ivf_partitioned_layout"].oracle = f"""
+SELECT q_id, cell, neighbor_id, cosine, rnk
+FROM ({REGISTRY["similarity_ivf_topk"].oracle})
+WHERE q_id < 3
+"""

@@ -120,3 +120,45 @@ def test_dp_noise_is_laplace_shaped_and_consistent(spark, sf_dir):
         assert abs((r["exact_n"] + r["noise"]) - r["noisy_n"]) < 2e-6
         assert abs(r["noise"]) <= 28.0  # ln(1e-12) guard ceiling
     assert rows == quality_dp_noisy_counts(spark, sf_dir).collect()
+
+
+def test_ivf_partitioned_layout_prunes_scan(spark, sf_dir):
+    """The physical ANN layout: one directory per IVF cell, and the
+    query join on the partition column carries a dynamic-partition-
+    pruning subquery on the corpus scan — the access path that reads
+    ~1/n_cells of a 100 TB corpus. Results must equal the in-memory
+    IVF top-k."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from dbt_spark_models_spark.operators.similarity import (
+        ivf_partitioned_corpus,
+        sink_ivf_partitioned_layout,
+        similarity_ivf_topk,
+    )
+
+    corpus, path = ivf_partitioned_corpus(spark, sf_dir, gate="pytest")
+    cells = {
+        d for d in os.listdir(path) if d.startswith("cell=")
+    }
+    n_cells = corpus.select("cell").distinct().count()
+    assert len(cells) == n_cells  # one directory per assigned cell
+    # the gate's join plans a DPP subquery on the partitioned scan
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    joined = F.broadcast(q).join(corpus.alias("a"), on="cell")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # access-path change, not an answer change
+    got = {
+        (r.q_id, r.neighbor_id, r.rnk)
+        for r in sink_ivf_partitioned_layout(spark, sf_dir).collect()
+    }
+    expect = {
+        (r.q_id, r.neighbor_id, r.rnk)
+        for r in similarity_ivf_topk(spark, sf_dir).collect()
+        if r.q_id < 3
+    }
+    assert got == expect
