@@ -757,22 +757,41 @@ def read(
     active = state["active"]
     meta = state["meta"]
     skip_filters = _translate_filters(skip_filters, _column_mapping(meta))
-    kept = [
-        p for p in sorted(active) if not _maybe_skip(active[p], skip_filters)
-    ]
+    kept = {
+        p: active[p]
+        for p in sorted(active)
+        if not _maybe_skip(active[p], skip_filters)
+    }
     return _scan_active(spark, table_path, meta, kept)
 
 
+# reserved row-address columns used by the deletion-vector machinery
+_DV_FILE_COL = "__dl_file"
+_DV_ROW_COL = "__dl_row"
+
+
 def _scan_active(
-    spark: SparkSession, table_path: str, meta: dict, kept: list[str]
+    spark: SparkSession,
+    table_path: str,
+    meta: dict,
+    kept: dict,
+    with_row_address: bool = False,
 ) -> DataFrame:
     """Plain-parquet scan over an explicit active-file subset with the
-    committed (logical) schema — the shared tail of read() and the
-    selective-compaction path of optimize()."""
+    committed (logical) schema — the shared tail of read(), DML scans,
+    and the selective-compaction path of optimize(). ``kept`` maps
+    relative path -> add payload; files whose add carries a
+    ``deletionVector`` get their tombstoned rows anti-joined away
+    (merge-on-read). ``with_row_address`` keeps the (file name,
+    row index) address columns for DV writers."""
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = _column_mapping(meta)
     if not kept:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        if with_row_address:
+            out = out.withColumn(_DV_FILE_COL, F.lit(None).cast("string"))
+            out = out.withColumn(_DV_ROW_COL, F.lit(None).cast("long"))
+        return out
     paths = [os.path.join(table_path, p) for p in sorted(kept)]
     scan_schema = _physical_schema(schema, mapping) if mapping else schema
     reader = spark.read.schema(scan_schema)
@@ -783,14 +802,41 @@ def _scan_active(
         # hand it an explicit active-file list
         reader = reader.option("basePath", table_path)
     df = reader.parquet(*paths)
+    dv_paths = sorted(
+        {
+            a["deletionVector"]["path"]
+            for a in kept.values()
+            if a.get("deletionVector")
+        }
+    )
+    if dv_paths or with_row_address:
+        # data-file names are globally unique (part-<uuid>), so
+        # (file name, row index) is a stable row address
+        df = df.select(
+            "*",
+            F.col("_metadata.file_name").alias(_DV_FILE_COL),
+            F.col("_metadata.row_index").alias(_DV_ROW_COL),
+        )
+    if dv_paths:
+        tomb = spark.read.parquet(
+            *[os.path.join(table_path, d) for d in dv_paths]
+        ).select(
+            F.col("file_name").alias(_DV_FILE_COL),
+            F.col("row_index").alias(_DV_ROW_COL),
+        )
+        # tombstones for files outside `kept` (shared DV files) fall out
+        # of the anti-join naturally
+        df = df.join(tomb, [_DV_FILE_COL, _DV_ROW_COL], "left_anti")
+    extra = [_DV_FILE_COL, _DV_ROW_COL] if with_row_address else []
     if mapping:
         # physical→logical aliasing at scan time (column mapping)
         return df.select(
-            *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields]
+            *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields],
+            *extra,
         )
     # partition discovery appends partition columns last; restore the
     # committed column order
-    return df.select(*[f.name for f in schema.fields])
+    return df.select(*[f.name for f in schema.fields], *extra)
 
 
 def scan_file_counts(
@@ -875,19 +921,9 @@ def merge(
     cdc_adds: list[dict] = []
     if overlap is not None:  # empty source merges nothing
         if rewrite:
-            scan_schema = _physical_schema(schema, mapping) if mapping else schema
-            reader = spark.read.schema(scan_schema)
-            if pcols:
-                reader = reader.option("basePath", table_path)
-            target = reader.parquet(
-                *[os.path.join(table_path, p) for p in rewrite]
+            target = _scan_active(
+                spark, table_path, meta, {p: active[p] for p in rewrite}
             )
-            if mapping:
-                target = target.select(
-                    *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields]
-                )
-            else:
-                target = target.select(*out_cols)
             result = target.join(source, on=keys, how="left_anti").unionByName(
                 source.select(*out_cols)
             )
@@ -1002,6 +1038,7 @@ def delete(
     table_path: str,
     filters: list[tuple],
     change_feed: bool = True,
+    deletion_vectors: bool = False,
 ) -> tuple[int, int, int]:
     """Targeted copy-on-write DELETE: remove every row matching ALL
     ``filters`` (the same (column, op, literal) triples data skipping
@@ -1012,7 +1049,22 @@ def delete(
     rewritten files + adds for their replacements; a fully-matched file
     simply gets no replacement).
 
-    Returns (committed version, files untouched, files rewritten).
+    With ``deletion_vectors=True`` the delete is MERGE-ON-READ (modern
+    Delta's deletion vectors): instead of rewriting any data file, the
+    matching rows' addresses (unique file name, parquet row index via
+    ``_metadata.row_index``) are written to ONE tombstone sidecar, and
+    each affected file is re-added pointing at it; readers anti-join
+    the tombstones away at scan time. A file whose rows are ALL dead is
+    simply removed (no re-add); a candidate file with no matches stays
+    untouched. DELETE cost becomes ∝ matching rows, not ∝ bytes of the
+    files that contain them — the difference on a 100 TB table where a
+    predicate grazes thousands of wide files. OPTIMIZE purges
+    tombstones naturally (it rewrites from the DV-applied read); the
+    real spec's per-file roaring bitmaps are represented here as a
+    parquet tombstone set, same protocol semantics.
+
+    Returns (committed version, files untouched, files rewritten —
+    for DV mode, files re-pointed or dropped).
 
     This is how DML on an immutable-file format stays tractable at
     100 TB: a deletion predicate aligned with the table's clustering
@@ -1043,21 +1095,30 @@ def delete(
     pcols = meta.get("partitionColumns") or None
     adds: list[dict] = []
     cdc_adds: list[dict] = []
+    match = F.lit(True)
+    for col, op, lit in filters:
+        match = match & _OPS[op](F.col(col), F.lit(lit))
+    if deletion_vectors and not change_feed:
+        # a DV commit's adds/removes do NOT describe row-level change
+        # (the re-added file still contains the dead rows) — without cdc
+        # rows the change feed would resurrect them. COW deletes are the
+        # change_feed=False path.
+        raise ValueError("deletion_vectors=True requires change_feed=True")
+    if deletion_vectors and rewrite:
+        return _delete_with_dv(
+            spark,
+            table_path,
+            snap_version,
+            meta,
+            {p: active[p] for p in rewrite},
+            untouched,
+            match,
+            change_feed,
+        )
     if rewrite:
-        scan_schema = _physical_schema(schema, mapping) if mapping else schema
-        reader = spark.read.schema(scan_schema)
-        if pcols:
-            reader = reader.option("basePath", table_path)
-        df = reader.parquet(*[os.path.join(table_path, p) for p in rewrite])
-        if mapping:
-            df = df.select(
-                *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields]
-            )
-        else:
-            df = df.select(*[f.name for f in schema.fields])
-        match = F.lit(True)
-        for col, op, lit in filters:
-            match = match & _OPS[op](F.col(col), F.lit(lit))
+        df = _scan_active(
+            spark, table_path, meta, {p: active[p] for p in rewrite}
+        )
         # NULL predicate = row does NOT match = row is KEPT (SQL DELETE)
         kept = df.filter(F.coalesce(~match, F.lit(True)))
         if change_feed:
@@ -1090,6 +1151,123 @@ def delete(
     ]
     _commit(table_path, version, actions)
     return version, len(untouched), len(rewrite)
+
+
+def _delete_with_dv(
+    spark: SparkSession,
+    table_path: str,
+    snap_version: int,
+    meta: dict,
+    candidates: dict,
+    untouched: list[str],
+    match,
+    change_feed: bool,
+) -> tuple[int, int, int]:
+    """Merge-on-read DELETE body: tombstone matching row addresses
+    instead of rewriting data files. One commit: remove+re-add (same
+    path, new deletionVector) per file that gained tombstones, remove
+    only for fully-dead files, cdc delete rows for the change feed."""
+    mapping = _column_mapping(meta)
+    # scan candidates with row addresses; prior tombstones already
+    # anti-joined away, so re-deleting a row is impossible
+    df = _scan_active(
+        spark, table_path, meta, candidates, with_row_address=True
+    )
+    matched = df.filter(F.coalesce(match, F.lit(False)))
+    tomb_dir = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
+    prior_dvs = [
+        a["deletionVector"]["path"]
+        for a in candidates.values()
+        if a.get("deletionVector")
+    ]
+    new_tomb = matched.select(
+        F.col(_DV_FILE_COL).alias("file_name"),
+        F.col(_DV_ROW_COL).alias("row_index"),
+    )
+    if prior_dvs:
+        # the new sidecar carries the UNION so one pointer per file
+        # suffices (old sidecars become unreferenced once no active add
+        # points at them — vacuum's retention rules apply as usual)
+        old = spark.read.parquet(
+            *[os.path.join(table_path, d) for d in sorted(set(prior_dvs))]
+        ).select("file_name", "row_index")
+        names = [os.path.basename(p) for p in candidates]
+        new_tomb = new_tomb.unionByName(
+            old.filter(F.col("file_name").isin(names))
+        ).distinct()
+    new_tomb.coalesce(1).write.parquet(tomb_dir)
+    dv_name = f"dv-{uuid.uuid4().hex}.parquet"
+    part = next(
+        f for f in os.listdir(tomb_dir) if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(tomb_dir, part), os.path.join(table_path, dv_name))
+    shutil.rmtree(tomb_dir, ignore_errors=True)
+    # per-file tombstone cardinality — bounded by the candidate file
+    # count, i.e. metadata-rate, like every other driver-side list here
+    tomb_df = spark.read.parquet(os.path.join(table_path, dv_name))
+    counts = {
+        r["file_name"]: r["n"]
+        for r in tomb_df.groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cdc_adds: list[dict] = []
+    if change_feed:
+        deleted = matched.drop(_DV_FILE_COL, _DV_ROW_COL)
+        if mapping:
+            deleted = deleted.select(
+                *[F.col(lg).alias(ph) for lg, ph in mapping.items()]
+            )
+        cdc_adds = _write_cdc_files(
+            deleted.withColumn(CHANGE_TYPE_COL, F.lit("delete")), table_path
+        )
+    now_ms = int(time.time() * 1000)
+    removes: list[dict] = []
+    re_adds: list[dict] = []
+    touched = 0
+    for p, a in candidates.items():
+        name = os.path.basename(p)
+        n_dead = counts.get(name, 0)
+        had_dv = bool(a.get("deletionVector"))
+        if n_dead == 0 and not had_dv:
+            continue  # predicate grazed the stats but matched no row
+        touched += 1
+        removes.append(
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+        )
+        total = None
+        try:
+            total = json.loads(a.get("stats", "{}")).get("numRecords")
+        except (json.JSONDecodeError, AttributeError):
+            pass
+        if total is not None and n_dead >= total:
+            continue  # fully dead: remove only, no re-add
+        re_adds.append(
+            {
+                "add": dict(
+                    a,
+                    deletionVector={
+                        "path": dv_name,
+                        "cardinality": n_dead,
+                    },
+                    dataChange=True,
+                )
+            }
+        )
+    if not touched:
+        os.remove(os.path.join(table_path, dv_name))
+        return snap_version, len(untouched) + len(candidates), 0
+    version = snap_version + 1
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "DELETE", "timestamp": now_ms}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        {"metaData": meta},
+        *removes,
+        *re_adds,
+        *({"cdc": c} for c in cdc_adds),
+    ]
+    _commit(table_path, version, actions)
+    return version, len(untouched) + (len(candidates) - touched), touched
 
 
 def optimize(
@@ -1150,7 +1328,9 @@ def optimize(
         )
         if len(prior) <= 1:
             return snap_version  # nothing worth compacting — no commit
-        snap = _scan_active(spark, table_path, meta, prior)
+        snap = _scan_active(
+            spark, table_path, meta, {p: active[p] for p in prior}
+        )
     else:
         prior = sorted(active)
         snap = read(spark, table_path, version=snap_version)
@@ -1234,6 +1414,9 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
                 action = json.loads(line)
                 if "add" in action and retain_versions is None:
                     referenced.add(action["add"]["path"])
+                    dv = action["add"].get("deletionVector")
+                    if dv:
+                        referenced.add(dv["path"])
                 # CDC files belong to their commit: keep them while the
                 # commit is inside the retention window (read_changes
                 # from an older start raises on the missing file, the
@@ -1243,7 +1426,13 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
     if retain_versions is not None:
         for v in versions:
             if v >= horizon:
-                referenced.update(_replay(table_path, v)[0])
+                state_v = _replay_state(table_path, v)
+                referenced.update(state_v["active"])
+                referenced.update(
+                    a["deletionVector"]["path"]
+                    for a in state_v["active"].values()
+                    if a.get("deletionVector")
+                )
     removed = []
     for dirpath, dirs, files in os.walk(table_path):
         # never descend into the log or a live writer's staging dir
@@ -1452,10 +1641,14 @@ def restore(spark: SparkSession, table_path: str, version: int) -> int:
     snap_version = versions[-1]
     cur = _replay_state(table_path, snap_version)
     old = _replay_state(table_path, version)
+    needed = set(old["active"])
+    needed.update(
+        a["deletionVector"]["path"]
+        for a in old["active"].values()
+        if a.get("deletionVector")
+    )
     missing = [
-        p
-        for p in old["active"]
-        if not os.path.exists(os.path.join(table_path, p))
+        p for p in needed if not os.path.exists(os.path.join(table_path, p))
     ]
     if missing:
         raise FileNotFoundError(
@@ -1464,8 +1657,13 @@ def restore(spark: SparkSession, table_path: str, version: int) -> int:
         )
     now_ms = int(time.time() * 1000)
     removes = [p for p in sorted(cur["active"]) if p not in old["active"]]
+    # re-add any file whose PAYLOAD changed too (e.g. it gained or lost a
+    # deletionVector after the target version) — the re-add overwrites the
+    # current entry at replay
     adds = [
-        old["active"][p] for p in sorted(old["active"]) if p not in cur["active"]
+        old["active"][p]
+        for p in sorted(old["active"])
+        if cur["active"].get(p) != old["active"][p]
     ]
     actions: list[dict] = [
         {"commitInfo": {"operation": "RESTORE", "timestamp": now_ms}},

@@ -1127,3 +1127,106 @@ def test_optimize_min_file_size_compacts_only_dust(spark, tdir):
     # no-op when fewer than two files qualify: same version, no commit
     assert deltalite.optimize(spark, tdir, min_file_size=10) == v
     assert deltalite.latest_version(tdir) == v
+
+
+def test_dv_delete_merge_on_read(spark, tdir):
+    """Deletion-vector DELETE: no data file is rewritten — matching row
+    addresses go to one tombstone sidecar, readers anti-join them away,
+    time travel still sees them, and stats-disjoint files are never
+    touched."""
+    for lo in (0, 10, 20):
+        deltalite.write(
+            spark,
+            _df(spark, [(lo + j, f"v{lo + j}") for j in range(5)]).coalesce(1),
+            tdir,
+            "overwrite" if lo == 0 else "append",
+        )
+    data_before = {
+        f for f in os.listdir(tdir) if f.startswith("part-")
+    }
+    v, untouched, touched = deltalite.delete(
+        spark, tdir, [("k", "<=", 2)], deletion_vectors=True
+    )
+    assert (untouched, touched) == (2, 1)  # stats prune two of three
+    assert {
+        f for f in os.listdir(tdir) if f.startswith("part-")
+    } == data_before  # merge-on-read: zero data files rewritten
+    assert any(f.startswith("dv-") for f in os.listdir(tdir))
+    got = {r.k for r in deltalite.read(spark, tdir).collect()}
+    assert got == {3, 4} | set(range(10, 15)) | set(range(20, 25))
+    # the dead rows are still in the old snapshot
+    assert len(deltalite.read(spark, tdir, version=v - 1).collect()) == 15
+    # the change feed carries exactly the deleted rows
+    feed = deltalite.read_changes(spark, tdir, v, v).collect()
+    assert {(r.k, r._change_type) for r in feed} == {
+        (0, "delete"), (1, "delete"), (2, "delete")
+    }
+
+
+def test_dv_delete_unions_and_full_file_drop(spark, tdir):
+    """A second DV delete on the same file unions tombstones; deleting
+    every remaining row of a file drops it from the active set without
+    a rewrite; COW DML afterwards never resurrects dead rows."""
+    deltalite.write(
+        spark, _df(spark, [(i, f"v{i}") for i in range(6)]).coalesce(1), tdir
+    )
+    deltalite.delete(spark, tdir, [("k", "<=", 1)], deletion_vectors=True)
+    deltalite.delete(spark, tdir, [("k", "=", 2)], deletion_vectors=True)
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {3, 4, 5}
+    # kill the rest: the file is fully dead -> removed, no re-add
+    v, _, _ = deltalite.delete(
+        spark, tdir, [("k", ">=", 3)], deletion_vectors=True
+    )
+    state = deltalite._replay_state(tdir, v)
+    assert state["active"] == {}
+    assert deltalite.read(spark, tdir).count() == 0
+    # history intact at every step
+    assert deltalite.read(spark, tdir, version=1).count() == 4
+    assert deltalite.read(spark, tdir, version=2).count() == 3
+
+
+def test_dv_then_cow_interplay_and_optimize_purge(spark, tdir):
+    """COW operations on a DV'd table must apply tombstones when they
+    rewrite: merge doesn't resurrect dead keys, and OPTIMIZE purges the
+    tombstones into clean files."""
+    deltalite.write(
+        spark, _df(spark, [(i, f"v{i}") for i in range(8)]).coalesce(1), tdir
+    )
+    deltalite.delete(spark, tdir, [("k", "<=", 2)], deletion_vectors=True)
+    deltalite.merge(spark, _df(spark, [(3, "B"), (9, "z")]), tdir, ["k"])
+    got = {r.k: r.v for r in deltalite.read(spark, tdir).collect()}
+    assert got == {3: "B", 4: "v4", 5: "v5", 6: "v6", 7: "v7", 9: "z"}
+    v = deltalite.optimize(spark, tdir, n_files=1)
+    state = deltalite._replay_state(tdir, v)
+    assert all(
+        not a.get("deletionVector") for a in state["active"].values()
+    )  # tombstones purged into clean files
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {
+        3, 4, 5, 6, 7, 9
+    }
+
+
+def test_dv_vacuum_and_restore(spark, tdir):
+    """Default vacuum keeps referenced DV sidecars; restore to a
+    pre-delete version resurrects the rows (payload-level re-add), and
+    restoring back to the DV version re-applies the tombstones."""
+    deltalite.write(
+        spark, _df(spark, [(i, f"v{i}") for i in range(5)]).coalesce(1), tdir
+    )
+    vdel, _, _ = deltalite.delete(
+        spark, tdir, [("k", "=", 0)], deletion_vectors=True
+    )
+    assert deltalite.vacuum(tdir) == []  # DV sidecar is referenced
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1, 2, 3, 4}
+    v_back = deltalite.restore(spark, tdir, 0)
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {
+        0, 1, 2, 3, 4
+    }
+    deltalite.restore(spark, tdir, vdel)
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1, 2, 3, 4}
+    assert v_back == vdel + 1
+    with pytest.raises(ValueError, match="change_feed"):
+        deltalite.delete(
+            spark, tdir, [("k", "=", 1)], change_feed=False,
+            deletion_vectors=True,
+        )

@@ -35,6 +35,7 @@ _op = st.one_of(
     st.tuples(st.just("overwrite"), _rows),
     st.tuples(st.just("merge"), _rows),
     st.tuples(st.just("delete"), st.integers(0, 9)),
+    st.tuples(st.just("dvdelete"), st.integers(0, 9)),
     st.tuples(st.just("optimize"), st.integers(1, 2)),
     st.tuples(st.just("restore"), st.integers(0, 100)),
 )
@@ -75,6 +76,13 @@ def test_deltalite_random_dml_matches_model(spark, first, ops):
             elif kind == "delete":
                 v, _, _ = deltalite.delete(spark, tdir, [("k", "<=", arg)])
                 model = {k: x for k, x in model.items() if k > arg}
+            elif kind == "dvdelete":  # merge-on-read tombstones
+                v, _, touched = deltalite.delete(
+                    spark, tdir, [("k", ">=", arg)], deletion_vectors=True
+                )
+                if not touched and v in history:
+                    continue  # no-op: nothing matched, no commit
+                model = {k: x for k, x in model.items() if k < arg}
             elif kind == "optimize":
                 v = deltalite.optimize(spark, tdir, n_files=arg)
                 # layout only: state unchanged

@@ -46,6 +46,8 @@ COLLECT_ALLOWED = {
     "sink_deltalite_data_skipping": "1-row max() range-sizing probe",
     # 1-row max(o_custkey) sizes the delete-key band.
     "engine_deltalite_targeted_delete": "1-row max() band-sizing probe",
+    # 1-row max(o_custkey) sizes the DV-delete key band.
+    "engine_deltalite_dv_delete": "1-row max() band-sizing probe",
     # 1-row max(o_orderkey) sizes the 8 disjoint merge-file ranges.
     "engine_deltalite_merge_pruned": "1-row max() range-sizing probe",
     # 1-row max(o_orderkey)//2 sets the delete cutoff of the history.
