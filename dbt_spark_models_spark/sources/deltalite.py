@@ -861,6 +861,7 @@ def merge(
     table_path: str,
     keys: list[str],
     change_feed: bool = True,
+    deletion_vectors: bool = False,
 ) -> int:
     """MERGE by copy-on-write rewrite, the parquet-table strategy real
     Delta uses for matched files: matched keys update every column,
@@ -878,7 +879,18 @@ def merge(
     files holding the upserted keys, not the table). The snapshot version
     is captured ONCE and the commit lands at snapshot+1, so a concurrent
     commit makes the O_EXCL create raise ConcurrentWriteError (retry on a
-    fresh snapshot) instead of being silently clobbered."""
+    fresh snapshot) instead of being silently clobbered.
+
+    ``deletion_vectors=True`` makes the merge MERGE-ON-READ: matched
+    pre-image rows are tombstoned in place (no candidate file is
+    rewritten — each is re-pointed at one sidecar, exactly like the DV
+    delete) and the WHOLE source (updates + inserts) lands as one new
+    append. Upsert cost becomes ∝ |source| + |matched rows|, not
+    ∝ bytes of every file holding a matched key — the shape that keeps
+    continuous upserts affordable on a 100 TB table; OPTIMIZE purges
+    the tombstones on its own schedule."""
+    if deletion_vectors and not change_feed:
+        raise ValueError("deletion_vectors=True requires change_feed=True")
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError("merge source has duplicate unique_key rows")
@@ -917,10 +929,34 @@ def merge(
         for p in sorted(active)
         if overlap is not None and not _maybe_skip(active[p], phys_overlap)
     ]
+    now_ms = int(time.time() * 1000)
     adds: list[dict] = []
     cdc_adds: list[dict] = []
+    dv_removes: list[dict] = []
+    dv_re_adds: list[dict] = []
+    dv_mode = deletion_vectors and overlap is not None and bool(rewrite)
     if overlap is not None:  # empty source merges nothing
-        if rewrite:
+        if dv_mode:
+            candidates = {p: active[p] for p in rewrite}
+            target_addr = _scan_active(
+                spark, table_path, meta, candidates, with_row_address=True
+            )
+            # matched pre-images are tombstoned in place; the whole
+            # source (updates + inserts) lands as one new append
+            matched = target_addr.join(
+                source.select(*keys), on=keys, how="left_semi"
+            )
+            dv_name, dv_counts = _write_tombstones(
+                spark, table_path, candidates, matched
+            )
+            dv_removes, dv_re_adds, touched = _dv_repoint_actions(
+                candidates, dv_name, dv_counts, now_ms
+            )
+            if not touched:  # stats grazed, no key matched: insert-only
+                os.remove(os.path.join(table_path, dv_name))
+            target = target_addr.drop(_DV_FILE_COL, _DV_ROW_COL)
+            result = source.select(*out_cols)
+        elif rewrite:
             target = _scan_active(
                 spark, table_path, meta, {p: active[p] for p in rewrite}
             )
@@ -964,15 +1000,23 @@ def merge(
                     CHANGE_TYPE_COL,
                 )
             cdc_adds = _write_cdc_files(changes, table_path)
-    now_ms = int(time.time() * 1000)
-    actions: list[dict] = [
-        {"commitInfo": {"operation": "MERGE", "timestamp": now_ms}},
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {"metaData": meta},
-        *(
+    if dv_mode:
+        protocol = {"minReaderVersion": 3, "minWriterVersion": 7}
+        remove_actions = dv_removes
+        re_add_actions = dv_re_adds
+    else:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        remove_actions = [
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
             for p in rewrite
-        ),
+        ]
+        re_add_actions = []
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "MERGE", "timestamp": now_ms}},
+        {"protocol": protocol},
+        {"metaData": meta},
+        *remove_actions,
+        *re_add_actions,
         *({"add": a} for a in adds),
         *({"cdc": c} for c in cdc_adds),
     ]
@@ -1174,43 +1218,7 @@ def _delete_with_dv(
         spark, table_path, meta, candidates, with_row_address=True
     )
     matched = df.filter(F.coalesce(match, F.lit(False)))
-    tomb_dir = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
-    prior_dvs = [
-        a["deletionVector"]["path"]
-        for a in candidates.values()
-        if a.get("deletionVector")
-    ]
-    new_tomb = matched.select(
-        F.col(_DV_FILE_COL).alias("file_name"),
-        F.col(_DV_ROW_COL).alias("row_index"),
-    )
-    if prior_dvs:
-        # the new sidecar carries the UNION so one pointer per file
-        # suffices (old sidecars become unreferenced once no active add
-        # points at them — vacuum's retention rules apply as usual)
-        old = spark.read.parquet(
-            *[os.path.join(table_path, d) for d in sorted(set(prior_dvs))]
-        ).select("file_name", "row_index")
-        names = [os.path.basename(p) for p in candidates]
-        new_tomb = new_tomb.unionByName(
-            old.filter(F.col("file_name").isin(names))
-        ).distinct()
-    new_tomb.coalesce(1).write.parquet(tomb_dir)
-    dv_name = f"dv-{uuid.uuid4().hex}.parquet"
-    part = next(
-        f for f in os.listdir(tomb_dir) if f.endswith(".parquet")
-    )
-    os.rename(os.path.join(tomb_dir, part), os.path.join(table_path, dv_name))
-    shutil.rmtree(tomb_dir, ignore_errors=True)
-    # per-file tombstone cardinality — bounded by the candidate file
-    # count, i.e. metadata-rate, like every other driver-side list here
-    tomb_df = spark.read.parquet(os.path.join(table_path, dv_name))
-    counts = {
-        r["file_name"]: r["n"]
-        for r in tomb_df.groupBy("file_name")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    dv_name, counts = _write_tombstones(spark, table_path, candidates, matched)
     cdc_adds: list[dict] = []
     if change_feed:
         deleted = matched.drop(_DV_FILE_COL, _DV_ROW_COL)
@@ -1222,6 +1230,75 @@ def _delete_with_dv(
             deleted.withColumn(CHANGE_TYPE_COL, F.lit("delete")), table_path
         )
     now_ms = int(time.time() * 1000)
+    removes, re_adds, touched = _dv_repoint_actions(
+        candidates, dv_name, counts, now_ms
+    )
+    if not touched:
+        os.remove(os.path.join(table_path, dv_name))
+        return snap_version, len(untouched) + len(candidates), 0
+    version = snap_version + 1
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "DELETE", "timestamp": now_ms}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        {"metaData": meta},
+        *removes,
+        *re_adds,
+        *({"cdc": c} for c in cdc_adds),
+    ]
+    _commit(table_path, version, actions)
+    return version, len(untouched) + (len(candidates) - touched), touched
+
+
+def _write_tombstones(
+    spark: SparkSession, table_path: str, candidates: dict, matched: DataFrame
+) -> tuple[str, dict]:
+    """Write ONE tombstone sidecar holding ``matched``'s row addresses
+    unioned with the candidates' prior tombstones (one pointer per file
+    suffices; old sidecars become unreferenced once no active add points
+    at them — vacuum's retention rules apply as usual). Returns
+    (sidecar name, {file name: tombstone cardinality})."""
+    prior_dvs = [
+        a["deletionVector"]["path"]
+        for a in candidates.values()
+        if a.get("deletionVector")
+    ]
+    new_tomb = matched.select(
+        F.col(_DV_FILE_COL).alias("file_name"),
+        F.col(_DV_ROW_COL).alias("row_index"),
+    )
+    if prior_dvs:
+        old = spark.read.parquet(
+            *[os.path.join(table_path, d) for d in sorted(set(prior_dvs))]
+        ).select("file_name", "row_index")
+        names = [os.path.basename(p) for p in candidates]
+        new_tomb = new_tomb.unionByName(
+            old.filter(F.col("file_name").isin(names))
+        ).distinct()
+    tomb_dir = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
+    new_tomb.coalesce(1).write.parquet(tomb_dir)
+    dv_name = f"dv-{uuid.uuid4().hex}.parquet"
+    part = next(f for f in os.listdir(tomb_dir) if f.endswith(".parquet"))
+    os.rename(os.path.join(tomb_dir, part), os.path.join(table_path, dv_name))
+    shutil.rmtree(tomb_dir, ignore_errors=True)
+    # per-file tombstone cardinality — bounded by the candidate file
+    # count, i.e. metadata-rate, like every other driver-side list here
+    tomb_df = spark.read.parquet(os.path.join(table_path, dv_name))
+    counts = {
+        r["file_name"]: r["n"]
+        for r in tomb_df.groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return dv_name, counts
+
+
+def _dv_repoint_actions(
+    candidates: dict, dv_name: str, counts: dict, now_ms: int
+) -> tuple[list[dict], list[dict], int]:
+    """Remove + re-add (same path, new deletionVector) for every
+    candidate that gained tombstones or already carried a sidecar;
+    fully-dead files get the remove only. Returns (removes, re_adds,
+    touched count)."""
     removes: list[dict] = []
     re_adds: list[dict] = []
     touched = 0
@@ -1246,28 +1323,12 @@ def _delete_with_dv(
             {
                 "add": dict(
                     a,
-                    deletionVector={
-                        "path": dv_name,
-                        "cardinality": n_dead,
-                    },
+                    deletionVector={"path": dv_name, "cardinality": n_dead},
                     dataChange=True,
                 )
             }
         )
-    if not touched:
-        os.remove(os.path.join(table_path, dv_name))
-        return snap_version, len(untouched) + len(candidates), 0
-    version = snap_version + 1
-    actions: list[dict] = [
-        {"commitInfo": {"operation": "DELETE", "timestamp": now_ms}},
-        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
-        {"metaData": meta},
-        *removes,
-        *re_adds,
-        *({"cdc": c} for c in cdc_adds),
-    ]
-    _commit(table_path, version, actions)
-    return version, len(untouched) + (len(candidates) - touched), touched
+    return removes, re_adds, touched
 
 
 def optimize(
@@ -1848,3 +1909,156 @@ def clone(
     ]
     _commit(dst_path, 0, actions)
     return 0
+
+
+def update(
+    spark: SparkSession,
+    table_path: str,
+    filters: list[tuple],
+    set_exprs: dict[str, str],
+    change_feed: bool = True,
+    deletion_vectors: bool = False,
+) -> tuple[int, int, int]:
+    """UPDATE ... SET ... WHERE — the third DML verb, same pruning and
+    commit discipline as DELETE/MERGE: only files whose stats overlap
+    ``filters`` are candidates; matching rows get ``set_exprs`` (column
+    -> Spark SQL expression over the logical columns) applied and are
+    re-written, non-matching rows pass through; ONE atomic commit.
+
+    ``deletion_vectors=True`` makes it merge-on-read: matched pre-image
+    rows are tombstoned in place and only the UPDATED rows land as a new
+    append — update cost ∝ matching rows, not candidate-file bytes.
+    CDF rows (update_preimage/update_postimage) are written either way
+    when ``change_feed`` (required for DV mode, like delete/merge).
+
+    Returns (version, files untouched, files rewritten/re-pointed)."""
+    _OPS = {
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+        "=": lambda c, v: c == v,
+        "==": lambda c, v: c == v,
+    }
+    if deletion_vectors and not change_feed:
+        raise ValueError("deletion_vectors=True requires change_feed=True")
+    snap_version = _list_versions(table_path)[-1]
+    state = _replay_state(table_path, snap_version)
+    active, meta = state["active"], state["meta"]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta)
+    out_cols = [f.name for f in schema.fields]
+    bad = set(set_exprs) - set(out_cols)
+    if bad:
+        raise ValueError(f"SET on unknown column(s): {sorted(bad)}")
+    pcols = meta.get("partitionColumns") or []
+    if set(set_exprs) & set(pcols):
+        raise ValueError("updating a partition column is not supported")
+    phys_filters = _translate_filters(filters, mapping)
+    untouched, candidates = [], {}
+    for p in sorted(active):
+        if _maybe_skip(active[p], phys_filters):
+            untouched.append(p)
+        else:
+            candidates[p] = active[p]
+    match = F.lit(True)
+    for col, op, lit in filters:
+        match = match & _OPS[op](F.col(col), F.lit(lit))
+
+    def apply_set(df: DataFrame) -> DataFrame:
+        # conform each SET expression back to the COMMITTED column type
+        # so the written files match the preserved metaData
+        types = {f.name: f.dataType for f in schema.fields}
+        return df.select(
+            *[
+                (
+                    F.expr(set_exprs[c]).cast(types[c]).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in out_cols
+            ]
+        )
+
+    now_ms = int(time.time() * 1000)
+    adds: list[dict] = []
+    cdc_adds: list[dict] = []
+    removes: list[dict] = []
+    re_adds: list[dict] = []
+    touched = 0
+    if candidates:
+        if deletion_vectors:
+            df = _scan_active(
+                spark, table_path, meta, candidates, with_row_address=True
+            )
+            matched = df.filter(F.coalesce(match, F.lit(False)))
+            dv_name, counts = _write_tombstones(
+                spark, table_path, candidates, matched
+            )
+            removes, re_adds, touched = _dv_repoint_actions(
+                candidates, dv_name, counts, now_ms
+            )
+            pre = matched.drop(_DV_FILE_COL, _DV_ROW_COL)
+            post = apply_set(pre)
+            if not touched:
+                os.remove(os.path.join(table_path, dv_name))
+            else:
+                adds = _write_data_files(
+                    _to_physical(post, mapping) if mapping else post,
+                    table_path,
+                    pcols or None,
+                )
+        else:
+            df = _scan_active(spark, table_path, meta, candidates)
+            pre = df.filter(F.coalesce(match, F.lit(False)))
+            post = apply_set(pre)
+            result = df.filter(F.coalesce(~match, F.lit(True))).unionByName(
+                post
+            )
+            touched = len(candidates)
+            removes = [
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+                for p in candidates
+            ]
+            adds = _write_data_files(
+                _to_physical(result, mapping) if mapping else result,
+                table_path,
+                pcols or None,
+            )
+        if change_feed and touched:
+            changes = pre.withColumn(
+                CHANGE_TYPE_COL, F.lit("update_preimage")
+            ).unionByName(
+                post.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+            )
+            if mapping:
+                changes = changes.select(
+                    *[F.col(lg).alias(ph) for lg, ph in mapping.items()],
+                    CHANGE_TYPE_COL,
+                )
+            cdc_adds = _write_cdc_files(changes, table_path)
+    if not touched:
+        return snap_version, len(untouched) + len(candidates), 0
+    proto = (
+        {"minReaderVersion": 3, "minWriterVersion": 7}
+        if deletion_vectors
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    version = snap_version + 1
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "UPDATE", "timestamp": now_ms}},
+        {"protocol": proto},
+        {"metaData": meta},
+        *removes,
+        *re_adds,
+        *({"add": a} for a in adds),
+        *({"cdc": c} for c in cdc_adds),
+    ]
+    _commit(table_path, version, actions)
+    return version, len(untouched) + (len(candidates) - touched), touched

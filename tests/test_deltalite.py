@@ -1230,3 +1230,118 @@ def test_dv_vacuum_and_restore(spark, tdir):
             spark, tdir, [("k", "=", 1)], change_feed=False,
             deletion_vectors=True,
         )
+
+
+def test_dv_merge_on_read(spark, tdir):
+    """DV MERGE: matched pre-images are tombstoned in place, the whole
+    source lands as one append — candidate files keep their bytes, the
+    change feed carries exact pre/post images, and the result equals a
+    COW merge."""
+    for lo in (0, 10, 20):
+        deltalite.write(
+            spark,
+            _df(spark, [(lo + j, f"v{lo + j}") for j in range(5)]).coalesce(1),
+            tdir,
+            "overwrite" if lo == 0 else "append",
+        )
+    data_before = {f for f in os.listdir(tdir) if f.startswith("part-")}
+    src = _df(spark, [(1, "ONE"), (2, "TWO"), (99, "NEW")]).coalesce(1)
+    v = deltalite.merge(spark, src, tdir, ["k"], deletion_vectors=True)
+    after = {f for f in os.listdir(tdir) if f.startswith("part-")}
+    assert data_before < after and len(after - data_before) == 1  # one append
+    got = {r.k: r.v for r in deltalite.read(spark, tdir).collect()}
+    expect = {i: f"v{i}" for i in list(range(5)) + list(range(10, 15)) + list(range(20, 25))}
+    expect.update({1: "ONE", 2: "TWO", 99: "NEW"})
+    assert got == expect
+    # stats-disjoint files (10-14, 20-24) were never re-pointed
+    state = deltalite._replay_state(tdir, v)
+    dv_files = {
+        p: a.get("deletionVector")
+        for p, a in state["active"].items()
+        if a.get("deletionVector")
+    }
+    assert len(dv_files) == 1  # only the 0-4 file carries tombstones
+    assert list(dv_files.values())[0]["cardinality"] == 2
+    # exact CDF: two updates (pre+post) and one insert
+    feed = deltalite.read_changes(spark, tdir, v, v).collect()
+    assert {(r.k, r.v, r._change_type) for r in feed} == {
+        (1, "v1", "update_preimage"), (1, "ONE", "update_postimage"),
+        (2, "v2", "update_preimage"), (2, "TWO", "update_postimage"),
+        (99, "NEW", "insert"),
+    }
+    # time travel unaffected; OPTIMIZE purges the tombstones
+    assert len(deltalite.read(spark, tdir, version=v - 1).collect()) == 15
+    vo = deltalite.optimize(spark, tdir, n_files=1)
+    state = deltalite._replay_state(tdir, vo)
+    assert all(not a.get("deletionVector") for a in state["active"].values())
+    assert {r.k: r.v for r in deltalite.read(spark, tdir).collect()} == expect
+
+
+def test_dv_merge_insert_only_repoints_nothing(spark, tdir):
+    """A DV merge whose source keys graze file stats but match no row is
+    a pure append: no file re-pointed, no sidecar left behind."""
+    deltalite.write(
+        spark, _df(spark, [(0, "a"), (4, "b")]).coalesce(1), tdir
+    )
+    v = deltalite.merge(
+        spark, _df(spark, [(2, "mid")]), tdir, ["k"], deletion_vectors=True
+    )
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {0, 2, 4}
+    state = deltalite._replay_state(tdir, v)
+    assert all(not a.get("deletionVector") for a in state["active"].values())
+    assert not any(f.startswith("dv-") for f in os.listdir(tdir))
+    with pytest.raises(ValueError, match="change_feed"):
+        deltalite.merge(
+            spark, _df(spark, [(0, "x")]), tdir, ["k"],
+            change_feed=False, deletion_vectors=True,
+        )
+
+
+def test_update_cow_and_dv(spark, tdir):
+    """UPDATE ... SET ... WHERE in both strategies: stats-disjoint files
+    untouched; COW rewrites candidates; DV re-points them and appends
+    only the updated rows; CDF carries exact pre/post images; SET
+    expressions conform to the committed column types."""
+    for lo in (0, 10, 20):
+        deltalite.write(
+            spark,
+            _df(spark, [(lo + j, f"v{lo + j}") for j in range(5)]).coalesce(1),
+            tdir,
+            "overwrite" if lo == 0 else "append",
+        )
+    # COW: uppercase v where k <= 1
+    v, untouched, touched = deltalite.update(
+        spark, tdir, [("k", "<=", 1)], {"v": "upper(v)"}
+    )
+    assert (untouched, touched) == (2, 1)
+    got = {r.k: r.v for r in deltalite.read(spark, tdir).collect()}
+    assert got[0] == "V0" and got[1] == "V1" and got[2] == "v2"
+    feed = deltalite.read_changes(spark, tdir, v, v).collect()
+    assert {(r.k, r.v, r._change_type) for r in feed} == {
+        (0, "v0", "update_preimage"), (0, "V0", "update_postimage"),
+        (1, "v1", "update_preimage"), (1, "V1", "update_postimage"),
+    }
+    # DV: k = 10 gets a computed value, zero candidate bytes rewritten
+    data_before = {f for f in os.listdir(tdir) if f.startswith("part-")}
+    v2, untouched2, touched2 = deltalite.update(
+        spark, tdir, [("k", "=", 10)], {"v": "concat(v, '!')"},
+        deletion_vectors=True,
+    )
+    assert touched2 == 1
+    after = {f for f in os.listdir(tdir) if f.startswith("part-")}
+    assert data_before < after  # only the appended updated-rows file
+    got = {r.k: r.v for r in deltalite.read(spark, tdir).collect()}
+    assert got[10] == "v10!" and got[11] == "v11"
+    assert len(got) == 15
+    feed = deltalite.read_changes(spark, tdir, v2, v2).collect()
+    assert {(r.k, r.v, r._change_type) for r in feed} == {
+        (10, "v10", "update_preimage"), (10, "v10!", "update_postimage"),
+    }
+    # guards
+    with pytest.raises(ValueError, match="unknown column"):
+        deltalite.update(spark, tdir, [("k", "=", 0)], {"nope": "1"})
+    # no matching stats range: pure no-op, no commit
+    v3, _, t3 = deltalite.update(
+        spark, tdir, [("k", ">=", 999)], {"v": "upper(v)"}
+    )
+    assert t3 == 0 and deltalite.latest_version(tdir) == v2

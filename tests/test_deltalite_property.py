@@ -36,6 +36,8 @@ _op = st.one_of(
     st.tuples(st.just("merge"), _rows),
     st.tuples(st.just("delete"), st.integers(0, 9)),
     st.tuples(st.just("dvdelete"), st.integers(0, 9)),
+    st.tuples(st.just("dvmerge"), _rows),
+    st.tuples(st.just("update"), st.integers(0, 9)),
     st.tuples(st.just("optimize"), st.integers(1, 2)),
     st.tuples(st.just("restore"), st.integers(0, 100)),
 )
@@ -73,9 +75,28 @@ def test_deltalite_random_dml_matches_model(spark, first, ops):
             elif kind == "merge":
                 v = deltalite.merge(spark, df_of(arg), tdir, ["k"])
                 model.update(arg)
+            elif kind == "dvmerge":  # merge-on-read upsert
+                v = deltalite.merge(
+                    spark, df_of(arg), tdir, ["k"], deletion_vectors=True
+                )
+                model.update(arg)
             elif kind == "delete":
                 v, _, _ = deltalite.delete(spark, tdir, [("k", "<=", arg)])
                 model = {k: x for k, x in model.items() if k > arg}
+            elif kind == "update":  # COW or DV picked by parity
+                v, _, touched = deltalite.update(
+                    spark,
+                    tdir,
+                    [("k", "<=", arg)],
+                    {"v": "upper(v)"},
+                    deletion_vectors=bool(arg % 2),
+                )
+                if not touched and v in history:
+                    continue  # no-op: stats matched nothing, no commit
+                model = {
+                    k: (x.upper() if k <= arg else x)
+                    for k, x in model.items()
+                }
             elif kind == "dvdelete":  # merge-on-read tombstones
                 v, _, touched = deltalite.delete(
                     spark, tdir, [("k", ">=", arg)], deletion_vectors=True
