@@ -1274,21 +1274,24 @@ def _write_tombstones(
         new_tomb = new_tomb.unionByName(
             old.filter(F.col("file_name").isin(names))
         ).distinct()
+    new_tomb = new_tomb.persist()
+    # per-file tombstone cardinality — bounded by the candidate file
+    # count, i.e. metadata-rate, like every other driver-side list here
+    # (computed on the frame BEFORE the write so the sidecar isn't
+    # re-read just to count it)
+    counts = {
+        r["file_name"]: r["n"]
+        for r in new_tomb.groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     tomb_dir = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     new_tomb.coalesce(1).write.parquet(tomb_dir)
+    new_tomb.unpersist()
     dv_name = f"dv-{uuid.uuid4().hex}.parquet"
     part = next(f for f in os.listdir(tomb_dir) if f.endswith(".parquet"))
     os.rename(os.path.join(tomb_dir, part), os.path.join(table_path, dv_name))
     shutil.rmtree(tomb_dir, ignore_errors=True)
-    # per-file tombstone cardinality — bounded by the candidate file
-    # count, i.e. metadata-rate, like every other driver-side list here
-    tomb_df = spark.read.parquet(os.path.join(table_path, dv_name))
-    counts = {
-        r["file_name"]: r["n"]
-        for r in tomb_df.groupBy("file_name")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
     return dv_name, counts
 
 
