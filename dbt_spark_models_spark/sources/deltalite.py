@@ -793,9 +793,17 @@ def _scan_active(
             out = out.withColumn(_DV_ROW_COL, F.lit(None).cast("long"))
         return out
     paths = [os.path.join(table_path, p) for p in sorted(kept)]
-    scan_schema = _physical_schema(schema, mapping) if mapping else schema
-    reader = spark.read.schema(scan_schema)
-    if meta.get("partitionColumns"):
+    pcols = meta.get("partitionColumns") or []
+    foreign = any(os.path.isabs(p) for p in kept)
+    scan_fields = [
+        f
+        for f in (
+            _physical_schema(schema, mapping) if mapping else schema
+        ).fields
+        if not (foreign and pcols and f.name in pcols)
+    ]
+    reader = spark.read.schema(StructType(scan_fields))
+    if pcols and not foreign:
         # hive-layout table: the partition columns live in the DIRECTORY
         # names, not the files — basePath makes Spark's partition
         # discovery reconstruct them (typed per the schema) even though we
@@ -809,14 +817,41 @@ def _scan_active(
             if a.get("deletionVector")
         }
     )
-    if dv_paths or with_row_address:
+    if dv_paths or with_row_address or (pcols and foreign):
         # data-file names are globally unique (part-<uuid>), so
-        # (file name, row index) is a stable row address
+        # (file name, row index) is a stable row address. The metadata
+        # columns must be captured HERE, directly on the file-source
+        # relation — they don't survive a join.
         df = df.select(
             "*",
             F.col("_metadata.file_name").alias(_DV_FILE_COL),
             F.col("_metadata.row_index").alias(_DV_ROW_COL),
         )
+    if pcols and foreign:
+        # mixed-root file set (SHALLOW CLONE of a partitioned source):
+        # basePath can't span roots, so reconstruct partition columns
+        # from the log's partitionValues instead — a metadata-rate
+        # (file name, partition values) table broadcast-joined on the
+        # file name. Data files never store partition columns, so this
+        # is lossless.
+        types = {f.name: f.dataType for f in schema.fields}
+        pv_rows = [
+            tuple(
+                [os.path.basename(p)]
+                + [(a.get("partitionValues") or {}).get(c) for c in pcols]
+            )
+            for p, a in kept.items()
+        ]
+        pv_schema = ", ".join(
+            [f"{_DV_FILE_COL} string"] + [f"`{c}` string" for c in pcols]
+        )
+        pv = spark.createDataFrame(pv_rows, pv_schema).select(
+            _DV_FILE_COL,
+            *[F.col(c).cast(types[c]).alias(c) for c in pcols],
+        )
+        df = df.join(F.broadcast(pv), _DV_FILE_COL)
+        if not (dv_paths or with_row_address):
+            df = df.drop(_DV_FILE_COL, _DV_ROW_COL)
     if dv_paths:
         tomb = spark.read.parquet(
             *[os.path.join(table_path, d) for d in dv_paths]
@@ -1877,20 +1912,17 @@ def clone(
     full copy is petabytes and hours, a shallow clone is one commit.
     Same hazard as real Delta documents: VACUUM on the SOURCE can drop
     files a clone still references (the clone's own vacuum only ever
-    touches files under the clone root). Hive-partitioned sources are
-    out of this subset — their reads reconstruct partition columns from
-    directory names under one basePath, which a mixed-root file set
-    breaks."""
+    touches files under the clone root). Hive-partitioned sources work
+    too: a mixed-root file set breaks basePath partition discovery, so
+    the clone's reads reconstruct partition columns from the log's
+    partitionValues via a metadata-rate broadcast join on the unique
+    file name (see _scan_active)."""
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
         version = version_at_timestamp(src_path, timestamp)
     state = _replay_state(src_path, version)
     meta = state["meta"]
-    if meta.get("partitionColumns"):
-        raise ValueError(
-            "shallow clone of a hive-partitioned table is not supported"
-        )
     if _list_versions(dst_path):
         raise ValueError(f"{dst_path} is already a DeltaLite table")
     os.makedirs(dst_path, exist_ok=True)

@@ -1092,11 +1092,35 @@ def test_shallow_clone_at_version_and_guards(spark, tdir):
     assert {r.k for r in deltalite.read(spark, old).collect()} == {1}
     with pytest.raises(ValueError, match="already"):
         deltalite.clone(spark, src, old)
-    part = os.path.join(tdir, "part")
-    df = spark.createDataFrame([(1, "d0")], "id int, day string")
-    deltalite.write(spark, df.coalesce(1), part, partition_by=["day"])
-    with pytest.raises(ValueError, match="partitioned"):
-        deltalite.clone(spark, part, os.path.join(tdir, "p2"))
+
+def test_shallow_clone_partitioned_source(spark, tdir):
+    """Partitioned-source clone: partition columns come back through the
+    log's partitionValues (broadcast join on the unique file name), log-
+    level partition pruning still works, and DML on the clone mixes
+    local and foreign files correctly."""
+    src = os.path.join(tdir, "psrc")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", i * 10) for i in range(12)],
+        "id int, day string, x int",
+    )
+    deltalite.write(spark, df.coalesce(1), src, partition_by=["day"])
+    dst = os.path.join(tdir, "pdst")
+    deltalite.clone(spark, src, dst)
+    got = {(r.id, r.day, r.x) for r in deltalite.read(spark, dst).collect()}
+    assert got == {(i, f"d{i % 3}", i * 10) for i in range(12)}
+    kept, total = deltalite.scan_file_counts(
+        dst, skip_filters=[("day", "=", "d1")]
+    )
+    assert (kept, total) == (1, 3)  # log-level partition pruning intact
+    # DML on the clone: local new files + foreign originals coexist
+    add = spark.createDataFrame([(99, "d1", 0)], "id int, day string, x int")
+    deltalite.write(spark, add.coalesce(1), dst, "append")
+    got = {(r.id, r.day) for r in deltalite.read(spark, dst).collect()}
+    assert (99, "d1") in got and len(got) == 13
+    deltalite.delete(spark, dst, [("id", "=", 0)])
+    assert 0 not in {r.id for r in deltalite.read(spark, dst).collect()}
+    # source untouched throughout
+    assert {r.id for r in deltalite.read(spark, src).collect()} == set(range(12))
 
 
 def test_optimize_min_file_size_compacts_only_dust(spark, tdir):
