@@ -558,6 +558,8 @@ def write(
                 f"append partitioning {partition_by} != table's {existing_parts}"
             )
     mapping = _column_mapping(meta)
+    if mode == "append" and versions:
+        _enforce_constraints(df, meta, "append batch")
     if mapping and mode == "append":
         # column-mapped table: new files carry PHYSICAL names. Additive
         # evolution works like the unmapped path — existing columns keep
@@ -944,6 +946,7 @@ def merge(
     source = source.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+    _enforce_constraints(source, meta, "merge source")
     # 1-row source key-range probe (driver-side O(1)); a file can hold a
     # matched key only if, for EVERY key column, its [min,max] intersects
     # the source's [min,max]
@@ -1091,6 +1094,7 @@ def txn_append(
             raise ValueError(
                 "txn_append to a column-mapped table is not supported"
             )
+        _enforce_constraints(df, meta, "txn_append batch")
         # reuse the TABLE's metaData (validated/widened) — a narrower or
         # retyped batch must never replace the committed schema, and the
         # table's partitioning is preserved on the written files
@@ -2035,6 +2039,7 @@ def update(
             )
             pre = matched.drop(_DV_FILE_COL, _DV_ROW_COL)
             post = apply_set(pre)
+            _enforce_constraints(post, meta, "UPDATE post-image")
             if not touched:
                 os.remove(os.path.join(table_path, dv_name))
             else:
@@ -2047,6 +2052,7 @@ def update(
             df = _scan_active(spark, table_path, meta, candidates)
             pre = df.filter(F.coalesce(match, F.lit(False)))
             post = apply_set(pre)
+            _enforce_constraints(post, meta, "UPDATE post-image")
             result = df.filter(F.coalesce(~match, F.lit(True))).unionByName(
                 post
             )
@@ -2097,3 +2103,110 @@ def update(
     ]
     _commit(table_path, version, actions)
     return version, len(untouched) + (len(candidates) - touched), touched
+
+
+# --------------------------------------------------------------------------
+# CHECK constraints (spec: the ``checkConstraints`` writer feature —
+# expressions stored as ``delta.constraints.<name>`` in the table
+# configuration, validated by every writer before it may commit)
+
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _constraints(meta: dict) -> dict[str, str]:
+    return {
+        k[len(_CONSTRAINT_PREFIX):]: v
+        for k, v in (meta.get("configuration") or {}).items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+
+
+def _enforce_constraints(df: DataFrame, meta: dict, what: str) -> None:
+    """Raise on the first batch row violating any table constraint —
+    writers must validate BEFORE committing (spec: a writer that cannot
+    enforce checkConstraints must refuse to write). One counting job per
+    constrained write; NULL predicates count as violations, like SQL
+    CHECK under Delta semantics (the expression must be TRUE)."""
+    for name, expr in sorted(_constraints(meta).items()):
+        bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1)
+        row = bad.collect()  # 1-row probe
+        if row:
+            raise ValueError(
+                f"{what} violates CHECK constraint {name!r} ({expr}): "
+                f"first bad row {row[0].asDict()}"
+            )
+
+
+def add_check_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): validates every
+    EXISTING row first (one scan, like real Delta), then records the
+    expression in the table configuration with ONE metadata commit —
+    every subsequent write/merge/update batch is checked before it may
+    commit."""
+    versions = _list_versions(table_path)
+    snap_version = versions[-1]
+    state = _replay_state(table_path, snap_version)
+    meta = state["meta"]
+    if f"{_CONSTRAINT_PREFIX}{name}" in (meta.get("configuration") or {}):
+        raise ValueError(f"constraint {name!r} already exists")
+    snap = _scan_active(spark, table_path, meta, state["active"])
+    bad = snap.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1)
+    row = bad.collect()  # 1-row probe
+    if row:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing row "
+            f"violates it: {row[0].asDict()}"
+        )
+    new_meta = dict(
+        meta,
+        configuration={
+            **(meta.get("configuration") or {}),
+            f"{_CONSTRAINT_PREFIX}{name}": expr,
+        },
+    )
+    version = snap_version + 1
+    _commit(
+        table_path,
+        version,
+        [
+            {
+                "commitInfo": {
+                    "operation": "ADD CONSTRAINT",
+                    "timestamp": int(time.time() * 1000),
+                }
+            },
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+            {"metaData": new_meta},
+        ],
+    )
+    return version
+
+
+def drop_check_constraint(table_path: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: one metadata commit."""
+    versions = _list_versions(table_path)
+    snap_version = versions[-1]
+    meta = _replay_state(table_path, snap_version)["meta"]
+    key = f"{_CONSTRAINT_PREFIX}{name}"
+    conf = dict(meta.get("configuration") or {})
+    if key not in conf:
+        raise ValueError(f"no constraint {name!r}")
+    conf.pop(key)
+    version = snap_version + 1
+    _commit(
+        table_path,
+        version,
+        [
+            {
+                "commitInfo": {
+                    "operation": "DROP CONSTRAINT",
+                    "timestamp": int(time.time() * 1000),
+                }
+            },
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+            {"metaData": dict(meta, configuration=conf)},
+        ],
+    )
+    return version

@@ -1369,3 +1369,49 @@ def test_update_cow_and_dv(spark, tdir):
         spark, tdir, [("k", ">=", 999)], {"v": "upper(v)"}
     )
     assert t3 == 0 and deltalite.latest_version(tdir) == v2
+
+
+def test_check_constraints_enforced_on_every_writer(spark, tdir):
+    """CHECK constraints (spec checkConstraints feature): adding one
+    validates existing rows, every write path refuses violating batches
+    BEFORE committing (table state unchanged), compliant writes pass,
+    and DROP CONSTRAINT lifts enforcement."""
+    deltalite.write(spark, _df(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
+    # existing violation blocks creation
+    with pytest.raises(ValueError, match="existing row"):
+        deltalite.add_check_constraint(spark, tdir, "big_k", "k >= 2")
+    v = deltalite.add_check_constraint(spark, tdir, "pos_k", "k > 0")
+    assert v == 1
+    # append / txn_append / merge / update all refuse violating rows
+    with pytest.raises(ValueError, match="pos_k"):
+        deltalite.write(spark, _df(spark, [(0, "x")]).coalesce(1), tdir, "append")
+    with pytest.raises(ValueError, match="pos_k"):
+        deltalite.txn_append(spark, _df(spark, [(-1, "x")]), tdir, "app", 0)
+    with pytest.raises(ValueError, match="pos_k"):
+        deltalite.merge(spark, _df(spark, [(0, "x")]), tdir, ["k"])
+    with pytest.raises(ValueError, match="pos_k"):
+        deltalite.update(spark, tdir, [("k", "=", 1)], {"k": "k - 1"})
+    # NULL predicate counts as a violation (CHECK must be TRUE)
+    with pytest.raises(ValueError, match="pos_k"):
+        deltalite.write(
+            spark,
+            spark.createDataFrame([(None, "x")], "k int, v string").coalesce(1),
+            tdir,
+            "append",
+        )
+    # nothing committed by any refused writer
+    assert deltalite.latest_version(tdir) == v
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1, 2}
+    # compliant writes pass through every verb
+    deltalite.write(spark, _df(spark, [(3, "c")]).coalesce(1), tdir, "append")
+    deltalite.merge(spark, _df(spark, [(2, "B"), (4, "d")]), tdir, ["k"])
+    deltalite.update(spark, tdir, [("k", "=", 1)], {"k": "k + 10"})
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {
+        11, 2, 3, 4
+    }
+    # drop lifts enforcement
+    deltalite.drop_check_constraint(tdir, "pos_k")
+    deltalite.write(spark, _df(spark, [(0, "z")]).coalesce(1), tdir, "append")
+    assert 0 in {r.k for r in deltalite.read(spark, tdir).collect()}
+    with pytest.raises(ValueError, match="no constraint"):
+        deltalite.drop_check_constraint(tdir, "nope")
