@@ -1415,3 +1415,33 @@ def test_check_constraints_enforced_on_every_writer(spark, tdir):
     assert 0 in {r.k for r in deltalite.read(spark, tdir).collect()}
     with pytest.raises(ValueError, match="no constraint"):
         deltalite.drop_check_constraint(tdir, "nope")
+
+
+def test_stream_cdf_follows_deletion_vectors(spark, tdir):
+    """The changeFeed stream tails DV commits exactly like COW ones —
+    merge-on-read is invisible to CDF consumers: the cdc rows are
+    authoritative and the re-pointed adds contribute nothing."""
+    import tempfile as _tf
+
+    deltalite.write(
+        spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), tdir
+    )
+    ckpt = _tf.mkdtemp(prefix="dlcdfdv-ckpt-")
+    got: list = []
+    _run_cdf_stream_batch(spark, tdir, ckpt, got)
+    assert sorted(got) == [
+        (0, "insert", 1, "a"), (0, "insert", 2, "b"), (0, "insert", 3, "c")
+    ]
+    deltalite.delete(spark, tdir, [("k", "=", 2)], deletion_vectors=True)
+    deltalite.merge(
+        spark, _df(spark, [(3, "C"), (4, "d")]).coalesce(1), tdir, ["k"],
+        deletion_vectors=True,
+    )
+    got2: list = []
+    _run_cdf_stream_batch(spark, tdir, ckpt, got2)
+    assert sorted(got2) == [
+        (1, "delete", 2, "b"),
+        (2, "insert", 4, "d"),
+        (2, "update_postimage", 3, "C"),
+        (2, "update_preimage", 3, "c"),
+    ]
