@@ -1445,3 +1445,52 @@ def test_stream_cdf_follows_deletion_vectors(spark, tdir):
         (2, "update_postimage", 3, "C"),
         (2, "update_preimage", 3, "c"),
     ]
+
+
+def test_clone_of_clone_keeps_original_pointers(spark, tdir):
+    """A clone of a clone re-adds the ORIGINAL absolute pointers (no
+    chain of indirection): removing the intermediate clone's log leaves
+    the grandchild fully readable from the source's files."""
+    import shutil as _sh
+
+    src = os.path.join(tdir, "src")
+    mid = os.path.join(tdir, "mid")
+    leaf = os.path.join(tdir, "leaf")
+    deltalite.write(spark, _df(spark, [(1, "a"), (2, "b")]).coalesce(1), src)
+    deltalite.clone(spark, src, mid)
+    deltalite.clone(spark, mid, leaf)
+    state = deltalite._replay_state(leaf)
+    assert all(
+        os.path.isabs(p) and p.startswith(os.path.abspath(src))
+        for p in state["active"]
+    )
+    _sh.rmtree(mid)  # the intermediate is not load-bearing
+    assert {(r.k, r.v) for r in deltalite.read(spark, leaf).collect()} == {
+        (1, "a"), (2, "b")
+    }
+
+
+def test_rename_then_dv_delete(spark, tdir):
+    """Column mapping and deletion vectors compose: tombstones key on
+    file name + row index (rename-agnostic), the CDF delete rows carry
+    physical names (rename-stable feed), and reads under the new
+    logical name apply the tombstones."""
+    deltalite.write(
+        spark, _df(spark, [(i, f"v{i}") for i in range(6)]).coalesce(1), tdir
+    )
+    deltalite.rename_column(tdir, "v", "label")
+    v, _, touched = deltalite.delete(
+        spark, tdir, [("k", "<=", 1)], deletion_vectors=True
+    )
+    assert touched == 1
+    got = {(r.k, r.label) for r in deltalite.read(spark, tdir).collect()}
+    assert got == {(i, f"v{i}") for i in range(2, 6)}
+    feed = deltalite.read_changes(spark, tdir, v, v).collect()
+    assert {(r.k, r.label, r._change_type) for r in feed} == {
+        (0, "v0", "delete"), (1, "v1", "delete")
+    }
+    # a later rename still works and the tombstones follow
+    deltalite.rename_column(tdir, "label", "name")
+    assert {(r.k, r.name) for r in deltalite.read(spark, tdir).collect()} == {
+        (i, f"v{i}") for i in range(2, 6)
+    }
