@@ -1377,17 +1377,17 @@ def optimize(
     spark: SparkSession,
     table_path: str,
     n_files: int = 1,
-    zorder_by: tuple[str, str] | None = None,
+    zorder_by: tuple[str, ...] | None = None,
     zorder_bits: int = 6,
     min_file_size: int | None = None,
 ) -> int:
     """Compact the active file set into ``n_files`` files in ONE commit —
     the small-files op every long-lived streaming-append table needs.
-    With ``zorder_by=(x, y)`` the rows are clustered by the Morton
-    interleave of the two (integer) columns' low ``zorder_bits`` bits:
+    With ``zorder_by=(x, y, ...)`` the rows are clustered by the Morton
+    interleave of the n (integer) columns' low ``zorder_bits`` bits:
     each output file covers one contiguous Z-range, so its min/max stats
-    are tight on BOTH columns and data skipping prunes on either — the
-    jar-free equivalent of Delta's OPTIMIZE ZORDER BY.
+    are tight on EVERY clustered column and data skipping prunes on any
+    of them — the jar-free equivalent of Delta's OPTIMIZE ZORDER BY.
 
     Spec semantics: the commit's add/remove actions carry
     ``dataChange: false`` — the table's CONTENT is untouched (readers of
@@ -1438,13 +1438,16 @@ def optimize(
         prior = sorted(active)
         snap = read(spark, table_path, version=snap_version)
     if zorder_by is not None:
-        x, y = zorder_by
+        cols = list(zorder_by)
+        k = len(cols)
+        if k < 2:
+            raise ValueError("zorder_by needs at least two columns")
         terms = []
         for b in range(zorder_bits):
-            terms.append(f"((((`{x}`) >> {b}) & 1) << {2 * b})")
-            terms.append(f"((((`{y}`) >> {b}) & 1) << {2 * b + 1})")
+            for j, c in enumerate(cols):
+                terms.append(f"((((`{c}`) >> {b}) & 1) << {k * b + j})")
         z = F.expr(" + ".join(terms))
-        width = max(1, (1 << (2 * zorder_bits)) // n_files)
+        width = max(1, (1 << (k * zorder_bits)) // n_files)
         # clamp so a non-dividing n_files can't push rows past the loop;
         # NULL cluster keys (z is NULL) route deterministically to bucket
         # 0 — a layout pass must never drop rows (dataChange=false means

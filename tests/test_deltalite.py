@@ -1494,3 +1494,23 @@ def test_rename_then_dv_delete(spark, tdir):
     assert {(r.k, r.name) for r in deltalite.read(spark, tdir).collect()} == {
         (i, f"v{i}") for i in range(2, 6)
     }
+
+
+def test_optimize_zorder_three_columns(spark, tdir):
+    """n-column ZORDER: all rows survive (NULLs included) and each
+    output file's stats are tight enough to prune on ANY of the three
+    clustered columns."""
+    rows = [(i, i % 4, (i * 3) % 4, (i * 5) % 4) for i in range(64)]
+    rows.append((100, None, 1, 2))
+    df = spark.createDataFrame(rows, "id int, a int, b int, c int")
+    deltalite.write(spark, df.coalesce(2), tdir)
+    deltalite.optimize(spark, tdir, n_files=4, zorder_by=("a", "b", "c"))
+    got = deltalite.read(spark, tdir).collect()
+    assert len(got) == 65
+    for col in ("a", "b", "c"):
+        kept, total = deltalite.scan_file_counts(
+            tdir, skip_filters=[(col, ">=", 99)]
+        )
+        assert kept < total  # stats prune on every clustered column
+    with pytest.raises(ValueError, match="at least two"):
+        deltalite.optimize(spark, tdir, n_files=2, zorder_by=("a",))
