@@ -95,15 +95,30 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(_extract_features_batch, _FEATURE_SCHEMA)
 
 
-@query("multimodal_metadata_partition_plan", oracle=None)
+@query(
+    "multimodal_metadata_partition_plan",
+    oracle="""
+SELECT size_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS bucket_bytes
+FROM (
+    SELECT doc_id, n_chars,
+           NTILE(8) OVER (ORDER BY n_chars, doc_id) AS size_bucket
+    FROM documents
+)
+GROUP BY size_bucket
+""",
+)
 def multimodal_metadata_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata layer: size-bucket partitioning plan for balanced
     Arrow batches (what you'd ``repartitionByRange`` on before heavy decode
-    at 100 TB). Buckets come from distributed approx-quantile boundaries —
-    the same range-sampling idea ``repartitionByRange`` uses — so no global
-    window / single-partition sort anywhere: one tiny agg computes the 7
-    boundaries, broadcast back as literals, and bucket assignment is
-    map-side. Rows-only check: the plan is engine-internal."""
+    at 100 TB). Buckets are the distributed exact NTILE over (size,
+    doc_id) — deterministic and hash-checkable against DuckDB's NTILE
+    (unlike engine-specific ``percentile_approx`` boundaries), with no
+    single-partition sort anywhere: a range shuffle + partitioned windows
+    + a broadcast of per-partition offsets (see ``exact_ntile``)."""
+    from dbt_spark_models_spark.operators.windows import exact_ntile
+
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     meta = d.select(
         "doc_id",
@@ -112,27 +127,12 @@ def multimodal_metadata_partition_plan(spark: SparkSession, sf_dir: str) -> Data
             F.lit("text/plain").alias("mime"),
             F.lit("utf-8").alias("encoding"),
         ).alias("media_meta"),
+        F.col("n_chars").alias("__sz"),
     )
-    probs = [i / 8.0 for i in range(1, 8)]
-    bounds = sorted(
-        set(
-            meta.select(
-                F.percentile_approx(
-                    F.col("media_meta.n_bytes"), probs, 10000
-                ).alias("b")
-            ).head()["b"]
-        )
-    )
-    bucket = F.lit(1)
-    for b in bounds:
-        bucket = bucket + F.when(F.col("media_meta.n_bytes") > b, 1).otherwise(0)
-    return (
-        meta.withColumn("size_bucket", bucket)
-        .groupBy("size_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("media_meta.n_bytes").alias("bucket_bytes"),
-        )
+    bucketed = exact_ntile(meta, ["__sz", "doc_id"], 8, "size_bucket")
+    return bucketed.groupBy("size_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("media_meta.n_bytes").cast("long").alias("bucket_bytes"),
     )
 
 

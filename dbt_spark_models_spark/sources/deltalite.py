@@ -603,8 +603,21 @@ def write(
             )
         }
     else:
+        # INSERT OVERWRITE replaces data, not table POLICY: CHECK
+        # constraints (delta.constraints.*) survive the overwrite and the
+        # new batch must satisfy them before it may commit (spec: a writer
+        # that cannot enforce checkConstraints must refuse to write)
+        if versions:
+            _enforce_constraints(df, meta, "overwrite batch")
         adds = _write_data_files(df, table_path, partition_by)
         meta_action = _meta_action(df, meta.get("id", uuid.uuid4().hex), partition_by)
+        carried = {
+            k: v
+            for k, v in (meta.get("configuration") or {}).items()
+            if k.startswith(_CONSTRAINT_PREFIX)
+        }
+        if carried:
+            meta_action["metaData"]["configuration"] = carried
     actions: list[dict] = [
         {"commitInfo": {"operation": mode.upper(), "timestamp": int(time.time() * 1000)}},
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
@@ -712,14 +725,24 @@ def version_at_timestamp(table_path: str, ts_millis: int) -> int:
     Raises when the target predates the table (like real Delta's
     "timestamp before the earliest version"). Pure log metadata."""
     best = None
+    prev_ts = None
     for v in _list_versions(table_path):
         ts = None
         for action in _commit_actions(table_path, v):
             if "commitInfo" in action:
                 ts = action["commitInfo"].get("timestamp")
                 break
+        # wall-clock steps between writers can make raw commitInfo
+        # timestamps non-monotone; real Delta monotonizes them for
+        # timestampAsOf (each commit's effective ts >= its parent's), so
+        # do the same before comparing — and only then is breaking at the
+        # first effective ts > target safe
+        if ts is not None and prev_ts is not None and ts < prev_ts:
+            ts = prev_ts
         # a commit without commitInfo inherits its neighbors' ordering;
         # versions are monotone so a missing ts just can't WIN on its own
+        if ts is not None:
+            prev_ts = ts
         if ts is not None and ts <= ts_millis:
             best = v
         elif ts is not None and ts > ts_millis:
@@ -991,7 +1014,7 @@ def merge(
                 candidates, dv_name, dv_counts, now_ms
             )
             if not touched:  # stats grazed, no key matched: insert-only
-                os.remove(os.path.join(table_path, dv_name))
+                _remove_sidecar(table_path, dv_name)
             target = target_addr.drop(_DV_FILE_COL, _DV_ROW_COL)
             result = source.select(*out_cols)
         elif rewrite:
@@ -1202,6 +1225,10 @@ def delete(
         df = _scan_active(
             spark, table_path, meta, {p: active[p] for p in rewrite}
         )
+        # stats-grazed predicate, zero matching rows: no rewrite, no
+        # commit (same zero-match gate as the DV path's touched counter)
+        if df.filter(F.coalesce(match, F.lit(False))).isEmpty():
+            return snap_version, len(untouched) + len(rewrite), 0
         # NULL predicate = row does NOT match = row is KEPT (SQL DELETE)
         kept = df.filter(F.coalesce(~match, F.lit(True)))
         if change_feed:
@@ -1273,7 +1300,7 @@ def _delete_with_dv(
         candidates, dv_name, counts, now_ms
     )
     if not touched:
-        os.remove(os.path.join(table_path, dv_name))
+        _remove_sidecar(table_path, dv_name)
         return snap_version, len(untouched) + len(candidates), 0
     version = snap_version + 1
     actions: list[dict] = [
@@ -1286,6 +1313,11 @@ def _delete_with_dv(
     ]
     _commit(table_path, version, actions)
     return version, len(untouched) + (len(candidates) - touched), touched
+
+
+# tombstone rows per sidecar shard before the write fans out to another
+# executor task (a DV-sized update stays one part; a bulk merge shards)
+_DV_SHARD_ROWS = 2_000_000
 
 
 def _write_tombstones(
@@ -1324,14 +1356,35 @@ def _write_tombstones(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    # the sidecar is a DIRECTORY of parquet shards, hash-distributed by
+    # file_name: a DV-sized update writes one part, but a bulk merge with
+    # millions of matched rows fans out across executors instead of
+    # funnelling through a single task (readers do spark.read.parquet on
+    # the directory; pyarrow's dataset reader skips _SUCCESS markers)
+    total = sum(counts.values())
+    n_shards = min(32, 1 + total // _DV_SHARD_ROWS)
     tomb_dir = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
-    new_tomb.coalesce(1).write.parquet(tomb_dir)
+    new_tomb.repartition(n_shards, "file_name").write.parquet(tomb_dir)
     new_tomb.unpersist()
-    dv_name = f"dv-{uuid.uuid4().hex}.parquet"
-    part = next(f for f in os.listdir(tomb_dir) if f.endswith(".parquet"))
-    os.rename(os.path.join(tomb_dir, part), os.path.join(table_path, dv_name))
-    shutil.rmtree(tomb_dir, ignore_errors=True)
+    dv_name = f"dv-{uuid.uuid4().hex}"
+    dest = os.path.join(table_path, dv_name)
+    os.rename(tomb_dir, dest)
+    for f in os.listdir(dest):
+        # drop _SUCCESS/CRC markers so the sidecar directory holds only
+        # parquet shards (pyarrow's dataset reader reads it verbatim)
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(dest, f))
     return dv_name, counts
+
+
+def _remove_sidecar(table_path: str, dv_name: str) -> None:
+    """Drop an uncommitted tombstone sidecar (directory of shards; older
+    tables may carry single-file sidecars)."""
+    p = os.path.join(table_path, dv_name)
+    if os.path.isdir(p):
+        shutil.rmtree(p, ignore_errors=True)
+    elif os.path.exists(p):
+        os.remove(p)
 
 
 def _dv_repoint_actions(
@@ -1440,8 +1493,12 @@ def optimize(
     if zorder_by is not None:
         cols = list(zorder_by)
         k = len(cols)
-        if k < 2:
-            raise ValueError("zorder_by needs at least two columns")
+        if k < 1:
+            raise ValueError("zorder_by needs at least one column")
+        # k=1 is legal (real OPTIMIZE ... ZORDER BY (one_col), the common
+        # case for date-clustered facts): the interleave degenerates to
+        # the column's low zorder_bits — i.e. plain range clustering
+        # under the same NULL-to-bucket-0 and clamp semantics as k>=2
         terms = []
         for b in range(zorder_bits):
             for j, c in enumerate(cols):
@@ -1552,7 +1609,9 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
                 continue
             rel = os.path.relpath(os.path.join(dirpath, f), table_path)
             rel = rel.replace(os.sep, "/")
-            if rel not in referenced:
+            # a referenced deletionVector path may be a sidecar DIRECTORY
+            # of shards — its parts are referenced through the directory
+            if rel not in referenced and os.path.dirname(rel) not in referenced:
                 os.remove(os.path.join(dirpath, f))
                 removed.append(rel)
     return sorted(removed)
@@ -1602,27 +1661,6 @@ def _write_cdc_files(df: DataFrame, table_path: str) -> list[dict]:
 def _commit_actions(table_path: str, version: int) -> list[dict]:
     with open(_version_file(table_path, version)) as f:
         return [json.loads(line) for line in f if line.strip()]
-
-
-def _scan_files(
-    spark: SparkSession, table_path: str, meta: dict, rel_paths: list[str]
-) -> DataFrame:
-    """Read an explicit data-file list under the committed (logical)
-    schema: physical→logical column-mapping alias, hive partition-column
-    reconstruction, and null-fill for files predating newer columns —
-    the same semantics as ``read`` but for an arbitrary file set."""
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    mapping = _column_mapping(meta)
-    scan_schema = _physical_schema(schema, mapping) if mapping else schema
-    reader = spark.read.schema(scan_schema)
-    if meta.get("partitionColumns"):
-        reader = reader.option("basePath", table_path)
-    df = reader.parquet(*[os.path.join(table_path, p) for p in rel_paths])
-    if mapping:
-        return df.select(
-            *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields]
-        )
-    return df.select(*[f.name for f in schema.fields])
 
 
 def read_changes(
@@ -1696,20 +1734,47 @@ def read_changes(
             for a in actions
             if "remove" in a and a["remove"].get("dataChange", True)
         ]
-        adds = [
-            a["add"]["path"]
+        add_map = {
+            a["add"]["path"]: a["add"]
             for a in actions
             if "add" in a and a["add"].get("dataChange", True)
-        ]
+        }
+        # The derived path must honor deletion vectors, or it resurrects
+        # tombstoned rows (reading a DV file RAW yields its dead rows):
+        # - a removed file's rows are read through the DV it carried in
+        #   the PARENT snapshot (replayed at v-1, metadata-rate);
+        # - an added file's rows are read through its own add's DV;
+        # - a remove+re-add of the same path whose tombstone cardinality
+        #   is unchanged is a pure repoint (tombstone sets only grow, so
+        #   equal cardinality = equal set = no content change): skip both
+        #   sides — e.g. a DV DML whose predicate grazed a tombstoned
+        #   file but matched zero rows, or RESTORE re-adding an
+        #   unchanged payload.
+        pre_active = (
+            _replay_state(table_path, v - 1)["active"]
+            if removes and v > 0
+            else {}
+        )
+
+        def _dv_card(payload: dict | None) -> int:
+            return ((payload or {}).get("deletionVector") or {}).get(
+                "cardinality", 0
+            )
+
+        for p in sorted(set(removes) & set(add_map)):
+            if _dv_card(pre_active.get(p)) == _dv_card(add_map[p]):
+                removes.remove(p)
+                del add_map[p]
         if removes:
+            kept_rm = {p: pre_active.get(p, {"path": p}) for p in removes}
             frames.append(
-                _scan_files(spark, table_path, meta_now, removes)
+                _scan_active(spark, table_path, meta_now, kept_rm)
                 .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
                 .withColumn(COMMIT_VERSION_COL, F.lit(v))
             )
-        if adds:
+        if add_map:
             frames.append(
-                _scan_files(spark, table_path, meta_now, adds)
+                _scan_active(spark, table_path, meta_now, add_map)
                 .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
                 .withColumn(COMMIT_VERSION_COL, F.lit(v))
             )
@@ -1940,6 +2005,15 @@ def clone(
         a = dict(add)
         # a clone of a clone keeps the original absolute pointers
         a["path"] = p if os.path.isabs(p) else os.path.join(src_abs, p)
+        if a.get("deletionVector"):
+            # deletion-vector sidecars are table-root-relative too: the
+            # clone's readers resolve them against the CLONE root
+            # (_scan_active), so flatten to an absolute source pointer,
+            # same rule (and same clone-of-clone flattening) as data paths
+            dv = dict(a["deletionVector"])
+            if not os.path.isabs(dv["path"]):
+                dv["path"] = os.path.join(src_abs, dv["path"])
+            a["deletionVector"] = dv
         a["dataChange"] = True
         a["modificationTime"] = now_ms
         adds.append(a)
@@ -2044,7 +2118,7 @@ def update(
             post = apply_set(pre)
             _enforce_constraints(post, meta, "UPDATE post-image")
             if not touched:
-                os.remove(os.path.join(table_path, dv_name))
+                _remove_sidecar(table_path, dv_name)
             else:
                 adds = _write_data_files(
                     _to_physical(post, mapping) if mapping else post,
@@ -2054,6 +2128,12 @@ def update(
         else:
             df = _scan_active(spark, table_path, meta, candidates)
             pre = df.filter(F.coalesce(match, F.lit(False)))
+            # a stats-grazed predicate that matches NO row must not
+            # rewrite candidates (full-file delete+insert churn in the
+            # change feed for zero content change) — probe before
+            # committing, mirroring the DV path's touched counter
+            if pre.isEmpty():
+                return snap_version, len(untouched) + len(candidates), 0
             post = apply_set(pre)
             _enforce_constraints(post, meta, "UPDATE post-image")
             result = df.filter(F.coalesce(~match, F.lit(True))).unionByName(
@@ -2128,8 +2208,15 @@ def _enforce_constraints(df: DataFrame, meta: dict, what: str) -> None:
     """Raise on the first batch row violating any table constraint —
     writers must validate BEFORE committing (spec: a writer that cannot
     enforce checkConstraints must refuse to write). One counting job per
-    constrained write; NULL predicates count as violations, like SQL
-    CHECK under Delta semantics (the expression must be TRUE)."""
+    constrained write.
+
+    NULL semantics — pinned, deliberately DIVERGING from the SQL
+    standard: a constraint expression that evaluates to NULL (UNKNOWN)
+    counts as a VIOLATION. Standard SQL CHECK passes UNKNOWN; Delta's
+    invariant enforcement (CheckDeltaInvariant) rejects non-TRUE, and
+    DeltaLite follows Delta so a future differential test against real
+    delta-spark agrees. Covered by
+    tests/test_deltalite.py::test_check_constraint_null_counts_as_violation."""
     for name, expr in sorted(_constraints(meta).items()):
         bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1)
         row = bad.collect()  # 1-row probe

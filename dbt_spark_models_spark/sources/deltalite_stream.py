@@ -54,6 +54,61 @@ from pyspark.sql.datasource import (
 from dbt_spark_models_spark.sources import deltalite
 
 
+def _dead_row_indexes(table_path: str, dv_path, rel_path: str):
+    """Row indexes of ``rel_path`` tombstoned by sidecar ``dv_path``
+    (file or directory of shards); empty set when the file carries no
+    deletion vector. Metadata-rate: one sidecar read per DV file."""
+    if not dv_path:
+        return set()
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(table_path, dv_path))
+    mask = pc.equal(t.column("file_name"), os.path.basename(rel_path))
+    return set(t.filter(mask).column("row_index").to_pylist())
+
+
+def _derived_change_files(table_path: str, actions: list[dict], v: int):
+    """The spec's DV-aware derived-CDF contract, shared by both stream
+    readers and mirroring batch ``read_changes``: for a commit with no
+    cdc actions, pair each dataChange remove/add with the deletionVector
+    it must be read through (removes: the DV carried in the PARENT
+    snapshot, replayed at v-1; adds: the add's own DV), and skip
+    remove+re-add pairs of the same path whose tombstone cardinality is
+    unchanged (tombstone sets only grow, so equal cardinality = pure
+    repoint = no content change). Returns (removes, adds) as lists of
+    (rel_path, dv_path | None)."""
+    removes = [
+        a["remove"]["path"]
+        for a in actions
+        if "remove" in a and a["remove"].get("dataChange", True)
+    ]
+    add_map = {
+        a["add"]["path"]: a["add"]
+        for a in actions
+        if "add" in a and a["add"].get("dataChange", True)
+    }
+    pre_active = (
+        deltalite._replay_state(table_path, v - 1)["active"]
+        if removes and v > 0
+        else {}
+    )
+
+    def dv(payload):
+        return ((payload or {}).get("deletionVector") or {})
+
+    for p in sorted(set(removes) & set(add_map)):
+        if dv(pre_active.get(p)).get("cardinality", 0) == dv(
+            add_map[p]
+        ).get("cardinality", 0):
+            removes.remove(p)
+            del add_map[p]
+    return (
+        [(p, dv(pre_active.get(p)).get("path")) for p in removes],
+        [(p, dv(a).get("path")) for p, a in add_map.items()],
+    )
+
+
 class DeltaLiteStreamSource(DataSource):
     """``spark.readStream.format("deltalite_stream").option("path", p)``."""
 
@@ -149,13 +204,21 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
                         out.append(cols.get(mapping.get(name, name), [None] * n))
                 yield from (tuple(r) for r in zip(*out))
 
-    def _file_rows(self, rel_path: str, fields, pcols, mapping):
+    def _file_rows(self, rel_path: str, fields, pcols, mapping, dv_path=None):
         """One data file's rows in logical-schema order: physical-name
         mapping, null-fill for pre-evolution files, partition columns
-        re-derived from the hive path segments."""
+        re-derived from the hive path segments. ``dv_path`` (the file's
+        deletionVector sidecar, if it carried one in the snapshot being
+        derived) filters its tombstoned row indices away — reading a DV
+        file RAW would resurrect deleted rows into the change feed."""
         import pyarrow.parquet as pq
 
         table = pq.read_table(os.path.join(self.path, rel_path))
+        dead = _dead_row_indexes(self.path, dv_path, rel_path)
+        if dead:
+            table = table.take(
+                [i for i in range(table.num_rows) if i not in dead]
+            )
         cols = {c: table.column(c).to_pylist() for c in table.column_names}
         n = table.num_rows
         pv: dict[str, str | None] = {}
@@ -192,21 +255,8 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
             v for v in deltalite._list_versions(self.path) if start_v < v <= end_v
         ]
         for v in versions:
-            adds, removes, cdc = [], [], []
-            with open(deltalite._version_file(self.path, v)) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    if "add" in action and action["add"].get("dataChange", True):
-                        adds.append(action["add"]["path"])
-                    elif "remove" in action and action["remove"].get(
-                        "dataChange", True
-                    ):
-                        removes.append(action["remove"]["path"])
-                    elif "cdc" in action:
-                        cdc.append(action["cdc"]["path"])
+            actions = deltalite._commit_actions(self.path, v)
+            cdc = [a["cdc"]["path"] for a in actions if "cdc" in a]
             if cdc:
                 # cdc files carry logical names + _change_type already
                 for path in cdc:
@@ -225,9 +275,12 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
                     out.append([v] * n)
                     yield from (tuple(r) for r in zip(*out))
                 continue
-            for paths, ctype in ((removes, "delete"), (adds, "insert")):
-                for path in paths:
-                    out, n = self._file_rows(path, fields, pcols, mapping)
+            removes, adds = _derived_change_files(self.path, actions, v)
+            for pairs, ctype in ((removes, "delete"), (adds, "insert")):
+                for path, dv_path in pairs:
+                    out, n = self._file_rows(
+                        path, fields, pcols, mapping, dv_path
+                    )
                     out.append([ctype] * n)
                     out.append([v] * n)
                     yield from (tuple(r) for r in zip(*out))
@@ -275,6 +328,7 @@ class DeltaLiteFilePartition(InputPartition):
         change_type: str | None,
         version: int,
         cdc: bool,
+        dv_path: str | None = None,
     ):
         self.table_path = table_path
         self.rel_path = rel_path
@@ -284,6 +338,7 @@ class DeltaLiteFilePartition(InputPartition):
         self.change_type = change_type
         self.version = version
         self.cdc = cdc
+        self.dv_path = dv_path
 
 
 class DeltaLiteDistStreamSource(DataSource):
@@ -333,29 +388,26 @@ class DeltaLiteDistStreamReader(DataSourceStreamReader):
         start_v, end_v = int(start["version"]), int(end["version"])
         parts: list[DeltaLiteFilePartition] = []
 
-        def part(rel, ctype, v, cdc=False):
+        def part(rel, ctype, v, cdc=False, dv_path=None):
             return DeltaLiteFilePartition(
-                self.path, rel, fields, pcols, mapping, ctype, v, cdc
+                self.path, rel, fields, pcols, mapping, ctype, v, cdc, dv_path
             )
 
         for v in deltalite._list_versions(self.path):
             if not (start_v < v <= end_v):
                 continue
-            adds, removes, cdc = [], [], []
-            with open(deltalite._version_file(self.path, v)) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    if "add" in action and action["add"].get("dataChange", True):
-                        adds.append(action["add"]["path"])
-                    elif "remove" in action and action["remove"].get(
-                        "dataChange", True
-                    ):
-                        removes.append(action["remove"]["path"])
-                    elif "cdc" in action:
-                        cdc.append(action["cdc"]["path"])
+            actions = deltalite._commit_actions(self.path, v)
+            adds = [
+                a["add"]["path"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]["path"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            cdc = [a["cdc"]["path"] for a in actions if "cdc" in a]
             if not self.change_feed:
                 if removes:
                     raise ValueError(
@@ -366,8 +418,19 @@ class DeltaLiteDistStreamReader(DataSourceStreamReader):
             elif cdc:
                 parts += [part(p, None, v, cdc=True) for p in cdc]
             else:
-                parts += [part(p, "delete", v) for p in removes]
-                parts += [part(p, "insert", v) for p in adds]
+                # DV-aware derived changes (shared contract with the
+                # Simple reader and batch read_changes): planning stays
+                # on the driver, each partition ships its file's
+                # sidecar pointer so the EXECUTOR applies the tombstones
+                rm_pairs, add_pairs = _derived_change_files(
+                    self.path, actions, v
+                )
+                parts += [
+                    part(p, "delete", v, dv_path=d) for p, d in rm_pairs
+                ]
+                parts += [
+                    part(p, "insert", v, dv_path=d) for p, d in add_pairs
+                ]
         return parts
 
     def read(self, partition: "DeltaLiteFilePartition"):
@@ -378,6 +441,11 @@ class DeltaLiteDistStreamReader(DataSourceStreamReader):
 
         p = partition
         table = pq.read_table(os.path.join(p.table_path, p.rel_path))
+        dead = _dead_row_indexes(p.table_path, p.dv_path, p.rel_path)
+        if dead:
+            table = table.take(
+                [i for i in range(table.num_rows) if i not in dead]
+            )
         cols = {c: table.column(c).to_pylist() for c in table.column_names}
         n = table.num_rows
         if p.cdc:

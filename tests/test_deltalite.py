@@ -1512,5 +1512,236 @@ def test_optimize_zorder_three_columns(spark, tdir):
             tdir, skip_filters=[(col, ">=", 99)]
         )
         assert kept < total  # stats prune on every clustered column
-    with pytest.raises(ValueError, match="at least two"):
-        deltalite.optimize(spark, tdir, n_files=2, zorder_by=("a",))
+
+
+def test_optimize_zorder_single_column_range_clusters(spark, tdir):
+    """OPTIMIZE ... ZORDER BY (one_col) is legal (the common case for
+    date-clustered facts): the interleave degenerates to range
+    clustering on the column's low bits, all rows survive (NULLs routed
+    to bucket 0), and the output files' stats prune on that column."""
+    rows = [(i, i % 64) for i in range(128)] + [(1000, None)]
+    df = spark.createDataFrame(rows, "id int, a int")
+    deltalite.write(spark, df.coalesce(2), tdir)
+    deltalite.optimize(spark, tdir, n_files=4, zorder_by=("a",))
+    got = deltalite.read(spark, tdir).collect()
+    assert len(got) == 129
+    kept, total = deltalite.scan_file_counts(
+        tdir, skip_filters=[("a", ">=", 48)]
+    )
+    assert kept < total  # range clustering gives prunable stats
+    with pytest.raises(ValueError, match="at least one"):
+        deltalite.optimize(spark, tdir, n_files=2, zorder_by=())
+
+
+def test_check_constraint_null_counts_as_violation(spark, tdir):
+    """Pinned NULL semantics for CHECK constraints: an expression that
+    evaluates to NULL (UNKNOWN) is a VIOLATION — Delta's invariant rule
+    (CheckDeltaInvariant rejects non-TRUE), deliberately diverging from
+    standard SQL CHECK (which passes UNKNOWN). A differential test
+    against real delta-spark must expect the Delta behavior."""
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    deltalite.add_check_constraint(spark, tdir, "pos_k", "k > 0")
+    null_batch = spark.createDataFrame([(None, "n")], "k int, v string")
+    with pytest.raises(ValueError, match="pos_k"):
+        deltalite.write(spark, null_batch.coalesce(1), tdir, "append")
+    # same rule on every other constrained writer
+    with pytest.raises(ValueError, match="pos_k"):
+        deltalite.merge(spark, null_batch, tdir, ["v"])
+    with pytest.raises(ValueError, match="pos_k"):
+        deltalite.update(spark, tdir, [("k", "=", 1)], {"k": "NULL"})
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1}
+
+
+def test_overwrite_preserves_and_enforces_check_constraints(spark, tdir):
+    """INSERT OVERWRITE replaces data, not table policy: the overwrite
+    batch is validated against existing CHECK constraints BEFORE the
+    commit, and the constraints survive into the new metaData (spec: a
+    writer unable to enforce checkConstraints must refuse to write)."""
+    deltalite.write(spark, _df(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
+    deltalite.add_check_constraint(spark, tdir, "pos_k", "k > 0")
+    with pytest.raises(ValueError, match="pos_k"):
+        deltalite.write(
+            spark, _df(spark, [(0, "x")]).coalesce(1), tdir, "overwrite"
+        )
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1, 2}
+    v = deltalite.write(
+        spark, _df(spark, [(5, "e")]).coalesce(1), tdir, "overwrite"
+    )
+    meta = deltalite._replay_state(tdir, v)["meta"]
+    assert "delta.constraints.pos_k" in meta["configuration"]
+    # still enforced after the overwrite
+    with pytest.raises(ValueError, match="pos_k"):
+        deltalite.write(spark, _df(spark, [(-1, "x")]).coalesce(1), tdir, "append")
+
+
+def test_cow_zero_match_update_and_delete_are_noops(spark, tdir):
+    """A predicate that grazes file stats but matches NO row must not
+    rewrite candidates: COW UPDATE and DELETE probe for a match first
+    and commit nothing (no full-file delete+insert churn in the change
+    feed), mirroring the DV paths' touched counter."""
+    deltalite.write(
+        spark,
+        spark.createDataFrame(
+            [(0, "a"), (2, "b"), (4, "c")], "k int, v string"
+        ).coalesce(1),
+        tdir,
+    )
+    v0 = deltalite.latest_version(tdir)
+    # k=3 is inside the file's [0,4] stats range but matches nothing
+    v, untouched, touched = deltalite.update(
+        spark, tdir, [("k", "=", 3)], {"v": "'x'"}
+    )
+    assert (v, untouched, touched) == (v0, 1, 0)
+    v, untouched, touched = deltalite.delete(spark, tdir, [("k", "=", 3)])
+    assert (v, untouched, touched) == (v0, 1, 0)
+    assert deltalite.latest_version(tdir) == v0  # no commit happened
+    assert deltalite.read_changes(spark, tdir, v0 + 1).count() == 0
+
+
+def test_timestamp_as_of_monotonizes_non_monotone_log(spark, tdir):
+    """Wall-clock steps between writers can produce a non-monotone
+    commitInfo sequence; timestampAsOf monotonizes (each commit's
+    effective ts >= its parent's) like real Delta, so a skewed-high
+    early commit hides later lower-stamped versions instead of the scan
+    returning a later version for an earlier time."""
+    for i in range(3):
+        deltalite.write(
+            spark, _df(spark, [(i, "x")]).coalesce(1), tdir, mode="append" if i else "overwrite"
+        )
+    stamps = {0: 1000, 1: 5000, 2: 2000}  # v2's clock stepped back
+    for v, ts in stamps.items():
+        p = deltalite._version_file(tdir, v)
+        lines = [json.loads(l) for l in open(p) if l.strip()]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(p, "w") as f:
+            for a in lines:
+                f.write(json.dumps(a) + "\n")
+    assert deltalite.version_at_timestamp(tdir, 2000) == 0
+    assert deltalite.version_at_timestamp(tdir, 4999) == 0
+    assert deltalite.version_at_timestamp(tdir, 5000) == 2  # v2 eff ts 5000
+    with pytest.raises(ValueError, match="predates"):
+        deltalite.version_at_timestamp(tdir, 999)
+
+
+def test_clone_of_dv_table_resolves_sidecars(spark, tdir):
+    """SHALLOW CLONE of a table with deletion vectors: the clone's adds
+    carry ABSOLUTE sidecar pointers (like data paths), so reads, DML and
+    clone-of-clone on the clone keep applying the source's tombstones."""
+    src = os.path.join(tdir, "src")
+    c1 = os.path.join(tdir, "c1")
+    c2 = os.path.join(tdir, "c2")
+    deltalite.write(
+        spark, _df(spark, [(i, f"v{i}") for i in range(6)]).coalesce(1), src
+    )
+    deltalite.delete(spark, src, [("k", "<=", 1)], deletion_vectors=True)
+    deltalite.clone(spark, src, c1)
+    assert {r.k for r in deltalite.read(spark, c1).collect()} == {2, 3, 4, 5}
+    state = deltalite._replay_state(c1)
+    for a in state["active"].values():
+        if a.get("deletionVector"):
+            assert os.path.isabs(a["deletionVector"]["path"])
+    # clone-of-clone flattens both data and sidecar pointers
+    deltalite.clone(spark, c1, c2)
+    assert {r.k for r in deltalite.read(spark, c2).collect()} == {2, 3, 4, 5}
+    # DML on the clone diverges copy-on-write without touching the source
+    deltalite.delete(spark, c1, [("k", "=", 2)])
+    assert {r.k for r in deltalite.read(spark, c1).collect()} == {3, 4, 5}
+    assert {r.k for r in deltalite.read(spark, src).collect()} == {2, 3, 4, 5}
+    # restore of the clone's DV snapshot still resolves the sidecar
+    deltalite.restore(spark, c1, 0)
+    assert {r.k for r in deltalite.read(spark, c1).collect()} == {2, 3, 4, 5}
+
+
+def test_dv_sidecar_shards_across_files(spark, tdir, monkeypatch):
+    """A bulk DV operation shards its tombstone sidecar (directory of
+    parquet parts, hash-distributed by file name) instead of funnelling
+    through one coalesce(1) task; readers, vacuum and restore treat the
+    directory exactly like a single-file sidecar."""
+    monkeypatch.setattr(deltalite, "_DV_SHARD_ROWS", 2)
+    deltalite.write(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(12)], "k int, v string"
+        ).repartition(3),
+        tdir,
+    )
+    v, _, touched = deltalite.delete(
+        spark, tdir, [("k", "<=", 7)], deletion_vectors=True
+    )
+    assert touched >= 1
+    dv_dirs = [
+        f
+        for f in os.listdir(tdir)
+        if f.startswith("dv-") and os.path.isdir(os.path.join(tdir, f))
+    ]
+    assert dv_dirs, "sidecar should be a directory of shards"
+    shards = [
+        f for f in os.listdir(os.path.join(tdir, dv_dirs[0]))
+        if f.endswith(".parquet")
+    ]
+    assert len(shards) > 1, "bulk tombstone set should fan out"
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {
+        8, 9, 10, 11
+    }
+    assert deltalite.vacuum(tdir) == []  # shards are referenced via the dir
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {
+        8, 9, 10, 11
+    }
+    deltalite.restore(spark, tdir, 0)
+    assert deltalite.read(spark, tdir).count() == 12
+
+
+def test_cdf_derived_path_honors_deletion_vectors(spark, tdir):
+    """The derived CDF path (commits without cdc actions) must read DV
+    files through their tombstones: a zero-match DV repoint contributes
+    NOTHING (no resurrect of previously-deleted rows — the exact failure
+    change_feed=True exists to prevent), and an overwrite of a DV table
+    surfaces only the LIVE rows as deletes."""
+    deltalite.write(
+        spark, _df(spark, [(i, f"v{i}") for i in range(6)]).coalesce(1), tdir
+    )
+    v1, _, _ = deltalite.delete(
+        spark, tdir, [("k", "<=", 1)], deletion_vectors=True
+    )
+    # predicate grazes the file's [0,5] stats but k=0 is already dead:
+    # zero rows matched, yet the file had a DV so the commit re-points it
+    v2, _, touched = deltalite.delete(
+        spark, tdir, [("k", "=", 0)], deletion_vectors=True
+    )
+    assert v2 == v1 + 1 and touched == 1
+    assert deltalite.read_changes(spark, tdir, v2, v2).count() == 0
+    # overwrite (no cdc): derived deletes are the LIVE rows only
+    v3 = deltalite.write(spark, _df(spark, [(9, "z")]).coalesce(1), tdir)
+    feed = deltalite.read_changes(spark, tdir, v3, v3).collect()
+    deletes = {r.k for r in feed if r._change_type == "delete"}
+    inserts = {r.k for r in feed if r._change_type == "insert"}
+    assert deletes == {2, 3, 4, 5}, "tombstoned rows must not resurrect"
+    assert inserts == {9}
+
+
+def test_stream_cdf_derived_path_honors_deletion_vectors(spark, tdir):
+    """Both streaming readers share the batch derived-CDF contract: a
+    zero-match DV repoint commit streams nothing and an overwrite of a
+    DV table streams only live rows as deletes."""
+    import tempfile as _tf
+
+    deltalite.write(
+        spark, _df(spark, [(i, f"v{i}") for i in range(4)]).coalesce(1), tdir
+    )
+    deltalite.delete(spark, tdir, [("k", "=", 0)], deletion_vectors=True)
+    ckpt = _tf.mkdtemp(prefix="dlcdfdv2-ckpt-")
+    got: list = []
+    _run_cdf_stream_batch(spark, tdir, ckpt, got)  # consume v0..v1
+    # zero-match repoint (grazes stats, k=0 already dead) then overwrite
+    deltalite.delete(spark, tdir, [("k", "=", 0)], deletion_vectors=True)
+    v3 = deltalite.write(spark, _df(spark, [(7, "w")]).coalesce(1), tdir)
+    got2: list = []
+    _run_cdf_stream_batch(spark, tdir, ckpt, got2)
+    assert sorted(got2) == [
+        (v3, "delete", 1, "v1"),
+        (v3, "delete", 2, "v2"),
+        (v3, "delete", 3, "v3"),
+        (v3, "insert", 7, "w"),
+    ]

@@ -22,6 +22,16 @@ def main() -> None:
 
     spark = get_spark("explain")
     registry = load_all()
+    # headline (plan-bound) queries + the DeltaLite family: the ACID gates
+    # aren't benched (their cost is commit orchestration, not plan-bound)
+    # but their SCAN plans are the pruning/DPP evidence the docstrings
+    # cite — pruned parquet scans, DV anti-joins, partition-pruned tails
+    extra = sorted(
+        n
+        for n in registry
+        if "deltalite" in n and not n.startswith("streaming_")
+    ) + ["sink_ivf_partitioned_layout", "multimodal_metadata_partition_plan"]
+    names = list(HEADLINE) + [n for n in extra if n not in HEADLINE]
     lines = [
         "# EXPLAIN — formatted physical plans of the headline queries",
         "",
@@ -31,7 +41,7 @@ def main() -> None:
         "window exchanges partitioned by high-cardinality keys.",
         "",
     ]
-    for name in HEADLINE:
+    for name in names:
         df = registry[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
