@@ -131,6 +131,14 @@ HEADLINE = [
     "agg_theta_sketch_overlap",
     "eval_bootstrap_metric_ci",
     "eval_cohens_kappa",
+    # round-6: deterministic label propagation (one shuffle join + keyed
+    # count + per-node window argmax per round), histogram decision-stump
+    # split finding (one binned agg + bounded-frame split scan), PR-AUC
+    # average precision (bucketed cumulative, no global sort), and the
+    # flagship curation pipeline's distributed running-sum budget cut
+    "graph_label_propagation",
+    "train_decision_stump_histogram",
+    "eval_average_precision",
 ]
 
 

@@ -850,3 +850,114 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return out
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    """Unrolled deterministic label propagation: one (count, argmax) CTE
+    pair per round — the same semi-synchronous update as the Spark loop,
+    with the identical (max count, then min label) tie-break."""
+    head = """
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice >= 450000
+), edges AS MATERIALIZED (
+    SELECT 's' || s AS src, 'c' || c AS dst FROM e
+    UNION ALL
+    SELECT 'c' || c AS src, 's' || s AS dst FROM e
+), l0 AS MATERIALIZED (
+    SELECT DISTINCT src AS node, src AS lab FROM edges
+)"""
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(f""", c{r} AS MATERIALIZED (
+    SELECT e.src AS node, p.lab, COUNT(*) AS cnt
+    FROM edges e JOIN l{r - 1} p ON e.dst = p.node
+    GROUP BY 1, 2
+), l{r} AS MATERIALIZED (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lab) AS rn
+        FROM c{r}
+    ) WHERE rn = 1
+)""")
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT lab AS community, COUNT(*) AS n_members, MIN(node) AS first_node
+FROM l{rounds}
+GROUP BY lab"""
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic label propagation (LPA) over
+    the supplier↔customer trade graph — the classic near-linear community
+    primitive (Raghavan et al. 2007), fifth member of the iterative-graph
+    family. Each round every node adopts the most frequent label among
+    its neighbors, ties broken by the smallest label, so the fixpoint is
+    reproducible (plain LPA's random tie-breaks are not) and the DuckDB
+    oracle can unroll the identical rounds.
+
+    Scale shape, per round: ONE shuffle join (labels keyed on the edge
+    dst) + one map-side-combined (node, label) count + a per-node window
+    argmax — all keyed by node, never materializing more than the edge
+    list; the new label table is localCheckpoint'ed per round (each
+    round's output feeds the next join — unbounded lineage would double
+    the subtree per round, the k-core lesson). At 100 TB this is the
+    same one-exchange-per-round discipline as PageRank, with per-round
+    cost ∝ |E|, rounds bounded (LPA converges in a handful)."""
+    li = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    e = (
+        li["lineitem"]
+        .join(
+            li["orders"].filter(F.col("o_totalprice") >= 450000),
+            li["lineitem"].l_orderkey == li["orders"].o_orderkey,
+        )
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    s_node = F.concat(F.lit("s"), F.col("s").cast("string"))
+    c_node = F.concat(F.lit("c"), F.col("c").cast("string"))
+    edges = (
+        e.select(s_node.alias("src"), c_node.alias("dst"))
+        .unionAll(e.select(c_node.alias("src"), s_node.alias("dst")))
+        .persist()
+    )
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .repartition(parts, "node")
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "lab")
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "lab"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        nxt = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .repartition(parts, "node")
+            .localCheckpoint()  # eager: cut lineage BEFORE dropping parent
+        )
+        labels = nxt
+    out = labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("first_node"),
+    )
+    edges.unpersist()
+    return out

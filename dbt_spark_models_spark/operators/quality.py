@@ -1694,3 +1694,192 @@ def quality_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 6).cast("double").alias("noise"),
         F.round(F.col("exact_n") + noise, 6).cast("double").alias("noisy_n"),
     )
+
+
+@query(
+    "train_decision_stump_histogram",
+    oracle="""
+WITH h AS (
+    SELECT CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS pos
+    FROM orders GROUP BY bin
+), cum AS (
+    SELECT bin,
+           SUM(n)   OVER w AS nl,
+           SUM(pos) OVER w AS posl,
+           SUM(n)   OVER () AS nt,
+           SUM(pos) OVER () AS post
+    FROM h
+    WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+), splits AS (
+    SELECT bin AS split_bin,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nt - nl AS BIGINT) AS n_right,
+           CAST(posl AS BIGINT) AS pos_left,
+           CAST(post - posl AS BIGINT) AS pos_right,
+           ROUND((nl * (1.0 - (posl * 1.0 / nl) * (posl * 1.0 / nl)
+                            - ((nl - posl) * 1.0 / nl)
+                              * ((nl - posl) * 1.0 / nl))
+                + (nt - nl) * (1.0
+                    - ((post - posl) * 1.0 / (nt - nl))
+                      * ((post - posl) * 1.0 / (nt - nl))
+                    - ((nt - nl - post + posl) * 1.0 / (nt - nl))
+                      * ((nt - nl - post + posl) * 1.0 / (nt - nl))))
+                / nt, 6) AS gini
+    FROM cum WHERE nl > 0 AND nt - nl > 0
+)
+SELECT * FROM splits ORDER BY gini, split_bin LIMIT 1
+""",
+)
+def train_decision_stump_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump training (the split-finding core
+    of LightGBM/XGBoost's ``tree_method=hist``): bin the feature
+    (o_totalprice, 10k-wide bins), reduce each bin to sufficient stats
+    (count, positives) with ONE map-side-combined aggregation, then scan
+    the cumulative histogram for the weighted-Gini-minimizing split.
+
+    Scale: the only pass over the data is the binned agg — the split
+    scan runs on the bounded bin table (≤ ~100 rows regardless of corpus
+    size; that's the point of histogram split-finding), as a cumulative
+    window with a non-foldable constant partition key. Tie-break on
+    (gini, bin) makes the argmin deterministic cross-engine."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    h = (
+        o.select(
+            F.floor(F.col("o_totalprice") / 10000).cast("long").alias("bin"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    one = F.col("bin").isNotNull()  # non-foldable constant partition key
+    w_cum = (
+        Window.partitionBy(one)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(one).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = h.select(
+        "bin",
+        F.sum("n").over(w_cum).alias("nl"),
+        F.sum("pos").over(w_cum).alias("posl"),
+        F.sum("n").over(w_all).alias("nt"),
+        F.sum("pos").over(w_all).alias("post"),
+    )
+    nl, posl = F.col("nl"), F.col("posl")
+    nr, posr = F.col("nt") - nl, F.col("post") - posl
+    pl, ql = posl / nl, (nl - posl) / nl
+    pr, qr = posr / nr, (nr - posr) / nr
+    gini = (nl * (1.0 - pl * pl - ql * ql) + nr * (1.0 - pr * pr - qr * qr)) / F.col("nt")
+    splits = cum.filter((nl > 0) & (nr > 0)).select(
+        F.col("bin").alias("split_bin"),
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        posl.cast("long").alias("pos_left"),
+        posr.cast("long").alias("pos_right"),
+        F.round(gini, 6).alias("gini"),
+    )
+    return splits.orderBy("gini", "split_bin").limit(1)
+
+
+@query(
+    "eval_average_precision",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT ROUND(LN(1 + len(tokens)) * 0.5
+                 + (len(list_distinct(tokens)) / len(tokens)) * 1.5
+                 - (len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+                    / len(tokens)) * 3.0, 6) AS s,
+           CASE WHEN lang IN ('en', 'es') THEN 1 ELSE 0 END AS y
+    FROM toks WHERE len(tokens) > 0
+), buckets AS (
+    SELECT s, SUM(y) AS n_pos, COUNT(*) AS n
+    FROM scored GROUP BY s
+), cum AS (
+    SELECT n_pos,
+           SUM(n_pos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+           SUM(n) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+           SUM(n_pos) OVER () AS tot_pos,
+           SUM(n) OVER () AS tot
+    FROM buckets
+)
+SELECT ROUND(SUM((n_pos * 1.0 / tot_pos) * (cpos * 1.0 / cn)), 6)
+           AS average_precision,
+       CAST(MIN(tot_pos) AS BIGINT) AS n_pos,
+       CAST(MIN(tot) AS BIGINT) AS n
+FROM cum
+""",
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-AUC as average precision, AP = Σ_k ΔR_k · P_k over distinct
+    score thresholds descending (sklearn's step-wise definition, tied
+    scores processed as one group) — the ranking metric that matters for
+    imbalanced retrieval/filter tasks where ROC-AUC flatters. Same
+    quantize-then-bucket discipline as ``eval_classifier_auc``: scores
+    round to 6 decimals, one map-side-combined groupBy reduces the corpus
+    to ≤10⁶ buckets, and the precision/recall cumulatives run over the
+    bounded bucket frame (non-foldable constant partition key) — no
+    global per-document sort at any size."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    scored = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            F.round(
+                F.log(F.lit(1) + n_tok) * 0.5
+                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
+                - (
+                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
+                    / n_tok
+                )
+                * 3.0,
+                6,
+            ).alias("s"),
+            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
+        )
+    )
+    buckets = scored.groupBy("s").agg(
+        F.sum("y").alias("n_pos"), F.count(F.lit(1)).alias("n")
+    )
+    one = F.col("s").isNotNull()
+    w_cum = (
+        Window.partitionBy(one)
+        .orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(one).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = buckets.select(
+        "n_pos",
+        F.sum("n_pos").over(w_cum).alias("cpos"),
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("n_pos").over(w_all).alias("tot_pos"),
+        F.sum("n").over(w_all).alias("tot"),
+    )
+    return cum.agg(
+        F.round(
+            F.sum(
+                (F.col("n_pos") / F.col("tot_pos"))
+                * (F.col("cpos") / F.col("cn"))
+            ),
+            6,
+        ).alias("average_precision"),
+        F.min("tot_pos").cast("long").alias("n_pos"),
+        F.min("tot").cast("long").alias("n"),
+    )

@@ -244,13 +244,16 @@ def pipeline_llm_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       quality gate (length + lexical diversity)
         → exact dedup keep-first (MD5 content hash)
         → language allow-list
-        → deterministic token-budget cut (running-sum window ≤ 20k)
+        → deterministic token-budget cut (running-sum ≤ 20k)
 
-    Everything is row-local or single-shuffle; the budget pass is a global
-    ordered window over the (small) surviving set — at 100 TB you'd bucket
-    the budget per shard/source instead of globally (documented here so
-    the scale-out change is one Window.partitionBy)."""
+    Everything is row-local or single-shuffle; the budget pass is the
+    distributed two-phase running sum (``distributed_cumsum`` — range
+    shuffle + per-partition cumsum + broadcast prefix offsets), so even
+    the global ordered cut never funnels the surviving set through one
+    partition."""
     from pyspark.sql import Window
+
+    from dbt_spark_models_spark.operators.windows import distributed_cumsum
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = _tokens()
@@ -270,11 +273,8 @@ def pipeline_llm_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
     )
     lang_filtered = deduped.filter(F.col("lang").isin("en", "de", "es"))
-    w_budget = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     return (
-        lang_filtered.withColumn("cum_tokens", F.sum("n_tokens").over(w_budget))
+        distributed_cumsum(lang_filtered, ["doc_id"], "n_tokens", "cum_tokens")
         .filter(F.col("cum_tokens") <= 20000)
         .select("doc_id", "lang", "source", "n_tokens", "cum_tokens")
     )

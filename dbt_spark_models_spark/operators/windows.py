@@ -352,6 +352,64 @@ def exact_ntile(
     )
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum without a single-partition sort — the
+    cumulative twin of :func:`exact_ntile`, same TeraSort shape:
+
+    1. ``repartitionByRange`` on the order keys (distributed range
+       shuffle);
+    2. per-partition cumulative sum (partitioned window, bounded state);
+    3. per-partition totals → prefix-sum offsets (one row per partition)
+       broadcast back; each row's global running sum = local cumsum +
+       its partition's offset.
+
+    A bare ``SUM(x) OVER (ORDER BY ...)`` moves the whole relation to ONE
+    partition; this keeps the identical result (order keys must be unique
+    — add a tie-break — for the window to be deterministic at all) while
+    every stage stays partition-parallel."""
+    spark = df.sparkSession
+    nparts = int(
+        num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(nparts, *order_cols)
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lcs", F.sum(val_col).over(w_local))
+        .persist()
+    )
+    # one row per range partition; non-foldable constant partition key
+    # (see exact_ntile) keeps the tiny prefix-sum window warning-free
+    one = F.col("__pid") % F.lit(1)
+    w_cum = (
+        Window.partitionBy(one)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs = (
+        local.groupBy("__pid")
+        .agg(F.sum(val_col).alias("__s"))
+        .select(
+            "__pid", (F.sum("__s").over(w_cum) - F.col("__s")).alias("__off")
+        )
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, F.col("__lcs") + F.col("__off"))
+        .drop("__pid", "__lcs", "__off")
+    )
+
+
 @query(
     "window_exact_ntile_distributed",
     oracle="""
