@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -399,7 +400,14 @@ def _column_mapping(meta: dict) -> dict[str, str]:
         f["name"]: (f.get("metadata") or {}).get(_PHYS_KEY, f["name"])
         for f in fields
     }
-    return m if any(k != v for k, v in m.items()) else {}
+    if any(k != v for k, v in m.items()):
+        return m
+    # an IDENTITY map still counts once the table has opted into column
+    # mapping (e.g. after DROP COLUMN, before any rename): new columns
+    # must mint fresh physical names or a re-added logical name would
+    # resurrect the dropped column's data from old files
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    return m if mode == "name" else {}
 
 
 def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
@@ -608,6 +616,7 @@ def write(
         # new batch must satisfy them before it may commit (spec: a writer
         # that cannot enforce checkConstraints must refuse to write)
         if versions:
+            _check_append_only(meta, "INSERT OVERWRITE")
             _enforce_constraints(df, meta, "overwrite batch")
         adds = _write_data_files(df, table_path, partition_by)
         meta_action = _meta_action(df, meta.get("id", uuid.uuid4().hex), partition_by)
@@ -958,6 +967,7 @@ def merge(
     snap_version = versions[-1]
     state = _replay_state(table_path, snap_version)
     active, meta = state["active"], state["meta"]
+    _check_append_only(meta, "MERGE")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns") or None
     mapping = _column_mapping(meta)
@@ -1192,6 +1202,7 @@ def delete(
     snap_version = _list_versions(table_path)[-1]
     state = _replay_state(table_path, snap_version)
     active, meta = state["active"], state["meta"]
+    _check_append_only(meta, "DELETE")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = _column_mapping(meta)
     phys_filters = _translate_filters(filters, mapping)
@@ -1828,6 +1839,10 @@ def restore(spark: SparkSession, table_path: str, version: int) -> int:
         )
     now_ms = int(time.time() * 1000)
     removes = [p for p in sorted(cur["active"]) if p not in old["active"]]
+    if removes:
+        # appendOnly forbids dataChange removes; a pure re-add rollback
+        # (nothing was ever removed after the target) is still legal
+        _check_append_only(cur["meta"], "RESTORE that removes files")
     # re-add any file whose PAYLOAD changed too (e.g. it gained or lost a
     # deletionVector after the target version) — the re-add overwrites the
     # current entry at replay
@@ -2061,6 +2076,7 @@ def update(
     snap_version = _list_versions(table_path)[-1]
     state = _replay_state(table_path, snap_version)
     active, meta = state["active"], state["meta"]
+    _check_append_only(meta, "UPDATE")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = _column_mapping(meta)
     out_cols = [f.name for f in schema.fields]
@@ -2297,6 +2313,118 @@ def drop_check_constraint(table_path: str, name: str) -> int:
             },
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
             {"metaData": dict(meta, configuration=conf)},
+        ],
+    )
+    return version
+
+
+def set_table_property(table_path: str, key: str, value: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES (one metadata commit). CHECK
+    constraints have their own verbs (add/drop_check_constraint) because
+    they validate existing rows first."""
+    if key.startswith(_CONSTRAINT_PREFIX):
+        raise ValueError(
+            f"use add_check_constraint for {key!r} (existing rows must "
+            "be validated)"
+        )
+    versions = _list_versions(table_path)
+    snap_version = versions[-1]
+    meta = _replay_state(table_path, snap_version)["meta"]
+    new_meta = dict(
+        meta,
+        configuration={**(meta.get("configuration") or {}), key: str(value)},
+    )
+    version = snap_version + 1
+    _commit(
+        table_path,
+        version,
+        [
+            {
+                "commitInfo": {
+                    "operation": "SET TBLPROPERTIES",
+                    "timestamp": int(time.time() * 1000),
+                }
+            },
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": new_meta},
+        ],
+    )
+    return version
+
+
+def _check_append_only(meta: dict, what: str) -> None:
+    """Spec ``delta.appendOnly`` writer feature: when set, commits that
+    remove data with dataChange=true are forbidden — the table only ever
+    grows (audit/event-log tables). Layout-only commits (OPTIMIZE,
+    dataChange=false) remain legal and are not routed through here."""
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError(
+            f"{what} is forbidden: table is delta.appendOnly "
+            "(only appends are allowed)"
+        )
+
+
+def drop_column(table_path: str, name: str) -> int:
+    """Metadata-only DROP COLUMN via column mapping: the field leaves the
+    logical schema in ONE commit — existing files keep the physical
+    column (readers simply never select it: column pruning makes the
+    dropped bytes free), zero rewrites, and time travel before the drop
+    still sees the column. Remaining fields pin their physical names
+    (``delta.columnMapping.mode = name``), so a LATER column with the
+    same logical name mints a fresh physical name and can never
+    resurrect the dropped data — the reason the real spec gates DROP
+    COLUMN on column mapping.
+
+    Guards: partition columns (the directory layout carries their name),
+    the last remaining column, and columns referenced by a CHECK
+    constraint (drop the constraint first), all matching real Delta."""
+    state = _replay_state(table_path)
+    meta = state["meta"]
+    if not meta:
+        raise FileNotFoundError(f"no DeltaLite table at {table_path}")
+    if name in meta.get("partitionColumns", []):
+        raise ValueError(f"cannot drop partition column {name!r}")
+    sch = json.loads(meta["schemaString"])
+    names = [f["name"] for f in sch["fields"]]
+    if name not in names:
+        raise ValueError(f"no column {name!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column")
+    for cname, expr in _constraints(meta).items():
+        if re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"cannot drop {name!r}: referenced by CHECK constraint "
+                f"{cname!r} ({expr}) — drop the constraint first"
+            )
+    kept = []
+    for f in sch["fields"]:
+        md = f.setdefault("metadata", {})
+        md.setdefault(_PHYS_KEY, f["name"])
+        if f["name"] != name:
+            kept.append(f)
+    sch["fields"] = kept
+    meta = dict(
+        meta,
+        schemaString=json.dumps(sch, separators=(",", ":")),
+        configuration={
+            **(meta.get("configuration") or {}),
+            "delta.columnMapping.mode": "name",
+        },
+    )
+    version = _list_versions(table_path)[-1] + 1
+    _commit(
+        table_path,
+        version,
+        [
+            {
+                "commitInfo": {
+                    "operation": "DROP COLUMN",
+                    "timestamp": int(time.time() * 1000),
+                }
+            },
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
         ],
     )
     return version

@@ -1745,3 +1745,85 @@ def test_stream_cdf_derived_path_honors_deletion_vectors(spark, tdir):
         (v3, "delete", 3, "v3"),
         (v3, "insert", 7, "w"),
     ]
+
+
+def test_append_only_table_property(spark, tdir):
+    """Spec delta.appendOnly writer feature: once set (one SET
+    TBLPROPERTIES metadata commit), every data-removing verb is refused
+    — overwrite, DELETE (COW and DV), UPDATE, MERGE, RESTORE-with-
+    removes — while appends and layout-only OPTIMIZE stay legal; unset
+    re-enables DML."""
+    deltalite.write(spark, _df(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
+    v = deltalite.set_table_property(tdir, "delta.appendOnly", "true")
+    assert v == 1
+    deltalite.write(spark, _df(spark, [(3, "c")]).coalesce(1), tdir, "append")
+    with pytest.raises(ValueError, match="appendOnly"):
+        deltalite.write(spark, _df(spark, [(9, "z")]).coalesce(1), tdir)
+    with pytest.raises(ValueError, match="appendOnly"):
+        deltalite.delete(spark, tdir, [("k", "=", 1)])
+    with pytest.raises(ValueError, match="appendOnly"):
+        deltalite.delete(spark, tdir, [("k", "=", 1)], deletion_vectors=True)
+    with pytest.raises(ValueError, match="appendOnly"):
+        deltalite.update(spark, tdir, [("k", "=", 1)], {"v": "'x'"})
+    with pytest.raises(ValueError, match="appendOnly"):
+        deltalite.merge(spark, _df(spark, [(1, "A")]), tdir, ["k"])
+    with pytest.raises(ValueError, match="appendOnly"):
+        deltalite.restore(spark, tdir, 0)  # would remove the appended file
+    # layout-only maintenance (dataChange=false) is NOT a data change
+    deltalite.optimize(spark, tdir, n_files=1)
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1, 2, 3}
+    deltalite.set_table_property(tdir, "delta.appendOnly", "false")
+    deltalite.delete(spark, tdir, [("k", "=", 1)])
+    assert {r.k for r in deltalite.read(spark, tdir).collect()} == {2, 3}
+    with pytest.raises(ValueError, match="add_check_constraint"):
+        deltalite.set_table_property(tdir, "delta.constraints.x", "k > 0")
+
+
+def test_drop_column_metadata_only(spark, tdir):
+    """Metadata-only DROP COLUMN: one commit, zero rewrites, time travel
+    preserved — and a LATER column with the same logical name mints a
+    fresh physical name, so the dropped data can never resurrect (the
+    reason the spec gates DROP COLUMN on column mapping)."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, v string, w int"
+    )
+    deltalite.write(spark, df.coalesce(1), tdir)
+    files_before = {
+        f for f in os.listdir(tdir) if f.endswith(".parquet")
+    }
+    v = deltalite.drop_column(tdir, "v")
+    assert {f for f in os.listdir(tdir) if f.endswith(".parquet")} == (
+        files_before
+    )  # zero rewrites
+    got = deltalite.read(spark, tdir)
+    assert [f.name for f in got.schema.fields] == ["k", "w"]
+    # time travel before the drop still sees the column and its data
+    old = deltalite.read(spark, tdir, version=v - 1)
+    assert {(r.k, r.v) for r in old.select("k", "v").collect()} == {
+        (1, "a"), (2, "b")
+    }
+    # append without the dropped column, then re-add the NAME as a new
+    # column: old rows null-fill — the dropped values must NOT come back
+    deltalite.write(spark, spark.createDataFrame(
+        [(3, 30)], "k int, w int").coalesce(1), tdir, "append")
+    deltalite.write(spark, spark.createDataFrame(
+        [(4, 40, "NEW")], "k int, w int, v string").coalesce(1), tdir, "append")
+    rows = {r.k: r.v for r in deltalite.read(spark, tdir).collect()}
+    assert rows == {1: None, 2: None, 3: None, 4: "NEW"}
+    # guards
+    with pytest.raises(ValueError, match="last column"):
+        d2 = os.path.join(tdir, "one")
+        deltalite.write(
+            spark, spark.createDataFrame([(1,)], "x int").coalesce(1), d2
+        )
+        deltalite.drop_column(d2, "x")
+    deltalite.add_check_constraint(spark, tdir, "w_pos", "w > 0 OR w IS NULL")
+    with pytest.raises(ValueError, match="w_pos"):
+        deltalite.drop_column(tdir, "w")
+
+
+def test_drop_partition_column_rejected(spark, tdir):
+    df = spark.createDataFrame([(1, "x", "p1")], "k int, v string, p string")
+    deltalite.write(spark, df.coalesce(1), tdir, partition_by=["p"])
+    with pytest.raises(ValueError, match="partition column"):
+        deltalite.drop_column(tdir, "p")
