@@ -139,6 +139,11 @@ HEADLINE = [
     "graph_label_propagation",
     "train_decision_stump_histogram",
     "eval_average_precision",
+    # round-6 continuation: distributed TakeOrdered NDCG (no global
+    # sort), one-pass naive-Bayes training (map-side-combined counts +
+    # per-class top-k window)
+    "eval_ndcg_quality_ranking",
+    "train_naive_bayes_tokens",
 ]
 
 

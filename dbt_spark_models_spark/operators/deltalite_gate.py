@@ -1310,3 +1310,79 @@ def engine_deltalite_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(repointed).cast("int").alias("files_repointed"),
         F.lit(new_files).cast("int").alias("new_data_files"),
     )
+
+
+@query(
+    "engine_deltalite_schema_policy",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_named,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18, 2))) AS DOUBLE) AS acctbal_sum,
+       CAST(1 AS INT) AS appendonly_enforced,
+       CAST(0 AS INT) AS resurrected_names
+FROM customer
+""",
+)
+def engine_deltalite_schema_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema + policy lifecycle in one table: metadata-only DROP COLUMN
+    (zero rewrites), appends without the dropped column, a later append
+    RE-ADDING the same logical name (must mint a fresh physical name —
+    the dropped values can never resurrect; ``resurrected_names`` proves
+    0), and ``delta.appendOnly`` turning the table into an audit log
+    (``appendonly_enforced`` proves DELETE refuses).
+
+    Scale: every step here is a metadata commit — drop, property set —
+    or an append; nothing rewrites a data byte. That is the point: on a
+    100 TB audit table, schema surgery and policy changes are O(1)."""
+    path = _table_dir(sf_dir, "schema_policy")
+    c = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
+    )
+    rem = F.col("c_custkey") % 4
+    deltalite.write(spark, c.filter(rem.isin(1, 3)).coalesce(1), path)
+    deltalite.drop_column(path, "c_name")
+    deltalite.write(
+        spark,
+        c.filter(rem == 2).select("c_custkey", "c_acctbal").coalesce(1),
+        path,
+        "append",
+    )
+    # re-add the logical name: fresh physical column, old bytes stay dark
+    deltalite.write(
+        spark,
+        c.filter(rem == 0)
+        .select("c_custkey", "c_acctbal", F.lit("redacted").alias("c_name"))
+        .coalesce(1),
+        path,
+        "append",
+    )
+    deltalite.set_table_property(path, "delta.appendOnly", "true")
+    try:
+        deltalite.delete(spark, path, [("c_custkey", ">=", 0)])
+        enforced = 0
+    except ValueError:
+        enforced = 1
+    snap = deltalite.read(spark, path)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("key_sum"),
+        F.sum(F.col("c_name").isNotNull().cast("long")).alias("n_named"),
+        F.sum("c_acctbal").cast("double").alias("acctbal_sum"),
+        F.sum(
+            (F.col("c_name").isNotNull() & (F.col("c_custkey") % 4 != 0))
+            .cast("long")
+        )
+        .cast("int")
+        .alias("resurrected_names"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        "n_named",
+        "acctbal_sum",
+        F.lit(enforced).cast("int").alias("appendonly_enforced"),
+        "resurrected_names",
+    )

@@ -1883,3 +1883,163 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tot_pos").cast("long").alias("n_pos"),
         F.min("tot").cast("long").alias("n"),
     )
+
+
+@query(
+    "eval_ndcg_quality_ranking",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT doc_id,
+           ROUND(LN(1 + len(tokens)) * 0.5
+                 + (len(list_distinct(tokens)) / len(tokens)) * 1.5
+                 - (len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+                    / len(tokens)) * 3.0, 6) AS s,
+           CASE WHEN lang = 'en' THEN 2
+                WHEN lang = 'es' THEN 1 ELSE 0 END AS rel
+    FROM toks WHERE len(tokens) > 0
+), ranked AS (
+    SELECT rel, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk
+    FROM scored
+), ideal AS (
+    SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rnk
+    FROM scored
+), dcg AS (
+    SELECT SUM((POW(2, rel) - 1) / LOG2(rnk + 1)) AS v
+    FROM ranked WHERE rnk <= 20
+), idcg AS (
+    SELECT SUM((POW(2, rel) - 1) / LOG2(rnk + 1)) AS v
+    FROM ideal WHERE rnk <= 20
+)
+SELECT ROUND(dcg.v, 6) AS dcg_20,
+       ROUND(idcg.v, 6) AS idcg_20,
+       ROUND(dcg.v / idcg.v, 6) AS ndcg_20
+FROM dcg, idcg
+""",
+)
+def eval_ndcg_quality_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 of the quality-score ranking against graded language
+    relevance (en=2, es=1, other=0) — the position-discounted ranking
+    metric retrieval evals standardize on. Deterministic tie-breaks
+    ((score desc, doc_id) and, for the ideal ranking, (rel desc,
+    doc_id)) make the metric hash-checkable.
+
+    Scale: both rankings only ever need their TOP 20 — Spark plans
+    ``orderBy(...).limit(k)`` as distributed TakeOrdered (per-partition
+    heaps merged on the driver), so no global sort of the corpus
+    happens; the DCG sums then run over k rows."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    scored = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.lit(1) + n_tok) * 0.5
+                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
+                - (
+                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
+                    / n_tok
+                )
+                * 3.0,
+                6,
+            ).alias("s"),
+            F.when(F.col("lang") == "en", 2)
+            .when(F.col("lang") == "es", 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    k = 20
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rnk") + 1)
+    one = F.col("rel").isNotNull()  # non-foldable constant partition key
+    top = scored.orderBy(F.col("s").desc(), "doc_id").limit(k)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy(one).orderBy(F.col("s").desc(), "doc_id")
+        ),
+    )
+    itop = scored.orderBy(F.col("rel").desc(), "doc_id").limit(k)
+    ideal = itop.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy(one).orderBy(F.col("rel").desc(), "doc_id")
+        ),
+    )
+    dcg = ranked.agg(F.sum(gain).alias("v"))
+    idcg = ideal.agg(F.sum(gain).alias("v"))
+    return dcg.crossJoin(idcg.withColumnRenamed("v", "iv")).select(
+        F.round("v", 6).alias("dcg_20"),
+        F.round("iv", 6).alias("idcg_20"),
+        F.round(F.col("v") / F.col("iv"), 6).alias("ndcg_20"),
+    )
+
+
+@query(
+    "train_naive_bayes_tokens",
+    oracle="""
+WITH tok AS (
+    SELECT lang,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS token
+    FROM documents
+), cnt AS (
+    SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), totals AS (
+    SELECT lang, SUM(c) AS t FROM cnt GROUP BY 1
+), vocab AS (
+    SELECT COUNT(DISTINCT token) AS v FROM tok
+), ranked AS (
+    SELECT c.lang, c.token,
+           ROUND(LN((c.c + 1.0) / (t.t + v.v)), 6) AS logprob,
+           ROW_NUMBER() OVER (PARTITION BY c.lang
+                              ORDER BY c.c DESC, c.token) AS rnk
+    FROM cnt c JOIN totals t ON c.lang = t.lang CROSS JOIN vocab v
+)
+SELECT lang, token, logprob, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+)
+def train_naive_bayes_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes training over (lang → token) — the
+    classic one-pass distributed text classifier: per-class token counts
+    with Laplace smoothing, published as each language's top-5 tokens by
+    smoothed log-likelihood (count-desc, token-asc tie-break).
+
+    Scale: training IS aggregation — one map-side-combined
+    (lang, token) count, one per-class total, one global distinct-vocab
+    count broadcast as a 1-row frame; the per-class top-k is a window
+    over each class's token counts, partitioned by class. No iteration,
+    no driver-side data."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    tok = d.select(
+        "lang", F.explode(_tokens()).alias("token")
+    )
+    cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    ranked = (
+        cnt.join(totals, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logprob",
+            F.round(F.log((F.col("c") + 1.0) / (F.col("t") + F.col("v"))), 6),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("c").desc(), "token"
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rnk") <= 5).select(
+        "lang", "token", "logprob", F.col("rnk").cast("long").alias("rnk")
+    )

@@ -261,6 +261,8 @@ BNLJ_ALLOWED = {
     # broadcast joined onto the 1-row exact count (k=256-row sketch sides)
     "eval_bootstrap_metric_ci",  # 1-row CI frame broadcast onto the
     # 1-row point estimate
+    "eval_ndcg_quality_ranking",  # 1-row DCG crossJoin 1-row IDCG
+    "train_naive_bayes_tokens",  # 1-row vocab-size scalar broadcast
 }
 
 

@@ -178,3 +178,44 @@ def test_distributed_cumsum_plan_has_no_global_window(spark, sf_dir):
     )
     assert "rangepartitioning" in plan.lower()
     assert "singlepartition" not in plan.lower()
+
+
+def test_ndcg_bounds_and_ideal(spark, sf_dir):
+    """NDCG must sit in (0, 1]; DCG <= IDCG by construction; and the
+    ideal ranking of a corpus with >= 20 rel=2 docs has IDCG equal to
+    the closed-form all-2s discount sum."""
+    from dbt_spark_models_spark.operators.quality import (
+        eval_ndcg_quality_ranking,
+    )
+
+    r = eval_ndcg_quality_ranking(spark, sf_dir).collect()[0]
+    assert 0.0 < r["ndcg_20"] <= 1.0
+    assert r["dcg_20"] <= r["idcg_20"] + 1e-9
+    from dbt_spark_models_spark.sources.testdata import load_tables as lt
+
+    d = lt(spark, sf_dir, ("documents",))["documents"]
+    n_en = d.filter(F.col("lang") == "en").count()
+    if n_en >= 20:
+        import math
+
+        ideal = sum(3.0 / math.log2(i + 1) for i in range(1, 21))
+        assert abs(r["idcg_20"] - round(ideal, 6)) < 1e-5
+
+
+def test_naive_bayes_logprobs_normalized(spark, sf_dir):
+    """Per class: exactly 5 rows ranked 1..5, log-probs strictly
+    negative and non-increasing with rank (count-desc ordering)."""
+    from dbt_spark_models_spark.operators.quality import (
+        train_naive_bayes_tokens,
+    )
+
+    rows = train_naive_bayes_tokens(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == [1, 2, 3, 4, 5]
+        lps = [r["logprob"] for r in rs]
+        assert all(lp < 0 for lp in lps)
+        assert all(a >= b - 1e-12 for a, b in zip(lps, lps[1:]))
