@@ -1757,7 +1757,9 @@ def train_decision_stump_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
     )
-    one = F.col("bin").isNotNull()  # non-foldable constant partition key
+    # non-foldable constant partition key (bin is non-nullable, so
+    # isNotNull would fold away and leave "No Partition Defined")
+    one = F.col("bin") % F.lit(1)
     w_cum = (
         Window.partitionBy(one)
         .orderBy("bin")
@@ -1856,7 +1858,9 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = scored.groupBy("s").agg(
         F.sum("y").alias("n_pos"), F.count(F.lit(1)).alias("n")
     )
-    one = F.col("s").isNotNull()
+    # non-foldable constant key: n_pos is an INTEGER column, so % 1 is
+    # identically 0 (s is a double — s % 1 would be its fractional part)
+    one = F.col("n_pos") % F.lit(1)
     w_cum = (
         Window.partitionBy(one)
         .orderBy(F.col("s").desc())
@@ -1957,7 +1961,7 @@ def eval_ndcg_quality_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = 20
     gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rnk") + 1)
-    one = F.col("rel").isNotNull()  # non-foldable constant partition key
+    one = F.col("rel") % F.lit(1)  # non-foldable (rel is non-nullable)
     top = scored.orderBy(F.col("s").desc(), "doc_id").limit(k)
     ranked = top.withColumn(
         "rnk",
