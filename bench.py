@@ -144,6 +144,10 @@ HEADLINE = [
     # per-class top-k window)
     "eval_ndcg_quality_ranking",
     "train_naive_bayes_tokens",
+    # round-6 continuation 2: wedge-join link prediction (no all-pairs
+    # stage), bounded-frame Pareto skyline
+    "graph_jaccard_link_prediction",
+    "curation_pareto_frontier",
 ]
 
 

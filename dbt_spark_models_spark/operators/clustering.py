@@ -961,3 +961,77 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle="""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice >= 450000
+), deg AS MATERIALIZED (
+    SELECT c, COUNT(*) AS d FROM e GROUP BY c
+), cn AS MATERIALIZED (
+    SELECT a.c AS u, b.c AS w, COUNT(*) AS common
+    FROM e a JOIN e b ON a.s = b.s AND a.c < b.c
+    GROUP BY 1, 2
+), scored AS (
+    SELECT cn.u, cn.w, cn.common,
+           ROUND(cn.common * 1.0 / (du.d + dw.d - cn.common), 6) AS jaccard
+    FROM cn JOIN deg du ON du.c = cn.u JOIN deg dw ON dw.c = cn.w
+)
+SELECT u, w, CAST(common AS BIGINT) AS common, jaccard
+FROM scored
+ORDER BY jaccard DESC, u, w
+LIMIT 20
+""",
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: score customer pairs by
+    |shared suppliers| / |supplier-neighborhood union| over the
+    high-value trade graph — the classic common-neighbors recommender
+    primitive ("customers like you also buy from ...").
+
+    Scale shape: candidate pairs come ONLY from wedges (two customers
+    sharing a supplier — an equi-join keyed on the supplier), never an
+    all-pairs stage; per-middle-node cost is deg², so the candidate
+    generation is bounded by thinning the graph first (here the
+    high-value filter; at 100 TB you'd also cap hub middle-nodes or
+    shard them, the same skew discipline as the triangle count's
+    degree-ordered orientation). Degrees broadcast back as a keyed join;
+    top-20 is distributed TakeOrdered with (jaccard desc, u, w)
+    tie-breaks."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    e = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_totalprice") >= 450000),
+            t["lineitem"].l_orderkey == t["orders"].o_orderkey,
+        )
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    a = e.select("s", F.col("c").alias("u"))
+    b = e.select("s", F.col("c").alias("w"))
+    cn = (
+        a.join(b, "s")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        cn.join(deg.select(F.col("c").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("c").alias("w"), F.col("d").alias("dw")), "w")
+        .select(
+            "u",
+            "w",
+            F.col("common").cast("long").alias("common"),
+            F.round(
+                F.col("common") / (F.col("du") + F.col("dw") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("jaccard").desc(), "u", "w").limit(20)

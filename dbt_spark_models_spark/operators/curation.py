@@ -1192,3 +1192,83 @@ def curation_quantile_normalize_scores(
             F.round(F.avg("n_chars"), 2).alias("avg_raw_score"),
         )
     )
+
+
+@query(
+    "curation_pareto_frontier",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT doc_id, len(tokens) AS n_tokens,
+           ROUND(len(list_distinct(tokens)) * 1.0 / len(tokens), 6) AS q
+    FROM toks WHERE len(tokens) > 0
+), per_n AS (
+    SELECT n_tokens, MAX(q) AS mq FROM scored GROUP BY n_tokens
+), cum AS (
+    SELECT n_tokens, mq,
+           MAX(mq) OVER (ORDER BY n_tokens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_strictly_shorter
+    FROM per_n
+)
+SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens, s.q
+FROM scored s JOIN cum ON cum.n_tokens = s.n_tokens
+WHERE s.q = cum.mq
+  AND (cum.best_strictly_shorter IS NULL
+       OR s.q > cum.best_strictly_shorter)
+ORDER BY n_tokens, doc_id
+""",
+)
+def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of the corpus on (shorter is better,
+    higher lexical diversity is better): the docs no other doc dominates
+    — the classic "best tradeoff set" curation primitive (pick exemplar
+    docs per length budget). A doc survives iff it has the MAX diversity
+    at its exact length AND strictly beats the best diversity of every
+    strictly shorter doc.
+
+    Scale: the naive skyline is an all-pairs dominance join; this is the
+    sort-free two-phase form — one map-side-combined (length → max
+    quality) agg collapses the corpus to the DISTINCT-length frame
+    (bounded: ≤ max doc length rows at any corpus size), a cumulative
+    max runs over that tiny frame, and the verdict broadcasts back as an
+    equi-join on length. Same bounded-frame discipline as the histogram
+    stump and the AUC buckets."""
+    from dbt_spark_models_spark.operators.text import _tokens
+    from dbt_spark_models_spark.sources.testdata import spread
+
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    scored = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.round(F.size(F.array_distinct("tokens")) / n_tok, 6).alias("q"),
+        )
+    )
+    per_n = scored.groupBy("n_tokens").agg(F.max("q").alias("mq"))
+    one = F.col("n_tokens") % F.lit(1)  # non-foldable constant key
+    w = (
+        Window.partitionBy(one)
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_n.withColumn("best_strictly_shorter", F.max("mq").over(w))
+    out = (
+        scored.join(F.broadcast(cum), "n_tokens")
+        .filter(
+            (F.col("q") == F.col("mq"))
+            & (
+                F.col("best_strictly_shorter").isNull()
+                | (F.col("q") > F.col("best_strictly_shorter"))
+            )
+        )
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "q")
+    )
+    return out.orderBy("n_tokens", "doc_id")

@@ -219,3 +219,39 @@ def test_naive_bayes_logprobs_normalized(spark, sf_dir):
         lps = [r["logprob"] for r in rs]
         assert all(lp < 0 for lp in lps)
         assert all(a >= b - 1e-12 for a, b in zip(lps, lps[1:]))
+
+
+def test_link_prediction_pairs_valid(spark, sf_dir):
+    """Every published pair: u < w, jaccard in (0, 1], common <= both
+    degrees, and the list is sorted by (jaccard desc, u, w)."""
+    from dbt_spark_models_spark.operators.clustering import (
+        graph_jaccard_link_prediction,
+    )
+
+    rows = graph_jaccard_link_prediction(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    keys = [(-r["jaccard"], r["u"], r["w"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r["u"] < r["w"]
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["common"] >= 1
+
+
+def test_pareto_frontier_is_undominated(spark, sf_dir):
+    """No frontier point may dominate another (strictly shorter AND at
+    least as diverse, or same length and more diverse), and diversity
+    must be strictly increasing with length along the frontier."""
+    from dbt_spark_models_spark.operators.curation import (
+        curation_pareto_frontier,
+    )
+
+    rows = curation_pareto_frontier(spark, sf_dir).collect()
+    assert rows
+    qs = [r["q"] for r in rows]
+    ns = [r["n_tokens"] for r in rows]
+    assert ns == sorted(ns)
+    # along the frontier, strictly longer => strictly higher diversity
+    for (n1, q1), (n2, q2) in zip(zip(ns, qs), zip(ns[1:], qs[1:])):
+        if n2 > n1:
+            assert q2 > q1
