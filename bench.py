@@ -148,6 +148,7 @@ HEADLINE = [
     # stage), bounded-frame Pareto skyline
     "graph_jaccard_link_prediction",
     "curation_pareto_frontier",
+    "eval_brier_decomposition",
 ]
 
 

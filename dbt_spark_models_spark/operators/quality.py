@@ -2047,3 +2047,101 @@ def train_naive_bayes_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rnk") <= 5).select(
         "lang", "token", "logprob", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+@query(
+    "eval_brier_decomposition",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT ROUND(1.0 / (1.0 + EXP(-(LN(1 + len(tokens)) * 0.5
+                 + (len(list_distinct(tokens)) / len(tokens)) * 1.5
+                 - (len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+                    / len(tokens)) * 3.0 - 2.0))), 3) AS p,
+           CASE WHEN lang IN ('en', 'es') THEN 1 ELSE 0 END AS y
+    FROM toks WHERE len(tokens) > 0
+), bins AS (
+    SELECT p, COUNT(*) AS n, AVG(y * 1.0) AS obar
+    FROM scored GROUP BY p
+), tot AS (
+    SELECT SUM(n) AS nt, SUM(n * obar) / SUM(n) AS obar_all FROM bins
+)
+SELECT ROUND(SUM(b.n * (b.p - b.obar) * (b.p - b.obar)) / t.nt, 6)
+           AS reliability,
+       ROUND(SUM(b.n * (b.obar - t.obar_all) * (b.obar - t.obar_all)) / t.nt,
+             6) AS resolution,
+       ROUND(MIN(t.obar_all) * (1 - MIN(t.obar_all)), 6) AS uncertainty,
+       ROUND(SUM(b.n * ((b.p - b.obar) * (b.p - b.obar)
+                        + b.obar * (1 - b.obar))) / t.nt, 6) AS brier,
+       CAST(MIN(t.nt) AS BIGINT) AS n
+FROM bins b CROSS JOIN tot t
+GROUP BY t.nt
+""",
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — reliability (calibration
+    error) − resolution (discrimination) + uncertainty (base-rate
+    entropy) = Brier — for the quality classifier's sigmoid probability,
+    quantized to 3 decimals so every probability bin is EXACT (all
+    members share p, making the decomposition identity hold exactly,
+    not approximately).
+
+    Scale: one map-side-combined groupBy collapses the corpus to ≤1001
+    probability bins; the three components are single aggs over that
+    bounded frame joined with a 1-row total. The same
+    quantize-then-bucket discipline as AUC/AP — no per-document state
+    ever leaves the mappers."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    s_expr = (
+        F.log(F.lit(1) + n_tok) * 0.5
+        + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
+        - (F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$"))) / n_tok)
+        * 3.0
+        - 2.0
+    )
+    scored = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            F.round(1.0 / (1.0 + F.exp(-s_expr)), 3).alias("p"),
+            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
+        )
+    )
+    bins = scored.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.col("y") * 1.0).alias("obar")
+    )
+    tot = bins.agg(
+        F.sum("n").alias("nt"),
+        (F.sum(F.col("n") * F.col("obar")) / F.sum("n")).alias("obar_all"),
+    )
+    b, o = F.col("p") - F.col("obar"), F.col("obar") - F.col("obar_all")
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("nt")
+        .agg(
+            F.round(F.sum(F.col("n") * b * b) / F.min("nt"), 6).alias(
+                "reliability"
+            ),
+            F.round(F.sum(F.col("n") * o * o) / F.min("nt"), 6).alias(
+                "resolution"
+            ),
+            F.round(
+                F.min("obar_all") * (1 - F.min("obar_all")), 6
+            ).alias("uncertainty"),
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * (b * b + F.col("obar") * (1 - F.col("obar")))
+                )
+                / F.min("nt"),
+                6,
+            ).alias("brier"),
+            F.min("nt").cast("long").alias("n"),
+        )
+        .drop("nt")
+    )

@@ -263,6 +263,7 @@ BNLJ_ALLOWED = {
     # 1-row point estimate
     "eval_ndcg_quality_ranking",  # 1-row DCG crossJoin 1-row IDCG
     "train_naive_bayes_tokens",  # 1-row vocab-size scalar broadcast
+    "eval_brier_decomposition",  # 1-row (N, base-rate) totals broadcast
 }
 
 

@@ -255,3 +255,20 @@ def test_pareto_frontier_is_undominated(spark, sf_dir):
     for (n1, q1), (n2, q2) in zip(zip(ns, qs), zip(ns[1:], qs[1:])):
         if n2 > n1:
             assert q2 > q1
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    """Murphy identity: reliability − resolution + uncertainty = Brier
+    (exact with equal-p bins, up to the published 1e-6 rounding), and
+    every component within its theoretical range."""
+    from dbt_spark_models_spark.operators.quality import (
+        eval_brier_decomposition,
+    )
+
+    r = eval_brier_decomposition(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["brier"] <= 1.0
+    assert 0.0 <= r["reliability"]
+    assert 0.0 <= r["resolution"] <= 0.25 + 1e-9
+    assert 0.0 <= r["uncertainty"] <= 0.25 + 1e-9
+    lhs = r["reliability"] - r["resolution"] + r["uncertainty"]
+    assert abs(lhs - r["brier"]) < 3e-6
