@@ -4,11 +4,26 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced end-to-end with the noop sink (full computation, no
-driver collect), timed after a session warm-up query.
+driver collect).  Measurement protocol (r6 verdict #3): one UNTIMED
+warmup execution per query (pays plan codegen / JIT / input-scan cache
+population), then two timed executions, reporting the faster — so the
+recorded number is steady-state and independent of how many other
+queries share the JVM before it.
+
+HEADLINE is capped to plan-bound representatives per operator family
+(r6 verdict #6); the rest of the registry stays correctness-gated by the
+driver's DuckDB oracle and pytest, and can be force-run here with
+--smoke.  Detail output goes to gitignored BENCH_DETAIL.run.json unless
+--out is given, so a pytest run can never clobber the committed
+BENCH_DETAIL.json round artifact (r6 verdict #2):
+
+    python bench.py                       # detail -> BENCH_DETAIL.run.json
+    python bench.py --out BENCH_DETAIL.json   # refresh the round artifact
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -17,7 +32,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    # TPC-H-style relational core
+    # TPC-H-style relational core (BENCH_r02 baseline set — keep intact so
+    # tools/benchgate.py retains its full 36-query comparison signal)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
@@ -53,106 +69,102 @@ HEADLINE = [
     "pack_token_budget_bins",
     "text_repetition_ratios",
     "pipeline_pretraining_shards",
-    # round-1 late additions: flagship gold shape + chunk/semantic dedup +
-    # classifier scoring
     "gold_orders_wide",
     "dedup_chunk_substring_overlap",
     "dedup_semantic_survivors",
     "text_quality_linear_score",
-    # round-3 additions: distributed exact NTILE, k-means IVF training,
-    # BPE tokenization. (The exact-Jaccard joins are deliberately NOT
-    # benched: the synthetic corpus is adversarially dense — 7M qualifying
-    # pairs from 5k docs at t=0.6 — so their runtime is output-volume-bound,
-    # not plan-bound; sf0.01 oracle gates cover their correctness.)
-    "window_exact_ntile_distributed",
-    "segment_rfm_quartiles",
+    # ---- post-r2 families: ONE representative per distinct plan shape
+    # (r6 verdict #6 — the full battery lives in the correctness gate;
+    # timing near-identical plans only burns the driver's time budget).
+    # graph: iterative broadcast-rank exchange + wedge-join candidates
+    "graph_pagerank_supplier_customer",
+    "graph_jaccard_link_prediction",
+    # similarity/ANN: iterative Lloyd training + ADC scan
     "similarity_kmeans_ivf_train",
     "similarity_pq_adc_topk",
-    "text_token_counts_bpe",
-    # round-3 continuation: cleaned-corpus span dedup, epoch resampling
-    # plans, iterative graph centrality, in-engine classifier training
-    "dedup_span_removal_reassembled",
-    "curation_temperature_resample",
-    "curation_stratified_split",
-    "graph_pagerank_supplier_customer",
-    "train_logreg_quality_weights",
-    # round-3 continuation (session 2): mergeable-sketch decontamination,
-    # DSIR domain scoring, auditable weighted sampling, write-time
-    # bucketing (first bench run pays the one-time bucketed write; the
-    # reported steady-state run is the exchange-free join itself)
-    "contamination_bloom_probe",
-    "curation_dsir_importance",
-    "sample_weighted_without_replacement",
-    "engine_bucketed_colocated_join",
-    "agg_countmin_heavy_hitters",
-    "graph_bfs_hops_from_cohort",
-    "funnel_attribution_models",
-    # round-3 continuation (session 3): interval coverage, LOCF spine
-    # fill, calibration, grouped OLS, CDC diff, one-pass profiling,
-    # bitmap-exact distinct, multigrain rollup reuse. (The containment
-    # and edit-distance joins are oracle-gated but not benched — like
-    # the exact-Jaccard joins, their runtime on this adversarially dense
-    # synthetic corpus is output-volume-bound, not plan-bound.)
-    "window_interval_coverage",
-    "spine_forward_fill_daily",
-    "eval_calibration_curve",
-    "train_group_ols_regression",
-    "engine_snapshot_table_diff",
-    "quality_profile_table_stats",
-    "agg_bitmap_exact_distinct",
-    "agg_multigrain_rollup_reuse",
-    # (The deltalite ACID gates are deliberately NOT benched: their cost
-    # is commit-protocol/filesystem-bound — table rebuild + fsync per
-    # call — not plan-bound; sf0.01 oracle gates + tests/test_deltalite.py
-    # cover them.)
-    # round-3 continuation (session 4): distributed BPE merge training
-    # (iterative scan-count-merge rounds), grouped-agg Pandas UDAF path,
-    # PSI distribution-drift monitor
+    # trainers: iterative scan-count-merge + gradient descent
     "train_bpe_merges",
-    "pandas_udaf_weighted_median",
-    "quality_distribution_drift",
-    "eval_ks_statistic",
-    "graph_kcore_peel",
-    "eval_chi_squared_drift",
+    "train_logreg_quality_weights",
+    # samplers / curation: seeded join sampler + temperature resample
     "sample_negative_pairs",
+    "curation_temperature_resample",
+    # sketch family: bloom probe, KMV-theta-free rolling HLL, count-min
+    "contamination_bloom_probe",
+    "agg_hll_rolling_7d_users",
+    "agg_countmin_heavy_hitters",
+    # retrieval: inverted-index build + broadcast query terms
+    "retrieval_bm25_topk",
+    # eval: bucketed-cumulative PR curve + explode-fan-out bootstrap +
+    # vector-agg drift
+    "eval_average_precision",
+    "eval_bootstrap_metric_ci",
+    "eval_embedding_drift",
+    # Arrow UDAF path
+    "pandas_udaf_weighted_median",
+    # funnels: user-keyed multi-touch attribution
+    "funnel_attribution_models",
+    # engine: exchange-free bucketed join + distributed exact NTILE
+    "engine_bucketed_colocated_join",
+    "window_exact_ntile_distributed",
+]
+
+# Correctness-gated, not timed by default: plans are near-duplicates of a
+# HEADLINE representative (see comments above) or output-volume-bound on
+# the adversarially dense synthetic corpus.  `bench.py --smoke` times them
+# too (not part of the recorded round artifact).
+SMOKE = [
+    "graph_label_propagation",
+    "graph_kcore_peel",
+    "graph_bfs_hops_from_cohort",
+    "train_naive_bayes_tokens",
+    "train_decision_stump_histogram",
+    "train_group_ols_regression",
+    "curation_dsir_importance",
+    "curation_pareto_frontier",
+    "curation_stratified_split",
+    "segment_rfm_quartiles",
+    "dedup_span_removal_reassembled",
+    "agg_theta_sketch_overlap",
+    "agg_multigrain_rollup_reuse",
+    "agg_bitmap_exact_distinct",
     "agg_logbucket_quantiles",
+    "eval_brier_decomposition",
+    "eval_ndcg_quality_ranking",
+    "eval_cohens_kappa",
+    "eval_calibration_curve",
+    "eval_ks_statistic",
+    "eval_ab_proportion_ztest",
+    "eval_chi_squared_drift",
     "scalar_variant_shred",
     "arrow_map_byte_stats",
-    "agg_hll_rolling_7d_users",
-    "eval_embedding_drift",
-    "eval_ab_proportion_ztest",
+    "quality_profile_table_stats",
+    "quality_distribution_drift",
+    "engine_snapshot_table_diff",
+    "spine_forward_fill_daily",
+    "sample_weighted_without_replacement",
     "sample_neyman_allocation",
-    # round-5: BM25 retrieval (inverted-index build + broadcast query
-    # terms — plan-bound; the postings shuffle dominates at scale)
-    "retrieval_bm25_topk",
-    # round-5 continuation: KMV sketch intersection (per-partition top-k
-    # build), Poisson bootstrap (explode fan-out + map-side combine),
-    # kappa (single 4-counter agg)
-    "agg_theta_sketch_overlap",
-    "eval_bootstrap_metric_ci",
-    "eval_cohens_kappa",
-    # round-6: deterministic label propagation (one shuffle join + keyed
-    # count + per-node window argmax per round), histogram decision-stump
-    # split finding (one binned agg + bounded-frame split scan), PR-AUC
-    # average precision (bucketed cumulative, no global sort), and the
-    # flagship curation pipeline's distributed running-sum budget cut
-    "graph_label_propagation",
-    "train_decision_stump_histogram",
-    "eval_average_precision",
-    # round-6 continuation: distributed TakeOrdered NDCG (no global
-    # sort), one-pass naive-Bayes training (map-side-combined counts +
-    # per-class top-k window)
-    "eval_ndcg_quality_ranking",
-    "train_naive_bayes_tokens",
-    # round-6 continuation 2: wedge-join link prediction (no all-pairs
-    # stage), bounded-frame Pareto skyline
-    "graph_jaccard_link_prediction",
-    "curation_pareto_frontier",
-    "eval_brier_decomposition",
+    "text_token_counts_bpe",
 ]
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="path for the per-query detail JSON (default: "
+        "BENCH_DETAIL.run.json, gitignored — so the driver's latest run is "
+        "findable at a stable path but a pytest/bench rerun can never "
+        "clobber the committed BENCH_DETAIL.json round artifact; pass "
+        "BENCH_DETAIL.json explicitly to refresh the artifact)",
+    )
+    ap.add_argument(
+        "--smoke",
+        action="store_true",
+        help="also time the SMOKE list (family near-duplicates)",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
@@ -163,16 +175,16 @@ def main() -> None:
     registry = load_all()
 
     # warm up the JVM, Hadoop FS, and parquet reader paths so the first
-    # measured query doesn't pay one-time class-init costs
+    # query's warmup pass isn't also paying one-time class-init costs
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # two runs per query, report the faster (steady-state): run 1 pays
-    # one-time plan codegen/JIT, which isn't the per-query cost a scheduled
-    # production pipeline sees
+    names = HEADLINE + (SMOKE if args.smoke else [])
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         q = registry[name]
+        # untimed warmup: plan analysis + codegen + JIT + OS page cache
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -181,14 +193,18 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE), 3)
     # The driver captures only the TAIL of stdout (~2 KB): round 3's single
     # line with all 70+ per-query timings outgrew it and BENCH_r03.parsed
-    # came back null.  So: full per-query detail goes to BENCH_DETAIL.json
-    # (tools/benchgate.py reads it), and the final printed line stays
-    # compact — total + sf + the slowest queries only.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    # came back null.  So: full per-query detail goes to a detail file
+    # (tools/benchgate.py reads it via the printed path), and the final
+    # printed line stays compact — total + sf + the slowest queries only.
+    if args.out:
+        detail_path = os.path.abspath(args.out)
+    else:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.run.json"
+        )
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -201,9 +217,7 @@ def main() -> None:
             f,
             indent=1,
         )
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
@@ -213,7 +227,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": slowest,
                 "sf": sf,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_path,
             }
         )
     )

@@ -14,20 +14,28 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_bench():
+def _run_bench(tmp_path):
+    # --out to a temp path: a suite run must NEVER touch the repo's
+    # BENCH_DETAIL.run.json / BENCH_DETAIL.json (r6 verdict #2 — an
+    # in-suite bench run destroyed the driver's committed round detail)
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        [
+            sys.executable,
+            os.path.join(REPO, "bench.py"),
+            "--out",
+            str(tmp_path / "bench_detail.json"),
+        ],
         capture_output=True,
         text=True,
         cwd=REPO,
-        timeout=900,
+        timeout=1200,
         check=True,
     )
     return out.stdout
 
 
 @pytest.mark.slow
-def test_bench_no_regressions_vs_round_baseline():
+def test_bench_no_regressions_vs_round_baseline(tmp_path):
     sys.path.insert(0, REPO)
     from tools.benchgate import BASELINE_PATH, compare, load_bench_json
 
@@ -36,13 +44,26 @@ def test_bench_no_regressions_vs_round_baseline():
     # looser thresholds than the standalone benchgate CLI (1.5x/0.3s):
     # inside the suite the bench subprocess shares the machine with the
     # suite's own live Spark JVM, which adds scheduler-contention jitter
-    regs = compare(load_bench_json(_run_bench()), baseline, ratio=2.0, min_abs=0.75)
+    regs = compare(
+        load_bench_json(_run_bench(tmp_path)), baseline, ratio=2.0, min_abs=0.75
+    )
     if regs:
         # one retry: a regression must REPRODUCE to fail the gate, else it
         # was a transient scheduling blip on the shared box
         regs2 = compare(
-            load_bench_json(_run_bench()), baseline, ratio=2.0, min_abs=0.75
+            load_bench_json(_run_bench(tmp_path)), baseline, ratio=2.0, min_abs=0.75
         )
         flagged2 = {q for q, _, _ in regs2}
         regs = [r for r in regs if r[0] in flagged2]
     assert not regs, f"reproduced bench regressions vs BENCH_r02: {regs}"
+
+
+def test_suite_never_touches_committed_bench_detail():
+    """Regression guard for r6 verdict #2: bench.py's default detail
+    output must NOT be the committed BENCH_DETAIL.json artifact (a pytest
+    run once silently overwrote the driver's round detail)."""
+    src = open(os.path.join(REPO, "bench.py")).read()
+    assert '"BENCH_DETAIL.json"' not in src
+    assert "BENCH_DETAIL.run.json" in src
+    with open(os.path.join(REPO, ".gitignore")) as f:
+        assert "BENCH_DETAIL.run.json" in f.read()

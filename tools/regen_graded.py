@@ -15,16 +15,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "dbt_spark_models_spark", "operators", "_graded.py")
 
 
-def main() -> None:
-    # GREEN rows only: a failed or errored row must stay at the registry
-    # FRONT so the driver re-grades it next round (r4 lesson: unioning all
-    # keys buried the 11 red DeltaLite rows and agg_approx_distinct).
-    # Later rounds win: a query red in r4 but green in r5 counts as graded.
+def compute_graded() -> set[str]:
+    """GREEN rows only: a failed or errored row must stay at the registry
+    FRONT so the driver re-grades it next round (r4 lesson: unioning all
+    keys buried the 11 red DeltaLite rows and agg_approx_distinct).
+    Later rounds win: a query red in r4 but green in r5 counts as graded.
+
+    Exposed as a function so tests/test_graded_sync.py can assert the
+    committed _graded.py matches the CORRECTNESS_r*.json files present
+    (r5+r6 verdicts: the file went stale two rounds running and the
+    driver re-graded known-green rows)."""
     latest: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             latest.update(json.load(f))
-    graded = {
+    return {
         name
         for name, row in latest.items()
         if isinstance(row, dict)
@@ -33,6 +38,10 @@ def main() -> None:
         and row.get("hash_match")
         and not row.get("err")
     }
+
+
+def main() -> None:
+    graded = compute_graded()
     doc = (
         '"""Driver-graded query names (green rows in CORRECTNESS_r*.json).\n'
         "\n"
