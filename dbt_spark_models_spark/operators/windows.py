@@ -304,14 +304,18 @@ def exact_ntile(
     )
     ranged = df.repartitionByRange(nparts, *order_cols)
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
-    # persist: the ranked relation feeds both the output rows and the
-    # per-partition counts; without it each branch re-scans AND re-range-
-    # shuffles the input (the branches prune different columns, so AQE
-    # can't reuse the exchange)
+    # localCheckpoint, not persist (r6 ADVICE #4, same leak as
+    # distributed_cumsum): the ranked relation feeds both the output rows
+    # and the per-partition counts; without materialization each branch
+    # re-scans AND re-range-shuffles the input (the branches prune
+    # different columns, so AQE can't reuse the exchange), and a bare
+    # persist leaked session-lifetime cache blocks while leaving __pid
+    # re-derivable on eviction+recompute. Checkpoint freezes the pids and
+    # lets the ContextCleaner reclaim the blocks.
     local = (
         ranged.withColumn("__pid", F.spark_partition_id())
         .withColumn("__lrn", F.row_number().over(w_local))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # Prefix sums over the per-partition counts: one row per range
@@ -383,10 +387,17 @@ def distributed_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # localCheckpoint, not persist (r6 ADVICE #4): a bare persist leaked
+    # cached blocks for the session (nothing ever unpersisted it), and a
+    # cache eviction + recompute was the one path where spark_partition_id
+    # could be re-derived differently between the local-cumsum pass and
+    # the offsets pass. Checkpoint MATERIALIZES the ranged partitioning —
+    # pids are frozen, blocks are reclaimed by the ContextCleaner when the
+    # result goes out of scope.
     local = (
         ranged.withColumn("__pid", F.spark_partition_id())
         .withColumn("__lcs", F.sum(val_col).over(w_local))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # one row per range partition; non-foldable constant partition key
     # (see exact_ntile) keeps the tiny prefix-sum window warning-free

@@ -171,6 +171,37 @@ def _replay(table_path: str, version: int | None = None) -> tuple[list[str], dic
     return sorted(state["active"]), state["meta"]
 
 
+def _walk_commits(table_path: str, start_v: int, end_v: int):
+    """Yield ``(v, actions, parent_active)`` for each commit version in
+    ``[start_v, end_v]``, folding the log state forward ONCE — O(total
+    log size) for a full-history walk instead of the O(V²) that calling
+    ``_replay_state(v-1)`` per commit costs (r6 ADVICE #5; CDF readers
+    need the PARENT snapshot's per-path deletion-vector payloads to read
+    a commit's removed files through).
+
+    ``parent_active`` is the live ``{path: add}`` state as of ``v - 1``
+    — read-only, and only valid until the generator advances (it is
+    folded in place): callers must extract what they need (the removed
+    paths' payloads) before pulling the next commit. Bootstraps from the
+    newest checkpoint at or below ``start_v - 1`` via ``_replay_state``,
+    so a tail walk stays checkpoint-cheap."""
+    versions = _list_versions(table_path)
+    state: dict = {"active": {}, "meta": {}, "txns": {}}
+    fold_from = 0
+    prior = [v for v in versions if v < start_v]
+    if prior:
+        state = _replay_state(table_path, prior[-1])
+        fold_from = prior[-1] + 1
+    for v in versions:
+        if v < fold_from or v > end_v:
+            continue
+        actions = _commit_actions(table_path, v)
+        if v >= start_v:
+            yield v, actions, state["active"]
+        for a in actions:
+            _apply_action(state, a)
+
+
 def _write_checkpoint(table_path: str, version: int) -> None:
     """Compact the state at ``version`` into one parquet file + the
     ``_last_checkpoint`` pointer (spec shape; this lite variant stores one
@@ -307,6 +338,7 @@ def _write_data_files(
     df: DataFrame,
     table_path: str,
     partition_by: list[str] | None = None,
+    drop_partition_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     """Write df's rows as parquet files with globally-unique names under
     the table root (spec: data files are inert until committed). Returns
@@ -316,17 +348,32 @@ def _write_data_files(
     (``day=2024-01-01/part-….parquet``) and each add carries the spec's
     ``partitionValues`` map; the partition columns themselves are NOT in
     the data files — readers re-derive them from the log/paths, exactly
-    like real Delta."""
+    like real Delta.
+
+    ``drop_partition_cols`` names partition_by columns used ONLY to
+    split the write into files (OPTIMIZE's Z-bucket id): their hive
+    segments are stripped from the destination path and their keys from
+    partitionValues — the committed layout never sees them."""
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
+    real_partition_by = [
+        c for c in (partition_by or []) if c not in drop_partition_cols
+    ]
     adds = []
     now_ms = int(time.time() * 1000)
     for dirpath, _dirs, files in os.walk(staging):
         rel_dir = os.path.relpath(dirpath, staging)
         segments = [] if rel_dir == "." else rel_dir.split(os.sep)
+        if drop_partition_cols:
+            segments = [
+                s
+                for s in segments
+                if "=" not in s
+                or _decode_partition_dir(s)[0] not in drop_partition_cols
+            ]
         pvals: dict[str, str | None] = {}
         for seg in segments:
             if "=" in seg:
@@ -350,7 +397,7 @@ def _write_data_files(
                 "modificationTime": now_ms,
                 "dataChange": True,
             }
-            if partition_by:
+            if real_partition_by:
                 add["partitionValues"] = pvals
             if stats is not None:
                 add["stats"] = json.dumps(stats, separators=(",", ":"))
@@ -620,10 +667,18 @@ def write(
             _enforce_constraints(df, meta, "overwrite batch")
         adds = _write_data_files(df, table_path, partition_by)
         meta_action = _meta_action(df, meta.get("id", uuid.uuid4().hex), partition_by)
+        # INSERT OVERWRITE replaces data, not table CONFIGURATION: the full
+        # prior configuration (CHECK constraints, delta.appendOnly, any
+        # delta.* / user property) is carried into the new metaData, as
+        # dataframe overwrite does in real Delta.  The ONLY keys dropped
+        # are the column-mapping ones — the overwrite installs a fresh
+        # schemaString with no physicalName metadata, so keeping
+        # columnMapping.mode would claim a mapping the schema no longer
+        # records (r6 ADVICE #1).
         carried = {
             k: v
             for k, v in (meta.get("configuration") or {}).items()
-            if k.startswith(_CONSTRAINT_PREFIX)
+            if not k.startswith("delta.columnMapping.")
         }
         if carried:
             meta_action["metaData"]["configuration"] = carried
@@ -967,7 +1022,16 @@ def merge(
     snap_version = versions[-1]
     state = _replay_state(table_path, snap_version)
     active, meta = state["active"], state["meta"]
-    _check_append_only(meta, "MERGE")
+    # delta.appendOnly is checked at COMMIT level, not operation level
+    # (r6 ADVICE #2): an insert-only merge commits no dataChange removes
+    # and no DV repoints, so it is legal on an append-only table — only a
+    # merge that actually matches (and therefore removes or tombstones)
+    # rows is forbidden. The decision is made below, once the matched-key
+    # probe has run.
+    append_only = (
+        str((meta.get("configuration") or {}).get("delta.appendOnly", "")).lower()
+        == "true"
+    )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns") or None
     mapping = _column_mapping(meta)
@@ -1000,6 +1064,24 @@ def merge(
         for p in sorted(active)
         if overlap is not None and not _maybe_skip(active[p], phys_overlap)
     ]
+    if rewrite and (append_only or not deletion_vectors):
+        # zero-match probe (key columns only — column pruning makes it far
+        # cheaper than the rewrite): stats-grazed candidates that hold no
+        # matched key collapse the merge to insert-only, skipping the COW
+        # rewrite entirely (same gate the DV path gets from its `touched`
+        # counter). For append-only tables this probe also DECIDES
+        # legality: matches mean the commit would remove/tombstone rows.
+        probe = _scan_active(
+            spark, table_path, meta, {p: active[p] for p in rewrite}
+        ).select(*keys)
+        if probe.join(source.select(*keys), on=keys, how="left_semi").isEmpty():
+            rewrite = []
+        elif append_only:
+            raise ValueError(
+                "MERGE matched existing rows: commit would remove or "
+                "tombstone data, forbidden on a delta.appendOnly table "
+                "(insert-only merges are allowed)"
+            )
     now_ms = int(time.time() * 1000)
     adds: list[dict] = []
     cdc_adds: list[dict] = []
@@ -1525,19 +1607,34 @@ def optimize(
         )
     else:
         bucket = None
-    adds: list[dict] = []
-    for i in range(n_files):
-        part = (
-            snap.filter(bucket == i) if bucket is not None else snap
-        ).coalesce(1)
-        # column-mapped table: the compacted files keep PHYSICAL column
-        # headers so the preserved metaData (mapping included) still
-        # describes them
+    # column-mapped table: the compacted files keep PHYSICAL column
+    # headers so the preserved metaData (mapping included) still
+    # describes them
+    if bucket is not None:
+        # ONE pass (r6 verdict #4 — the old per-bucket filter+coalesce
+        # loop scanned the snapshot n_files times): the Z-bucket id
+        # becomes a throwaway write-partition column. repartition on it
+        # co-locates each bucket's rows in one task (hash collisions just
+        # mean a task writes two bucket directories), partitionBy splits
+        # the task output one file per bucket, and _write_data_files
+        # strips the __zb segment from the committed paths/partitionValues.
+        part = snap.withColumn("__zb", bucket)
+        if mapping:
+            part = part.select(
+                *[F.col(lg).alias(ph) for lg, ph in mapping.items()], "__zb"
+            )
+        part = part.repartition(n_files, F.col("__zb"))
+        adds = _write_data_files(
+            part,
+            table_path,
+            list(pcols or []) + ["__zb"],
+            drop_partition_cols=("__zb",),
+        )
+    else:
+        part = snap.coalesce(1)
         if mapping:
             part = _to_physical(part, mapping)
-        adds += _write_data_files(part, table_path, pcols)
-        if bucket is None:
-            break
+        adds = _write_data_files(part, table_path, pcols)
     now_ms = int(time.time() * 1000)
     for a in adds:
         a["dataChange"] = False
@@ -1710,10 +1807,13 @@ def read_changes(
     meta_now = _replay_state(table_path, ending)["meta"]
     schema_now = StructType.fromJson(json.loads(meta_now["schemaString"]))
     mapping_now = _column_mapping(meta_now)
-    for v in versions:
-        if v < starting_version or v > ending:
-            continue
-        actions = _commit_actions(table_path, v)
+    # one forward fold of the log (r6 ADVICE #5): each commit's removes
+    # are paired with the PARENT snapshot's DV payloads from the walker's
+    # running state — no per-commit _replay_state(v-1), which made a
+    # full-history CDF scan O(V²) in log replay
+    for v, actions, parent_active in _walk_commits(
+        table_path, starting_version, ending
+    ):
         cdc = [a["cdc"] for a in actions if "cdc" in a]
         if cdc:
             from pyspark.sql.types import StringType, StructField
@@ -1761,11 +1861,9 @@ def read_changes(
         #   sides — e.g. a DV DML whose predicate grazed a tombstoned
         #   file but matched zero rows, or RESTORE re-adding an
         #   unchanged payload.
-        pre_active = (
-            _replay_state(table_path, v - 1)["active"]
-            if removes and v > 0
-            else {}
-        )
+        # snapshot only the removed paths' parent payloads: parent_active
+        # is the walker's live state and folds forward on the next commit
+        pre_active = {p: parent_active[p] for p in removes if p in parent_active}
 
         def _dv_card(payload: dict | None) -> int:
             return ((payload or {}).get("deletionVector") or {}).get(

@@ -68,16 +68,23 @@ def _dead_row_indexes(table_path: str, dv_path, rel_path: str):
     return set(t.filter(mask).column("row_index").to_pylist())
 
 
-def _derived_change_files(table_path: str, actions: list[dict], v: int):
+def _derived_change_files(
+    table_path: str, actions: list[dict], v: int, pre_active: dict | None = None
+):
     """The spec's DV-aware derived-CDF contract, shared by both stream
     readers and mirroring batch ``read_changes``: for a commit with no
     cdc actions, pair each dataChange remove/add with the deletionVector
     it must be read through (removes: the DV carried in the PARENT
-    snapshot, replayed at v-1; adds: the add's own DV), and skip
-    remove+re-add pairs of the same path whose tombstone cardinality is
-    unchanged (tombstone sets only grow, so equal cardinality = pure
-    repoint = no content change). Returns (removes, adds) as lists of
-    (rel_path, dv_path | None)."""
+    snapshot; adds: the add's own DV), and skip remove+re-add pairs of
+    the same path whose tombstone cardinality is unchanged (tombstone
+    sets only grow, so equal cardinality = pure repoint = no content
+    change). Returns (removes, adds) as lists of (rel_path,
+    dv_path | None).
+
+    ``pre_active`` is the parent snapshot's ``{path: add}`` state; pass
+    it from ``deltalite._walk_commits`` when iterating a version range —
+    the fallback ``_replay_state(v - 1)`` is O(log size) PER COMMIT and
+    makes a tail walk O(V²) (r6 ADVICE #5)."""
     removes = [
         a["remove"]["path"]
         for a in actions
@@ -88,11 +95,12 @@ def _derived_change_files(table_path: str, actions: list[dict], v: int):
         for a in actions
         if "add" in a and a["add"].get("dataChange", True)
     }
-    pre_active = (
-        deltalite._replay_state(table_path, v - 1)["active"]
-        if removes and v > 0
-        else {}
-    )
+    if pre_active is None:
+        pre_active = (
+            deltalite._replay_state(table_path, v - 1)["active"]
+            if removes and v > 0
+            else {}
+        )
 
     def dv(payload):
         return ((payload or {}).get("deletionVector") or {})
@@ -184,6 +192,18 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
                 )
             for add in adds:
                 table = pq.read_table(os.path.join(self.path, add["path"]))
+                # read through the add's own deletionVector (r6 ADVICE #3):
+                # a shallow clone of a DV table is an adds-only commit whose
+                # files carry DVs — raw reads would resurrect tombstones
+                dead = _dead_row_indexes(
+                    self.path,
+                    (add.get("deletionVector") or {}).get("path"),
+                    add["path"],
+                )
+                if dead:
+                    table = table.take(
+                        [i for i in range(table.num_rows) if i not in dead]
+                    )
                 cols = {c: table.column(c).to_pylist() for c in table.column_names}
                 n = table.num_rows
                 pv = add.get("partitionValues") or {}
@@ -251,11 +271,10 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
         ]
         pcols = set(meta.get("partitionColumns", []))
         mapping = deltalite._column_mapping(meta)
-        versions = [
-            v for v in deltalite._list_versions(self.path) if start_v < v <= end_v
-        ]
-        for v in versions:
-            actions = deltalite._commit_actions(self.path, v)
+        # one forward fold of the log for the whole batch (r6 ADVICE #5)
+        for v, actions, parent_active in deltalite._walk_commits(
+            self.path, start_v + 1, end_v
+        ):
             cdc = [a["cdc"]["path"] for a in actions if "cdc" in a]
             if cdc:
                 # cdc files carry logical names + _change_type already
@@ -275,7 +294,9 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
                     out.append([v] * n)
                     yield from (tuple(r) for r in zip(*out))
                 continue
-            removes, adds = _derived_change_files(self.path, actions, v)
+            removes, adds = _derived_change_files(
+                self.path, actions, v, parent_active
+            )
             for pairs, ctype in ((removes, "delete"), (adds, "insert")):
                 for path, dv_path in pairs:
                     out, n = self._file_rows(
@@ -393,12 +414,12 @@ class DeltaLiteDistStreamReader(DataSourceStreamReader):
                 self.path, rel, fields, pcols, mapping, ctype, v, cdc, dv_path
             )
 
-        for v in deltalite._list_versions(self.path):
-            if not (start_v < v <= end_v):
-                continue
-            actions = deltalite._commit_actions(self.path, v)
+        # one forward fold of the log for the whole batch (r6 ADVICE #5)
+        for v, actions, parent_active in deltalite._walk_commits(
+            self.path, start_v + 1, end_v
+        ):
             adds = [
-                a["add"]["path"]
+                a["add"]
                 for a in actions
                 if "add" in a and a["add"].get("dataChange", True)
             ]
@@ -414,7 +435,20 @@ class DeltaLiteDistStreamReader(DataSourceStreamReader):
                         f"commit {v} rewrites data (overwrite/merge/delete); "
                         "use .option('changeFeed', 'true') to stream changes"
                     )
-                parts += [part(p, None, v) for p in adds]
+                # each add is read through its OWN deletionVector (r6
+                # ADVICE #3): a shallow clone of a DV table commits adds
+                # that carry DVs with no removes, so the removes guard
+                # never fires — reading those files raw would resurrect
+                # tombstoned rows
+                parts += [
+                    part(
+                        a["path"],
+                        None,
+                        v,
+                        dv_path=(a.get("deletionVector") or {}).get("path"),
+                    )
+                    for a in adds
+                ]
             elif cdc:
                 parts += [part(p, None, v, cdc=True) for p in cdc]
             else:
@@ -423,7 +457,7 @@ class DeltaLiteDistStreamReader(DataSourceStreamReader):
                 # on the driver, each partition ships its file's
                 # sidecar pointer so the EXECUTOR applies the tombstones
                 rm_pairs, add_pairs = _derived_change_files(
-                    self.path, actions, v
+                    self.path, actions, v, parent_active
                 )
                 parts += [
                     part(p, "delete", v, dv_path=d) for p, d in rm_pairs

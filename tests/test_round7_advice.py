@@ -1,0 +1,241 @@
+"""Regression tests for the round-6 ADVICE.md items:
+
+1. INSERT OVERWRITE carries the FULL table configuration (not just
+   delta.constraints.*), dropping only the column-mapping keys that are
+   intentionally reset with the schema.
+2. delta.appendOnly is a COMMIT-level rule for MERGE: insert-only merges
+   (no dataChange removes, no DV repoints) are legal; only merges that
+   match existing rows are rejected.
+3. The non-change-feed stream path reads each add through its OWN
+   deletionVector — streaming a shallow clone of a DV table (adds carry
+   DVs, no removes) must not resurrect tombstoned rows.
+4. exact_ntile / distributed_cumsum materialize via localCheckpoint, not
+   a session-lifetime persist.
+5. read_changes folds the log forward once (_walk_commits) instead of
+   replaying O(V) per commit; parent snapshots must match _replay_state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from dbt_spark_models_spark.sources import deltalite
+
+
+@pytest.fixture
+def tdir():
+    with tempfile.TemporaryDirectory(prefix="dl-r7-") as d:
+        yield os.path.join(d, "t")
+
+
+def _df(spark, rows, schema="k int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------- ADVICE 1
+
+
+def test_overwrite_carries_full_table_configuration(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    deltalite.set_table_property(tdir, "delta.logRetentionDuration", "interval 30 days")
+    deltalite.set_table_property(tdir, "team.owner", "data-eng")
+    deltalite.add_check_constraint(spark, tdir, "k_pos", "k > 0")
+    deltalite.write(spark, _df(spark, [(2, "b")]).coalesce(1), tdir, "overwrite")
+    conf = deltalite._replay_state(tdir)["meta"].get("configuration") or {}
+    assert conf.get("delta.logRetentionDuration") == "interval 30 days"
+    assert conf.get("team.owner") == "data-eng"
+    assert conf.get("delta.constraints.k_pos") == "k > 0"
+    # and the carried constraint is still ENFORCED on the next batch
+    with pytest.raises(ValueError, match="k_pos"):
+        deltalite.write(spark, _df(spark, [(-5, "x")]).coalesce(1), tdir, "append")
+
+
+def test_overwrite_drops_column_mapping_keys_with_schema(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    deltalite.rename_column(tdir, "v", "val")  # activates columnMapping=name
+    conf = deltalite._replay_state(tdir)["meta"].get("configuration") or {}
+    assert conf.get("delta.columnMapping.mode") == "name"
+    deltalite.set_table_property(tdir, "team.owner", "data-eng")
+    deltalite.write(
+        spark,
+        spark.createDataFrame([(2, "b")], "k int, val string").coalesce(1),
+        tdir,
+        "overwrite",
+    )
+    conf = deltalite._replay_state(tdir)["meta"].get("configuration") or {}
+    # overwrite installed a FRESH schema with no physicalName metadata:
+    # claiming a mapping the schema no longer records would be a lie
+    assert "delta.columnMapping.mode" not in conf
+    assert conf.get("team.owner") == "data-eng"
+    assert {r.val for r in deltalite.read(spark, tdir).collect()} == {"b"}
+
+
+# ---------------------------------------------------------------- ADVICE 2
+
+
+def test_append_only_allows_insert_only_merge(spark, tdir):
+    # keys 1 and 4 exist; the source keys 2..3 OVERLAP the file's [1,4]
+    # stats range, so the candidate set is non-empty and the matched-key
+    # probe (not the stats) must decide legality
+    deltalite.write(spark, _df(spark, [(1, "a"), (4, "d")]).coalesce(1), tdir)
+    deltalite.set_table_property(tdir, "delta.appendOnly", "true")
+    deltalite.merge(spark, _df(spark, [(2, "b"), (3, "c")]), tdir, ["k"])
+    got = sorted((r.k, r.v) for r in deltalite.read(spark, tdir).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # the insert-only commit must contain no dataChange removes
+    last = deltalite.latest_version(tdir)
+    removes = [
+        a
+        for a in deltalite._commit_actions(tdir, last)
+        if "remove" in a and a["remove"].get("dataChange", True)
+    ]
+    assert removes == []
+
+
+def test_append_only_rejects_matching_merge(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a"), (4, "d")]).coalesce(1), tdir)
+    deltalite.set_table_property(tdir, "delta.appendOnly", "true")
+    with pytest.raises(ValueError, match="appendOnly"):
+        deltalite.merge(spark, _df(spark, [(4, "D2"), (9, "i")]), tdir, ["k"])
+    # DV (merge-on-read) tombstoning is a repoint — equally forbidden
+    with pytest.raises(ValueError, match="appendOnly"):
+        deltalite.merge(
+            spark, _df(spark, [(4, "D2")]), tdir, ["k"], deletion_vectors=True
+        )
+    assert sorted(r.k for r in deltalite.read(spark, tdir).collect()) == [1, 4]
+
+
+def test_cow_merge_zero_match_skips_rewrite(spark, tdir):
+    """Stats-grazed candidates with no matched key: the probe collapses
+    the COW merge to insert-only — the commit removes nothing and the
+    original file survives byte-identical."""
+    deltalite.write(spark, _df(spark, [(1, "a"), (4, "d")]).coalesce(1), tdir)
+    before = set(deltalite._replay(tdir)[0])
+    deltalite.merge(spark, _df(spark, [(2, "b")]), tdir, ["k"])
+    after = set(deltalite._replay(tdir)[0])
+    assert before <= after  # nothing rewritten, one file added
+    assert len(after - before) >= 1
+    got = sorted(r.k for r in deltalite.read(spark, tdir).collect())
+    assert got == [1, 2, 4]
+
+
+# ---------------------------------------------------------------- ADVICE 3
+
+
+def _stream_rows(spark, path, ckpt, change_feed=False):
+    from dbt_spark_models_spark.sources.deltalite_stream import (
+        DeltaLiteStreamSource,
+    )
+
+    try:
+        spark.dataSource.register(DeltaLiteStreamSource)
+    except Exception:  # noqa: BLE001
+        pass
+    reader = spark.readStream.format("deltalite_stream").option("path", path)
+    if change_feed:
+        reader = reader.option("changeFeed", "true")
+    stream = reader.load()
+    rows: list = []
+
+    def _sink(df, _bid):
+        rows.extend(df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return rows
+
+
+def test_stream_shallow_clone_of_dv_table_filters_tombstones(spark, tdir):
+    """A shallow clone's v0 commit is adds-carrying-DVs with NO removes,
+    so the 'source has removes' guard never fires — the append stream
+    path must still read each file through its add's own DV."""
+    src = os.path.join(os.path.dirname(tdir), "src")
+    deltalite.write(
+        spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), src
+    )
+    deltalite.delete(spark, src, [("k", "=", 2)], deletion_vectors=True)
+    deltalite.clone(spark, src, tdir)
+    ckpt = tempfile.mkdtemp(prefix="dl-r7-ckpt-")
+    rows = _stream_rows(spark, tdir, ckpt)
+    assert sorted((r.k, r.v) for r in rows) == [(1, "a"), (3, "c")]
+
+
+# ---------------------------------------------------------------- ADVICE 4
+
+
+def test_ntile_cumsum_use_checkpoint_not_persist(spark):
+    """The range-shuffled intermediates must be localCheckpoint-ed, not
+    persist()-ed: checkpoint FREEZES spark_partition_id (recompute after
+    cache eviction was the one path where pids could be re-derived
+    between the local pass and the offsets pass) and its blocks are
+    ContextCleaner-reclaimed when the result goes out of scope, instead
+    of living for the session. Correctness stays exact vs the
+    single-partition window."""
+    import inspect
+
+    from dbt_spark_models_spark.operators import windows
+    from dbt_spark_models_spark.operators.windows import distributed_cumsum
+
+    src = inspect.getsource(windows)
+    assert ".persist()" not in src
+    assert src.count(".localCheckpoint(") >= 2
+    from pyspark.sql import functions as F  # noqa: N812
+    from pyspark.sql.window import Window
+
+    df = spark.range(0, 5_000).selectExpr("id", "CAST(id % 97 AS LONG) AS val")
+    got = distributed_cumsum(df, ["val", "id"], "val", "running")
+    w = Window.orderBy("val", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("running", F.sum("val").over(w))
+    assert got.join(want, ["id", "val", "running"]).count() == 5_000
+
+
+# ---------------------------------------------------------------- ADVICE 5
+
+
+def test_walk_commits_parent_state_matches_full_replay(spark, tdir):
+    """_walk_commits' folded parent_active must equal an independent
+    _replay_state(v-1) at EVERY commit of a mixed DML history."""
+    deltalite.write(spark, _df(spark, [(i, f"v{i}") for i in range(6)]), tdir)
+    deltalite.delete(spark, tdir, [("k", "=", 1)], deletion_vectors=True)
+    deltalite.merge(spark, _df(spark, [(2, "B"), (9, "i")]), tdir, ["k"])
+    deltalite.write(spark, _df(spark, [(20, "t")]).coalesce(1), tdir, "append")
+    deltalite.optimize(spark, tdir, n_files=1)
+    deltalite.restore(spark, tdir, 1)
+    last = deltalite.latest_version(tdir)
+    seen = []
+    for v, actions, parent_active in deltalite._walk_commits(tdir, 0, last):
+        expected = (
+            deltalite._replay_state(tdir, v - 1)["active"] if v > 0 else {}
+        )
+        assert parent_active == expected, f"parent state diverged at v{v}"
+        seen.append(v)
+    assert seen == deltalite._list_versions(tdir)
+
+
+def test_read_changes_full_history_dv_parity(spark, tdir):
+    """Full-history CDF over a DV-heavy log: deletes surface the parent
+    snapshot's live rows only (no tombstone resurrection) under the
+    single-fold walker."""
+    deltalite.write(
+        spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), tdir
+    )
+    deltalite.delete(spark, tdir, [("k", "=", 2)], deletion_vectors=True)
+    deltalite.delete(spark, tdir, [("k", "=", 3)], deletion_vectors=True)
+    cdf = deltalite.read_changes(spark, tdir).collect()
+    by_type = {}
+    for r in cdf:
+        by_type.setdefault(r._change_type, []).append(r.k)
+    assert sorted(by_type["insert"]) == [1, 2, 3]
+    # v1 deletes k=2 (parent has 1,2,3); v2 deletes k=3 (parent must NOT
+    # resurrect k=2 — it reads v1's DV through the folded parent state)
+    assert sorted(by_type["delete"]) == [2, 3]
