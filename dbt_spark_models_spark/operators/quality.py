@@ -2145,3 +2145,208 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("nt")
     )
+
+
+@query(
+    "eval_expected_calibration_error",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT 1.0 / (1.0 + EXP(-ROUND(LN(1 + len(tokens)) * 0.5
+                 + (len(list_distinct(tokens)) / len(tokens)) * 1.5
+                 - (len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+                    / len(tokens)) * 3.0, 6))) AS p,
+           CASE WHEN lang IN ('en', 'es') THEN 1 ELSE 0 END AS y
+    FROM toks WHERE len(tokens) > 0
+), bins AS (
+    SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+           COUNT(*) AS n, AVG(p) AS conf, AVG(CAST(y AS DOUBLE)) AS acc
+    FROM scored GROUP BY bin
+)
+SELECT ROUND(SUM(n * ABS(acc - conf)) / SUM(n), 6) AS ece,
+       ROUND(MAX(ABS(acc - conf)), 6) AS mce,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_used
+FROM bins
+""",
+)
+def eval_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected / Maximum Calibration Error over the same 10 fixed-width
+    probability bins as ``eval_calibration_curve``: ECE is the
+    bin-weight-averaged |accuracy − confidence| gap, MCE the worst bin —
+    the single-number summaries model-quality dashboards track per
+    checkpoint.
+
+    Scale: identical shape to the calibration curve — one
+    map-side-combined groupBy onto a ≤10-value key, then a 10-row final
+    agg. No global statistics, no sort, no second pass over the corpus.
+    """
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    scored = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            (
+                1.0
+                / (
+                    1.0
+                    + F.exp(
+                        -F.round(
+                            F.log(F.lit(1) + n_tok) * 0.5
+                            + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
+                            - (
+                                F.size(
+                                    F.filter(
+                                        "tokens", lambda x: x.rlike("^[0-9]+$")
+                                    )
+                                )
+                                / n_tok
+                            )
+                            * 3.0,
+                            6,
+                        )
+                    )
+                )
+            ).alias("p"),
+            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
+        )
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("p").alias("conf"),
+        F.avg(F.col("y").cast("double")).alias("acc"),
+    )
+    gap = F.abs(F.col("acc") - F.col("conf"))
+    return bins.agg(
+        F.round(F.sum(F.col("n") * gap) / F.sum("n"), 6).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+    )
+
+
+@query(
+    "eval_mrr_first_relevant",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang, source,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang, source,
+           ROUND(LN(1 + len(tokens)) * 0.5
+                 + (len(list_distinct(tokens)) / len(tokens)) * 1.5
+                 - (len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+                    / len(tokens)) * 3.0, 6) AS s
+    FROM toks WHERE len(tokens) > 0
+), ranked AS (
+    SELECT lang, source, s, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY s DESC, doc_id ASC) AS rnk
+    FROM scored
+)
+SELECT lang,
+       CAST(MIN(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+                     THEN rnk END) AS BIGINT) AS first_rank,
+       ROUND(1.0 / MIN(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+                            THEN rnk END), 6) AS reciprocal_rank,
+       CAST(COUNT(*) AS BIGINT) AS n_ranked
+FROM ranked GROUP BY lang
+""",
+)
+def eval_mrr_first_relevant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank inputs: per query group (language), the rank
+    of the first RELEVANT document (source ∈ src0..src3) under the
+    quality-score ranking (score DESC, doc_id tie-break) and its
+    reciprocal — the retrieval metric for "how high does the first good
+    hit appear".
+
+    Scale: NO per-group global sort. The rank of the first relevant doc
+    is computed as 1 + |{docs strictly better than the best relevant
+    doc}|: (1) an argmax agg finds each group's best relevant (score,
+    doc_id) pair — map-side combined; (2) a broadcast join + one more
+    keyed agg counts the better docs. Two aggs and a broadcast replace
+    the full ranking window — at 100 TB the per-lang window would funnel
+    a skewed language (half the corpus is 'en') through one task, while
+    both aggs here keep map-side partials.
+
+    (The oracle states the same semantics with ROW_NUMBER, which DuckDB
+    evaluates exactly on the small gate corpus.)"""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    scored = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.round(
+                F.log(F.lit(1) + n_tok) * 0.5
+                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
+                - (
+                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
+                    / n_tok
+                )
+                * 3.0,
+                6,
+            ).alias("s"),
+        )
+    )
+    rel = F.col("source").isin("src0", "src1", "src2", "src3")
+    # argmax: the best relevant doc per lang = max (s, -doc_id) lexicographic
+    best = (
+        scored.filter(rel)
+        .groupBy("lang")
+        .agg(
+            F.max(F.struct(F.col("s"), (-F.col("doc_id")).alias("nid"))).alias(
+                "b"
+            )
+        )
+        .select(
+            "lang",
+            F.col("b.s").alias("bs"),
+            (-F.col("b.nid")).alias("bid"),
+        )
+    )
+    counted = (
+        scored.join(F.broadcast(best), "lang", "left")
+        .groupBy("lang")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (F.col("s") > F.col("bs"))
+                        | (
+                            (F.col("s") == F.col("bs"))
+                            & (F.col("doc_id") < F.col("bid"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("better_plus_one"),
+            F.max(F.col("bs").isNotNull()).alias("has_rel"),
+            F.count(F.lit(1)).alias("n_ranked"),
+        )
+    )
+    return counted.select(
+        "lang",
+        F.when(F.col("has_rel"), F.col("better_plus_one"))
+        .cast("long")
+        .alias("first_rank"),
+        F.round(
+            F.when(F.col("has_rel"), 1.0 / F.col("better_plus_one")), 6
+        ).alias("reciprocal_rank"),
+        F.col("n_ranked").cast("long").alias("n_ranked"),
+    )

@@ -14,6 +14,7 @@ mirrors the expected keyspace. After EVERY committed version:
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -40,6 +41,10 @@ _op = st.one_of(
     st.tuples(st.just("update"), st.integers(0, 9)),
     st.tuples(st.just("optimize"), st.integers(1, 2)),
     st.tuples(st.just("restore"), st.integers(0, 100)),
+    # r6-verdict #5 verbs: composition bugs (clone x DV, appendOnly x
+    # merge) are exactly what single-feature tests missed in r6
+    st.tuples(st.just("appendonly"), st.booleans()),
+    st.tuples(st.just("clone"), st.none()),
 )
 
 
@@ -60,8 +65,22 @@ def test_deltalite_random_dml_matches_model(spark, first, ops):
         model: dict[int, str] = dict(first)
         deltalite.write(spark, df_of(first), tdir)
         history = {0: dict(model)}  # version -> expected state
+        append_only = False
+        clones: list[tuple[str, dict[int, str]]] = []
         for kind, arg in ops:
-            if kind == "append":
+            if kind == "appendonly":
+                v = deltalite.set_table_property(
+                    tdir, "delta.appendOnly", "true" if arg else "false"
+                )
+                append_only = arg
+            elif kind == "clone":
+                # shallow clone mid-history (may carry DV sidecars): must
+                # equal the model NOW and stay frozen as the source moves
+                dst = tempfile.mkdtemp(prefix="dlprop-clone-") + "/t"
+                deltalite.clone(spark, tdir, dst)
+                clones.append((dst, dict(model)))
+                continue  # no source commit
+            elif kind == "append":
                 # keep appends key-disjoint from the live state (the
                 # table has no PK constraint; the model is a dict)
                 rows = [(k, v) for k, v in arg if k not in model]
@@ -70,20 +89,44 @@ def test_deltalite_random_dml_matches_model(spark, first, ops):
                 v = deltalite.write(spark, df_of(rows), tdir, "append")
                 model.update(rows)
             elif kind == "overwrite":
+                # appendOnly forbids overwrite unconditionally (it
+                # replaces the prior file set)
+                if append_only:
+                    with pytest.raises(ValueError, match="appendOnly"):
+                        deltalite.write(spark, df_of(arg), tdir, "overwrite")
+                    continue
                 v = deltalite.write(spark, df_of(arg), tdir, "overwrite")
                 model = dict(arg)
-            elif kind == "merge":
-                v = deltalite.merge(spark, df_of(arg), tdir, ["k"])
-                model.update(arg)
-            elif kind == "dvmerge":  # merge-on-read upsert
+            elif kind in ("merge", "dvmerge"):
+                # COMMIT-level appendOnly rule: a merge raises IFF a
+                # source key matches a live row (it would then remove or
+                # tombstone); insert-only merges commit fine
+                dv = kind == "dvmerge"
+                matches = any(k in model for k, _ in arg)
+                if append_only and matches:
+                    with pytest.raises(ValueError, match="appendOnly"):
+                        deltalite.merge(
+                            spark, df_of(arg), tdir, ["k"], deletion_vectors=dv
+                        )
+                    continue
                 v = deltalite.merge(
-                    spark, df_of(arg), tdir, ["k"], deletion_vectors=True
+                    spark, df_of(arg), tdir, ["k"], deletion_vectors=dv
                 )
                 model.update(arg)
             elif kind == "delete":
+                if append_only:
+                    with pytest.raises(ValueError, match="appendOnly"):
+                        deltalite.delete(spark, tdir, [("k", "<=", arg)])
+                    continue
                 v, _, _ = deltalite.delete(spark, tdir, [("k", "<=", arg)])
                 model = {k: x for k, x in model.items() if k > arg}
             elif kind == "update":  # COW or DV picked by parity
+                if append_only:
+                    with pytest.raises(ValueError, match="appendOnly"):
+                        deltalite.update(
+                            spark, tdir, [("k", "<=", arg)], {"v": "upper(v)"}
+                        )
+                    continue
                 v, _, touched = deltalite.update(
                     spark,
                     tdir,
@@ -98,6 +141,13 @@ def test_deltalite_random_dml_matches_model(spark, first, ops):
                     for k, x in model.items()
                 }
             elif kind == "dvdelete":  # merge-on-read tombstones
+                if append_only:
+                    with pytest.raises(ValueError, match="appendOnly"):
+                        deltalite.delete(
+                            spark, tdir, [("k", ">=", arg)],
+                            deletion_vectors=True,
+                        )
+                    continue
                 v, _, touched = deltalite.delete(
                     spark, tdir, [("k", ">=", arg)], deletion_vectors=True
                 )
@@ -106,11 +156,17 @@ def test_deltalite_random_dml_matches_model(spark, first, ops):
                 model = {k: x for k, x in model.items() if k < arg}
             elif kind == "optimize":
                 v = deltalite.optimize(spark, tdir, n_files=arg)
-                # layout only: state unchanged
+                # layout only: state unchanged (legal under appendOnly)
             else:  # restore to an arbitrary recorded version
                 versions = sorted(history)
                 target = versions[arg % len(versions)]
-                v = deltalite.restore(spark, tdir, target)
+                try:
+                    v = deltalite.restore(spark, tdir, target)
+                except ValueError:
+                    # appendOnly forbids a restore that removes files;
+                    # legal only when the raise matches the flag
+                    assert append_only
+                    continue
                 model = dict(history[target])
             history[v] = dict(model)
             got = {r.k: r.v for r in deltalite.read(spark, tdir).collect()}
@@ -136,6 +192,15 @@ def test_deltalite_random_dml_matches_model(spark, first, ops):
             elif r._change_type == "delete":
                 state.pop(r.k, None)
         assert state == model, "change feed does not telescope to final state"
+        # every mid-history shallow clone still reads its frozen snapshot
+        # (DV sidecars referenced by absolute path included) even though
+        # the source kept moving
+        import shutil
+
+        for dst, snap_model in clones:
+            got = {r.k: r.v for r in deltalite.read(spark, dst).collect()}
+            assert got == snap_model, f"clone {dst} diverged from snapshot"
+            shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
 
 
 # schema-lifecycle alphabet: rename (metadata-only, toggles the value
@@ -160,6 +225,11 @@ _sop = st.one_of(
     st.tuples(st.just("delete"), st.integers(0, 9)),
     st.tuples(st.just("optimize"), st.integers(1, 2)),
     st.tuples(st.just("restore"), st.integers(0, 100)),
+    # r6-verdict #5: metadata-only DROP COLUMN interleaved with evolve /
+    # rename / overwrite / restore — a later evolve re-adding the same
+    # logical name must NOT resurrect the dropped data (fresh physical
+    # name), and time travel before the drop must still see the column
+    st.tuples(st.just("drops"), st.none()),
 )
 
 
@@ -197,6 +267,15 @@ def test_deltalite_schema_lifecycle_random(spark, first, ops):
                 new = "w" if colname == "v" else "v"
                 ver = deltalite.rename_column(tdir, colname, new)
                 colname = new
+            elif kind == "drops":
+                if not has_s:
+                    continue  # nothing to drop
+                ver = deltalite.drop_column(tdir, "s")
+                has_s = False
+                # the data stays in the old files under the retired
+                # physical name, but the logical schema (and so every
+                # read, and any LATER re-added s) must never see it
+                model = {k: (v, None) for k, (v, _) in model.items()}
             elif kind == "evolve":
                 rows = [r for r in arg if r[0] not in model]
                 if not rows:
