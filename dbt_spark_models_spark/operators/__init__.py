@@ -46,6 +46,7 @@ def query(name: str, oracle: str | None = None):
 # sketches / train+eval (quality) / streaming / funnels / text — breadth
 # of family over count.
 _ROTATION_FRONT = [
+    "preference",
     "deltalite_gate",
     "clustering",
     "multimodal",
@@ -110,6 +111,7 @@ def load_all() -> dict[str, Query]:
         deltalite_gate,
         retrieval,
         timeseries,
+        preference,
     )
     from dbt_spark_models_spark.operators._graded import DRIVER_GRADED
 

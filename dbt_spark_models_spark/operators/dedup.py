@@ -1186,3 +1186,103 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_a").alias("n_caught"),
         F.round(F.count("c_a") / F.count(F.lit(1)), 4).alias("recall"),
     )
+
+
+@query(
+    "dedup_url_canonical_groups",
+    oracle="""
+WITH urls AS (
+    SELECT doc_id, source,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+           || '://'
+           || (CASE WHEN doc_id % 3 = 0 THEN UPPER(source) ELSE source END)
+           || '.Example.COM/docs/' || CAST(doc_id % 50 AS VARCHAR)
+           || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+           || (CASE doc_id % 4
+                 WHEN 0 THEN '?utm_source=feed&utm_medium=rss&ref=' || lang
+                 WHEN 1 THEN '?ref=' || lang || '&utm_campaign=x'
+                 WHEN 2 THEN '?ref=' || lang
+                 ELSE '' END)
+           || (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url
+    FROM documents
+), canon AS (
+    SELECT doc_id, source,
+           regexp_replace(
+               lower(regexp_extract(url, '^([A-Za-z]+://[^/?#]+/[^?#]*)', 1)),
+               '/+$', '')
+           || (CASE WHEN regexp_extract(url, '[?&]ref=([a-z]+)', 1) <> ''
+                    THEN '?ref=' || regexp_extract(url, '[?&]ref=([a-z]+)', 1)
+                    ELSE '' END) AS canonical
+    FROM urls
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+       CAST(COUNT(*) - COUNT(DISTINCT canonical) AS BIGINT) AS n_dups,
+       ROUND(COUNT(DISTINCT canonical) * 1.0 / COUNT(*), 6) AS uniq_ratio,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM canon GROUP BY source
+""",
+)
+def dedup_url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST stage of every web-corpus
+    pipeline (CommonCrawl dedup is URL-level before any content hash):
+    scheme/host case-folded, fragments stripped, tracking parameters
+    (utm_*) dropped with a whitelist (`ref`) retained, trailing slash
+    normalized; duplicates = same canonical URL. The noisy URLs are
+    synthesized deterministically from (doc_id, source, lang) so both
+    engines canonicalize the identical dirty input.
+
+    Canonicalization is parse-and-rebuild, not in-place patching: extract
+    scheme://host/path (case-folded, slash-trimmed) and the whitelisted
+    param, and CONCATENATE the canonical form — sidesteps the
+    backreference-syntax divergence between engines and the
+    order-sensitivity of param-stripping regexes.
+
+    Scale: canonicalization is row-local column math (zero shuffles);
+    grouping is ONE hash groupBy on the canonical string — the exact-dedup
+    shape (``dedup_exact_groups``) applied to the canonical key. The
+    per-source distinct count is a keyed two-level agg; survivors (not
+    materialized here) are min(doc_id) per canonical group, the same
+    keep-first rule as ``dedup_keep_first_survivors``."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM/docs/"),
+        (did % 50).cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&utm_medium=rss&ref="), F.col("lang")),
+        )
+        .when(did % 4 == 1, F.concat(F.lit("?ref="), F.col("lang"), F.lit("&utm_campaign=x")))
+        .when(did % 4 == 2, F.concat(F.lit("?ref="), F.col("lang")))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    urls = d.select("doc_id", "source", url.alias("url"))
+    base = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^([A-Za-z]+://[^/?#]+/[^?#]*)", 1)),
+        r"/+$",
+        "",
+    )
+    ref = F.regexp_extract("url", r"[?&]ref=([a-z]+)", 1)
+    canonical = F.concat(
+        base,
+        F.when(ref != "", F.concat(F.lit("?ref="), ref)).otherwise(F.lit("")),
+    )
+    canon = urls.select("doc_id", "source", canonical.alias("canonical"))
+    return canon.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("canonical").cast("long").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.countDistinct("canonical"))
+        .cast("long")
+        .alias("n_dups"),
+        F.round(F.countDistinct("canonical") / F.count(F.lit(1)), 6).alias(
+            "uniq_ratio"
+        ),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )

@@ -1,0 +1,331 @@
+"""Preference-data operators for RLHF-style training pipelines:
+pairwise-comparison construction and Bradley-Terry strength estimation.
+
+Beyond-reference surface (BASELINE.json north star): preference tuning
+needs (chosen, rejected) pairs mined from ranked corpora and a
+principled aggregate of noisy pairwise outcomes into per-item strengths
+— the two ops here, expressed Spark-first:
+
+- ``pipeline_preference_pair_construction``: per query group (language),
+  pair the k-th best document with the k-th worst under the quality
+  ranking — the standard margin-maximising pair-mining scheme for DPO /
+  reward-model training data.
+- ``curation_bradley_terry_strengths``: Bradley-Terry MM estimation
+  (Hunter 2004's minorization-maximization update) over pairwise match
+  outcomes between document SOURCES. The corpus is touched exactly once
+  (match extraction + matrix aggregation); the fixed-point iterations
+  run on the tiny aggregated win matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.operators.text import _tokens
+from dbt_spark_models_spark.sources.testdata import load_tables, spread
+
+_BT_ITERS = 3
+_BT_EPS = "0.000001"
+
+_SCORED_SQL = """toks AS (
+    SELECT doc_id, lang, source,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang, source,
+           ROUND(LN(1 + len(tokens)) * 0.5
+                 + (len(list_distinct(tokens)) / len(tokens)) * 1.5
+                 - (len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+                    / len(tokens)) * 3.0, 6) AS s
+    FROM toks WHERE len(tokens) > 0
+)"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared quantized quality score (same feature math as
+    ``text_quality_linear_score`` / ``eval_classifier_auc``)."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    return (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.round(
+                F.log(F.lit(1) + n_tok) * 0.5
+                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
+                - (
+                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
+                    / n_tok
+                )
+                * 3.0,
+                6,
+            ).alias("s"),
+        )
+    )
+
+
+@query(
+    "pipeline_preference_pair_construction",
+    oracle=f"""
+WITH {_SCORED_SQL}, ranked AS (
+    SELECT lang, doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY s DESC, doc_id ASC) AS rd,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY s ASC, doc_id DESC) AS ra,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM scored
+), pairs AS (
+    SELECT t.lang, t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           t.s - b.s AS margin
+    FROM ranked t
+    JOIN ranked b ON t.lang = b.lang AND b.ra = t.rd
+    WHERE t.rd <= CAST(FLOOR(t.n / 4) AS INT)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(margin AS DECIMAL(18, 6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_margin,
+       ROUND(MIN(margin), 6) AS min_margin,
+       ROUND(MAX(margin), 6) AS max_margin,
+       CAST(MIN(chosen_id) AS BIGINT) AS min_chosen_id,
+       CAST(MIN(rejected_id) AS BIGINT) AS min_rejected_id
+FROM pairs GROUP BY lang
+""",
+)
+def pipeline_preference_pair_construction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(chosen, rejected) preference-pair mining for DPO / reward-model
+    training: within each query group (language), rank documents by the
+    quality score and pair the k-th BEST with the k-th WORST for k up to
+    ⌊n/4⌋ — maximal-margin pairs, the standard scheme when converting a
+    scored corpus into pairwise preference data. Reports per-group pair
+    counts and margin statistics.
+
+    The reverse rank is derived, not recomputed: ordering by (s ASC,
+    doc_id DESC) is the exact reversal of (s DESC, doc_id ASC), so
+    ra = n + 1 - rd and the k-th-worst partner is the row whose reverse
+    rank equals k. The pairing join is keyed on (lang, rank) — an
+    equi-join, never a cross product.
+
+    Scale: the per-group ranking window is the one skewed stage (half
+    the corpus is one language); at 100 TB swap it for the
+    ``exact_ntile``/``distributed_cumsum`` primitive (range shuffle +
+    broadcast per-partition offsets, `operators/windows.py`) applied per
+    group — the pairing join and the final agg are already keyed and
+    map-side combinable."""
+    scored = _scored(spark, sf_dir)
+    w_desc = Window.partitionBy("lang").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    w_n = Window.partitionBy("lang")
+    ranked = scored.select(
+        "lang",
+        "doc_id",
+        "s",
+        F.row_number().over(w_desc).alias("rd"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    # reverse rank by identity, not a second sort: ra = n + 1 - rd
+    ranked = ranked.withColumn("ra", F.col("n") + 1 - F.col("rd"))
+    quarter = F.floor(F.col("n") / 4).cast("int")
+    top = ranked.filter(F.col("rd") <= quarter).select(
+        "lang",
+        F.col("rd").alias("k"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("s").alias("s_top"),
+    )
+    bottom = ranked.select(
+        "lang",
+        F.col("ra").alias("k"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("s").alias("s_bot"),
+    )
+    pairs = top.join(bottom, ["lang", "k"]).select(
+        "lang",
+        "chosen_id",
+        "rejected_id",
+        (F.col("s_top") - F.col("s_bot")).alias("margin"),
+    )
+    # margins are differences of 6-decimal-quantized scores: summing as
+    # DECIMAL(18,6) is exact and associative, so the average can't drift
+    # across engines' summation orders (the round-4 lesson)
+    return pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("margin").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_margin"),
+        F.round(F.min("margin"), 6).alias("min_margin"),
+        F.round(F.max("margin"), 6).alias("max_margin"),
+        F.min("chosen_id").cast("long").alias("min_chosen_id"),
+        F.min("rejected_id").cast("long").alias("min_rejected_id"),
+    )
+
+
+def _bt_oracle() -> str:
+    """Unrolled Bradley-Terry MM iterations (same device as the
+    PageRank / logreg oracles: a fixed iteration count makes the
+    estimator a pure function both engines evaluate identically up to
+    rounding, which the per-iteration ROUND(..., 9) absorbs).
+    MATERIALIZED CTEs: each w{{t}} is referenced twice by iteration
+    t+1 — without materialization DuckDB re-evaluates the chain
+    exponentially (k-core oracle lesson)."""
+    head = f"""WITH {_SCORED_SQL}, seq AS (
+    SELECT lang, source, s, doc_id,
+           LAG(source) OVER (PARTITION BY lang ORDER BY doc_id) AS psrc,
+           LAG(s) OVER (PARTITION BY lang ORDER BY doc_id) AS ps
+    FROM scored
+), matches AS (
+    SELECT CASE WHEN s > ps THEN source ELSE psrc END AS winner,
+           CASE WHEN s > ps THEN psrc ELSE source END AS loser
+    FROM seq
+    WHERE psrc IS NOT NULL AND s <> ps AND source <> psrc
+), mat AS MATERIALIZED (
+    SELECT i, j, SUM(win) AS w_ij, COUNT(*) AS n_ij
+    FROM (
+        SELECT winner AS i, loser AS j, 1 AS win FROM matches
+        UNION ALL
+        SELECT loser AS i, winner AS j, 0 AS win FROM matches
+    ) GROUP BY i, j
+), w0 AS MATERIALIZED (
+    SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS w FROM mat
+)"""
+    its = []
+    for t in range(_BT_ITERS):
+        its.append(f""", r{t + 1} AS MATERIALIZED (
+    SELECT m.i,
+           ROUND(SUM(m.w_ij) / SUM(m.n_ij / (wi.w + wj.w)), 9) AS w_raw
+    FROM mat m
+    JOIN w{t} wi ON wi.i = m.i
+    JOIN w{t} wj ON wj.i = m.j
+    GROUP BY m.i
+), w{t + 1} AS MATERIALIZED (
+    SELECT i, GREATEST(ROUND(w_raw * (SELECT COUNT(*) FROM r{t + 1})
+                             / (SELECT SUM(w_raw) FROM r{t + 1}), 9),
+                       {_BT_EPS}) AS w
+    FROM r{t + 1}
+)""")
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT w.i AS item,
+       ROUND(w.w, 6) AS strength,
+       CAST(t.wins AS BIGINT) AS wins,
+       CAST(t.n_matches AS BIGINT) AS n_matches
+FROM w{_BT_ITERS} w
+JOIN (SELECT i, SUM(w_ij) AS wins, SUM(n_ij) AS n_matches
+      FROM mat GROUP BY i) t ON t.i = w.i
+"""
+    )
+
+
+@query("curation_bradley_terry_strengths", oracle=_bt_oracle())
+def curation_bradley_terry_strengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bradley-Terry strength estimation over pairwise preference
+    outcomes — the aggregate behind reward-model data curation and
+    arena-style eval leaderboards. Matches: consecutive documents within
+    a language (by doc_id) play one comparison, the higher quality score
+    wins (score ties and same-source matches skipped). The MM update
+    (Hunter 2004) runs {n} fixed rounds on the aggregated win matrix:
+    w_i ← W_i / Σ_j n_ij/(w_i + w_j), sum-normalized, per-iteration
+    rounding to 9 decimals so both engines' float paths agree.
+
+    Scale: the CORPUS is touched exactly once — a lag window per
+    language extracts matches in one linear scan, and one
+    map-side-combined groupBy reduces them to the ≤|items|² win matrix
+    (items = sources, so hundreds of rows at any corpus size). The MM
+    iterations then run entirely on that broadcast-size matrix: 3 tiny
+    keyed aggs + broadcast joins, zero further passes over the data. No
+    all-pairs stage anywhere (contrast naive pairwise mining, which is
+    O(n²) per group).""".format(n=_BT_ITERS)
+    scored = _scored(spark, sf_dir)
+    w_seq = Window.partitionBy("lang").orderBy("doc_id")
+    seq = scored.select(
+        "lang",
+        "source",
+        "s",
+        "doc_id",
+        F.lag("source").over(w_seq).alias("psrc"),
+        F.lag("s").over(w_seq).alias("ps"),
+    )
+    matches = seq.filter(
+        F.col("psrc").isNotNull()
+        & (F.col("s") != F.col("ps"))
+        & (F.col("source") != F.col("psrc"))
+    ).select(
+        F.when(F.col("s") > F.col("ps"), F.col("source"))
+        .otherwise(F.col("psrc"))
+        .alias("winner"),
+        F.when(F.col("s") > F.col("ps"), F.col("psrc"))
+        .otherwise(F.col("source"))
+        .alias("loser"),
+    )
+    edges = matches.select(
+        F.col("winner").alias("i"), F.col("loser").alias("j"), F.lit(1).alias("win")
+    ).unionAll(
+        matches.select(
+            F.col("loser").alias("i"),
+            F.col("winner").alias("j"),
+            F.lit(0).alias("win"),
+        )
+    )
+    # the ONLY pass over the corpus ends here: mat is ≤ |items|² rows.
+    # localCheckpoint cuts the lineage so the MM iterations (which
+    # reference mat twice per round) never re-scan the documents table.
+    mat = (
+        edges.groupBy("i", "j")
+        .agg(F.sum("win").alias("w_ij"), F.count(F.lit(1)).alias("n_ij"))
+        .localCheckpoint(eager=True)
+    )
+    w = mat.select("i").distinct().withColumn("w", F.lit(1.0))
+    eps = float(_BT_EPS)
+    for _ in range(_BT_ITERS):
+        wi = w.select(F.col("i"), F.col("w").alias("w_i"))
+        wj = w.select(F.col("i").alias("j"), F.col("w").alias("w_j"))
+        raw = (
+            mat.join(F.broadcast(wi), "i")
+            .join(F.broadcast(wj), "j")
+            .groupBy("i")
+            .agg(
+                F.round(
+                    F.sum("w_ij")
+                    / F.sum(F.col("n_ij") / (F.col("w_i") + F.col("w_j"))),
+                    9,
+                ).alias("w_raw")
+            )
+        )
+        norm = raw.agg(
+            F.count(F.lit(1)).alias("k"), F.sum("w_raw").alias("s")
+        )
+        w = (
+            raw.crossJoin(F.broadcast(norm))
+            .select(
+                "i",
+                F.greatest(
+                    F.round(F.col("w_raw") * F.col("k") / F.col("s"), 9),
+                    F.lit(eps),
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    totals = mat.groupBy("i").agg(
+        F.sum("w_ij").alias("wins"), F.sum("n_ij").alias("n_matches")
+    )
+    return w.join(totals, "i").select(
+        F.col("i").alias("item"),
+        F.round(F.col("w"), 6).alias("strength"),
+        F.col("wins").cast("long").alias("wins"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    )

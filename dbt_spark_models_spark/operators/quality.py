@@ -2350,3 +2350,232 @@ def eval_mrr_first_relevant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("reciprocal_rank"),
         F.col("n_ranked").cast("long").alias("n_ranked"),
     )
+
+
+@query(
+    "train_gradient_boost_stumps",
+    oracle="""
+WITH cells AS MATERIALIZED (
+    SELECT CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS ba,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS bb,
+           COUNT(*) AS n,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS pos
+    FROM orders GROUP BY ba, bb
+), h1 AS (
+    SELECT ba, SUM(n) AS n, SUM(pos) AS pos FROM cells GROUP BY ba
+), cum1 AS (
+    SELECT ba,
+           SUM(n)   OVER w AS nl,
+           SUM(pos) OVER w AS posl,
+           SUM(n)   OVER () AS nt,
+           SUM(pos) OVER () AS post
+    FROM h1
+    WINDOW w AS (ORDER BY ba ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+), best1 AS MATERIALIZED (
+    SELECT ba AS split_a, nl, posl, nt, post,
+           ROUND((nl * (1.0 - (posl * 1.0 / nl) * (posl * 1.0 / nl)
+                            - ((nl - posl) * 1.0 / nl)
+                              * ((nl - posl) * 1.0 / nl))
+                + (nt - nl) * (1.0
+                    - ((post - posl) * 1.0 / (nt - nl))
+                      * ((post - posl) * 1.0 / (nt - nl))
+                    - ((nt - nl - post + posl) * 1.0 / (nt - nl))
+                      * ((nt - nl - post + posl) * 1.0 / (nt - nl))))
+                / nt, 6) AS gini
+    FROM cum1 WHERE nl > 0 AND nt - nl > 0
+    ORDER BY gini, split_a LIMIT 1
+), leaf AS MATERIALIZED (
+    SELECT split_a,
+           ROUND(post * 1.0 / nt
+                 + 0.5 * (posl * 1.0 - nl * (post * 1.0 / nt)) / nl,
+                 9) AS f1_lo,
+           ROUND(post * 1.0 / nt
+                 + 0.5 * ((post - posl) * 1.0
+                          - (nt - nl) * (post * 1.0 / nt)) / (nt - nl),
+                 9) AS f1_hi,
+           nt
+    FROM best1
+), cells2 AS (
+    SELECT c.bb,
+           CASE WHEN c.ba <= l.split_a THEN l.f1_lo ELSE l.f1_hi END AS f1,
+           c.n, c.pos
+    FROM cells c CROSS JOIN leaf l
+), perb AS (
+    SELECT bb,
+           SUM(pos - n * f1) AS sr,
+           SUM(pos * (1 - 2 * f1) + n * f1 * f1) AS sr2,
+           SUM(n) AS n
+    FROM cells2 GROUP BY bb
+), cum2 AS (
+    SELECT bb,
+           SUM(sr)  OVER w AS srl,
+           SUM(sr2) OVER w AS sr2l,
+           SUM(n)   OVER w AS nl,
+           SUM(sr)  OVER () AS srt,
+           SUM(sr2) OVER () AS sr2t,
+           SUM(n)   OVER () AS nt
+    FROM perb
+    WINDOW w AS (ORDER BY bb ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+), best2 AS (
+    SELECT bb AS split_b,
+           ROUND(((sr2l - srl * srl / nl)
+                  + ((sr2t - sr2l)
+                     - (srt - srl) * (srt - srl) / (nt - nl))) / nt,
+                 6) AS mse_round2,
+           ROUND((sr2t - srt * srt / nt) / nt, 6) AS mse_round1
+    FROM cum2 WHERE nl > 0 AND nt - nl > 0
+    ORDER BY mse_round2, split_b LIMIT 1
+)
+SELECT CAST(l.split_a AS BIGINT) AS split_bin_price,
+       ROUND(l.f1_lo, 6) AS f1_low,
+       ROUND(l.f1_hi, 6) AS f1_high,
+       CAST(b.split_b AS BIGINT) AS split_month,
+       b.mse_round1, b.mse_round2,
+       CAST(l.nt AS BIGINT) AS n
+FROM leaf l CROSS JOIN best2 b
+""",
+)
+def train_gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-round gradient boosting with histogram stumps (the inner loop
+    of LightGBM/XGBoost ``hist``): round 1 picks the Gini-best split on
+    the binned price feature and nudges the base-rate prediction by
+    lr=0.5 of each side's mean residual; round 2 fits a second stump on
+    the order-month feature over the UPDATED residuals, choosing the
+    split that minimizes post-round SSE/n. Reports both stumps' splits,
+    round-1 leaf values, and train MSE before/after round 2.
+
+    Scale — the histogram-boosting contract: the corpus is scanned
+    EXACTLY ONCE, into the joint (price_bin × month) cell table (≤ a few
+    hundred rows at any data size). Everything after — round-1 marginal
+    histogram, split scan, leaf values, residual sufficient statistics
+    (Σr, Σr² per cell derive from (n, pos, F1) because y is 0/1 and F1
+    is constant per round-1 side), round-2 split scan — runs on that
+    bounded table with cumulative windows (non-foldable constant key)
+    and 1-row broadcasts. Adding boosting rounds adds zero corpus
+    passes, only more tiny cell-table scans.
+
+    Cross-engine float discipline: leaf values round to 9 decimals
+    before entering round-2 sums; split metrics round to 6 with (metric,
+    bin) tie-breaks, so both engines' argmins agree."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cells = (
+        o.select(
+            F.floor(F.col("o_totalprice") / 10000).cast("long").alias("ba"),
+            F.month("o_orderdate").cast("long").alias("bb"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+        .localCheckpoint(eager=True)  # referenced by both rounds
+    )
+    h1 = cells.groupBy("ba").agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
+    one_a = F.col("ba") % F.lit(1)
+    w_cum1 = (
+        Window.partitionBy(one_a)
+        .orderBy("ba")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all1 = Window.partitionBy(one_a).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum1 = h1.select(
+        "ba",
+        F.sum("n").over(w_cum1).alias("nl"),
+        F.sum("pos").over(w_cum1).alias("posl"),
+        F.sum("n").over(w_all1).alias("nt"),
+        F.sum("pos").over(w_all1).alias("post"),
+    )
+    nl, posl = F.col("nl"), F.col("posl")
+    nt, post = F.col("nt"), F.col("post")
+    nr, posr = nt - nl, post - posl
+    pl, ql = posl / nl, (nl - posl) / nl
+    pr, qr = posr / nr, (nr - posr) / nr
+    gini = (
+        nl * (1.0 - pl * pl - ql * ql) + nr * (1.0 - pr * pr - qr * qr)
+    ) / nt
+    best1 = (
+        cum1.filter((nl > 0) & (nr > 0))
+        .select(
+            F.col("ba").alias("split_a"),
+            "nl",
+            "posl",
+            "nt",
+            "post",
+            F.round(gini, 6).alias("gini"),
+        )
+        .orderBy("gini", "split_a")
+        .limit(1)
+    )
+    ybar = post / nt
+    leaf = best1.select(
+        "split_a",
+        F.round(ybar + 0.5 * (posl - nl * ybar) / nl, 9).alias("f1_lo"),
+        F.round(ybar + 0.5 * ((post - posl) - (nt - nl) * ybar) / (nt - nl), 9)
+        .alias("f1_hi"),
+        "nt",
+    )
+    cells2 = cells.crossJoin(F.broadcast(leaf)).select(
+        "bb",
+        F.when(F.col("ba") <= F.col("split_a"), F.col("f1_lo"))
+        .otherwise(F.col("f1_hi"))
+        .alias("f1"),
+        "n",
+        "pos",
+    )
+    f1 = F.col("f1")
+    perb = cells2.groupBy("bb").agg(
+        F.sum(F.col("pos") - F.col("n") * f1).alias("sr"),
+        F.sum(F.col("pos") * (1 - 2 * f1) + F.col("n") * f1 * f1).alias("sr2"),
+        F.sum("n").alias("n"),
+    )
+    one_b = F.col("bb") % F.lit(1)
+    w_cum2 = (
+        Window.partitionBy(one_b)
+        .orderBy("bb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all2 = Window.partitionBy(one_b).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum2 = perb.select(
+        "bb",
+        F.sum("sr").over(w_cum2).alias("srl"),
+        F.sum("sr2").over(w_cum2).alias("sr2l"),
+        F.sum("n").over(w_cum2).alias("nl"),
+        F.sum("sr").over(w_all2).alias("srt"),
+        F.sum("sr2").over(w_all2).alias("sr2t"),
+        F.sum("n").over(w_all2).alias("nt"),
+    )
+    srl, sr2l, n2l = F.col("srl"), F.col("sr2l"), F.col("nl")
+    srt, sr2t, n2t = F.col("srt"), F.col("sr2t"), F.col("nt")
+    best2 = (
+        cum2.filter((n2l > 0) & (n2t - n2l > 0))
+        .select(
+            F.col("bb").alias("split_b"),
+            F.round(
+                (
+                    (sr2l - srl * srl / n2l)
+                    + ((sr2t - sr2l) - (srt - srl) * (srt - srl) / (n2t - n2l))
+                )
+                / n2t,
+                6,
+            ).alias("mse_round2"),
+            F.round((sr2t - srt * srt / n2t) / n2t, 6).alias("mse_round1"),
+        )
+        .orderBy("mse_round2", "split_b")
+        .limit(1)
+    )
+    return leaf.crossJoin(F.broadcast(best2)).select(
+        F.col("split_a").cast("long").alias("split_bin_price"),
+        F.round("f1_lo", 6).alias("f1_low"),
+        F.round("f1_hi", 6).alias("f1_high"),
+        F.col("split_b").cast("long").alias("split_month"),
+        "mse_round1",
+        "mse_round2",
+        F.col("nt").cast("long").alias("n"),
+    )

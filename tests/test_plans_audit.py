@@ -264,6 +264,10 @@ BNLJ_ALLOWED = {
     "eval_ndcg_quality_ranking",  # 1-row DCG crossJoin 1-row IDCG
     "train_naive_bayes_tokens",  # 1-row vocab-size scalar broadcast
     "eval_brier_decomposition",  # 1-row (N, base-rate) totals broadcast
+    "curation_bradley_terry_strengths",  # 1-row (count, sum) normalizer
+    # broadcast onto the ≤|items|-row MM weight table per iteration
+    "train_gradient_boost_stumps",  # 1-row best-split/leaf rows broadcast
+    # onto the bounded histogram cell table per boosting round
 }
 
 
