@@ -514,3 +514,110 @@ def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("value") * F.col("w")), 2).alias("weighted"),
     )
+
+
+@query(
+    "join_asof_nearest_view",
+    oracle="""
+WITH views AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'view'
+), purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), paired AS (
+    SELECT p.event_id, p.user_id, p.ts,
+           b.ts AS b_ts, f.ts AS f_ts
+    FROM purchases p
+    ASOF LEFT JOIN views b ON p.user_id = b.user_id AND p.ts >= b.ts
+    ASOF LEFT JOIN views f ON p.user_id = f.user_id AND p.ts <= f.ts
+)
+SELECT event_id, user_id, ts,
+       CASE
+         WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+         WHEN f_ts IS NULL THEN b_ts
+         WHEN b_ts IS NULL THEN f_ts
+         WHEN epoch_us(ts) - epoch_us(b_ts)
+              <= epoch_us(f_ts) - epoch_us(ts) THEN b_ts
+         ELSE f_ts
+       END AS nearest_view_ts,
+       CASE
+         WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+         WHEN f_ts IS NULL THEN 'backward'
+         WHEN b_ts IS NULL THEN 'forward'
+         WHEN epoch_us(ts) - epoch_us(b_ts)
+              <= epoch_us(f_ts) - epoch_us(ts) THEN 'backward'
+         ELSE 'forward'
+       END AS direction,
+       CAST(CASE
+         WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+         WHEN f_ts IS NULL THEN epoch_us(ts) - epoch_us(b_ts)
+         WHEN b_ts IS NULL THEN epoch_us(f_ts) - epoch_us(ts)
+         ELSE LEAST(epoch_us(ts) - epoch_us(b_ts),
+                    epoch_us(f_ts) - epoch_us(ts))
+       END AS BIGINT) AS gap_us
+FROM paired
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): each purchase picks the view closest in time
+    per user — backward on ties. Completes the as-of family
+    (``join_asof_purchase_last_view`` is the backward-only variant).
+
+    Spark-first: the same union + keyed-window device as the backward
+    as-of, run in BOTH directions over ONE shuffle — the union is
+    exchanged once on user_id, then two in-partition sorts feed (a) a
+    last-non-null PRECEDING window ordered (ts, side) so equal-ts views
+    precede purchases (backward ≥), and (b) a first-non-null FOLLOWING
+    window ordered (ts, side DESC) so equal-ts views follow purchases
+    (forward ≤). Nearest = whichever candidate's µs gap is smaller. No
+    nested loop, bounded per-user window state at any scale."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side")
+    )
+    merged = views.unionByName(purchases)
+    view_ts = F.when(F.col("side") == 0, F.col("ts"))
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    both = merged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "side",
+        F.last(view_ts, ignorenulls=True).over(w_back).alias("b_ts"),
+        F.first(view_ts, ignorenulls=True).over(w_fwd).alias("f_ts"),
+    ).filter(F.col("side") == 1)
+    gb = F.unix_micros("ts") - F.unix_micros("b_ts")
+    gf = F.unix_micros("f_ts") - F.unix_micros("ts")
+    back_wins = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (gb <= gf)
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(back_wins, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+            "nearest_view_ts"
+        ),
+        F.when(
+            F.col("b_ts").isNull() & F.col("f_ts").isNull(), F.lit(None)
+        )
+        .when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.when(back_wins, gb).otherwise(gf).cast("long").alias("gap_us"),
+    )

@@ -2579,3 +2579,122 @@ def train_gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mse_round2",
         F.col("nt").cast("long").alias("n"),
     )
+
+
+@query(
+    "eval_pass_at_k",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT doc_id % 50 AS problem_id,
+           CASE WHEN ROUND(LN(1 + len(tokens)) * 0.5
+                 + (len(list_distinct(tokens)) / len(tokens)) * 1.5
+                 - (len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+                    / len(tokens)) * 3.0, 6) > 2.7 THEN 1 ELSE 0 END AS ok
+    FROM toks WHERE len(tokens) > 0
+), probs AS (
+    SELECT problem_id, COUNT(*) AS n, SUM(ok) AS c
+    FROM scored GROUP BY problem_id
+    HAVING COUNT(*) >= 5
+), pk AS (
+    SELECT problem_id,
+           ROUND(1.0 - (n - c) * 1.0 / n, 6) AS p1,
+           CASE WHEN n - c < 5 THEN 1.0
+                ELSE ROUND(1.0 - ((n - c) * (n - c - 1) * (n - c - 2)
+                                  * (n - c - 3) * (n - c - 4)) * 1.0
+                                 / (n * (n - 1) * (n - 2) * (n - 3)
+                                    * (n - 4)), 6)
+           END AS p5
+    FROM probs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_problems,
+       ROUND(CAST(SUM(CAST(p1 AS DECIMAL(18, 6))) AS DOUBLE)
+             / COUNT(*), 6) AS pass_at_1,
+       ROUND(CAST(SUM(CAST(p5 AS DECIMAL(18, 6))) AS DOUBLE)
+             / COUNT(*), 6) AS pass_at_5
+FROM pk
+""",
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k — the unbiased code-generation eval estimator (Chen et al.
+    2021, Codex): per problem with n samples of which c pass,
+    pass@k = 1 − C(n−c, k)/C(n, k), averaged over problems. Documents
+    stand in as samples (problem = doc_id mod 50, "passing" = quality
+    score above 2.7); reported for k = 1 and k = 5 over problems
+    with ≥ 5 samples.
+
+    Exactness: C(n−c,k)/C(n,k) is computed as a ratio of INTEGER falling
+    factorials — exact in both engines' int64 (n ≤ ~10⁴ per problem
+    before n⁵ nears the range; shard larger n by sampling, as the
+    estimator itself prescribes). Per-problem values quantize to 6
+    decimals and sum as DECIMAL(18,6), so the cross-problem average
+    cannot drift with summation order.
+
+    Scale: one map-side-combined groupBy to (problem → n, c), then
+    row-local arithmetic and one exact-decimal agg — no sort, no second
+    corpus pass, no per-sample state."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    scored = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            (F.col("doc_id") % 50).alias("problem_id"),
+            F.when(
+                F.round(
+                    F.log(F.lit(1) + n_tok) * 0.5
+                    + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
+                    - (
+                        F.size(
+                            F.filter("tokens", lambda x: x.rlike("^[0-9]+$"))
+                        )
+                        / n_tok
+                    )
+                    * 3.0,
+                    6,
+                )
+                > 2.7,
+                1,
+            )
+            .otherwise(0)
+            .alias("ok"),
+        )
+    )
+    probs = (
+        scored.groupBy("problem_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ok").alias("c"))
+        .filter(F.col("n") >= 5)
+    )
+    n, c = F.col("n"), F.col("c")
+    m = n - c
+
+    def falling(base, k):
+        prod = base
+        for i in range(1, k):
+            prod = prod * (base - i)
+        return prod
+
+    pk = probs.select(
+        "problem_id",
+        F.round(1.0 - m / n, 6).alias("p1"),
+        F.when(m < 5, F.lit(1.0))
+        .otherwise(F.round(1.0 - falling(m, 5) / falling(n, 5), 6))
+        .alias("p5"),
+    )
+    return pk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_problems"),
+        F.round(
+            F.sum(F.col("p1").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pass_at_1"),
+        F.round(
+            F.sum(F.col("p5").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pass_at_5"),
+    )
