@@ -185,12 +185,21 @@ def main() -> None:
         q = registry[name]
         # untimed warmup: plan analysis + codegen + JIT + OS page cache
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # run-to-stability: keep timing until the newest run stops
+        # improving the best by >10% (min 2, max 5 timed runs) — regex- or
+        # codegen-heavy queries need 4-5 executions before the JIT settles,
+        # and reporting their still-warming time misreads a cold JIT as a
+        # plan regression
         best = float("inf")
-        for _ in range(2):
+        for attempt in range(5):
             t0 = time.time()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            t = time.time() - t0
+            improved = t < best * 0.9
+            best = min(best, t)
+            if attempt >= 1 and not improved:
+                break
         timings[name] = round(best, 3)
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
