@@ -239,3 +239,43 @@ def test_read_changes_full_history_dv_parity(spark, tdir):
     # v1 deletes k=2 (parent has 1,2,3); v2 deletes k=3 (parent must NOT
     # resurrect k=2 — it reads v1's DV through the folded parent state)
     assert sorted(by_type["delete"]) == [2, 3]
+
+
+def test_dist_stream_shallow_clone_of_dv_table_filters_tombstones(spark, tdir):
+    """Same ADVICE-3 guarantee on the DISTRIBUTED stream reader: each
+    planned partition ships its add's own deletionVector path to the
+    executor, so the clone's adds-with-DVs commit streams without
+    resurrecting tombstones."""
+    from dbt_spark_models_spark.sources.deltalite_stream import (
+        DeltaLiteDistStreamSource,
+    )
+
+    src = os.path.join(os.path.dirname(tdir), "srcd")
+    deltalite.write(
+        spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), src
+    )
+    deltalite.delete(spark, src, [("k", "=", 2)], deletion_vectors=True)
+    deltalite.clone(spark, src, tdir)
+    try:
+        spark.dataSource.register(DeltaLiteDistStreamSource)
+    except Exception:  # noqa: BLE001
+        pass
+    ckpt = tempfile.mkdtemp(prefix="dl-r7-ckptd-")
+    rows: list = []
+
+    def _sink(df, _bid):
+        rows.extend((r.k, r.v) for r in df.collect())
+
+    q = (
+        spark.readStream.format("deltalite_stream_dist")
+        .option("path", tdir)
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(rows) == [(1, "a"), (3, "c")]
