@@ -1386,3 +1386,76 @@ def engine_deltalite_schema_policy(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(enforced).cast("int").alias("appendonly_enforced"),
         "resurrected_names",
     )
+
+
+@query(
+    "engine_deltalite_generated_partition",
+    oracle="""
+WITH ev AS (
+    SELECT event_id, value, CAST(ts AS DATE) AS day FROM events
+), min_day AS (
+    SELECT MIN(day) AS d FROM ev
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS value_sum,
+       CAST(1 AS INT) AS pruned_ok
+FROM ev WHERE day = (SELECT d FROM min_day)
+""",
+)
+def engine_deltalite_generated_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED COLUMNS as derived partition keys (the spec's
+    ``delta.generationExpression`` + the canonical production layout:
+    ``day = CAST(ts AS DATE)`` partitioning an event stream). The table
+    is created declaring the generated day column; a second slice is
+    APPENDED WITHOUT the column — the writer computes it from the
+    committed schema's expression — and the min-day read must (a) prune
+    to a strict subset of files on the LOG and (b) aggregate to the
+    oracle's plain filtered recompute over the raw events.
+
+    Scale: the generated key gives log-level partition pruning to every
+    query that filters the DERIVATION of a base column — at 100 TB the
+    day-equality scan opens one directory of files, zero parquet footers
+    elsewhere. The writer-side cost is one row-local expression per
+    batch. The min-day probe is a 1-row driver agg (metadata-rate, the
+    same class as MERGE's key-range probe)."""
+    path = _table_dir(sf_dir, "generated_partition")
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "value"
+    )
+    first = ev.filter(F.col("event_id") % 3 != 2)
+    rest = ev.filter(F.col("event_id") % 3 == 2)
+    deltalite.write(
+        spark,
+        first.repartition(F.expr("CAST(ts AS DATE)")),
+        path,
+        generated={"day": "CAST(ts AS DATE)"},
+        partition_by=["day"],
+    )
+    # append OMITS day: computed from the committed generation expression
+    deltalite.write(
+        spark, rest.repartition(F.expr("CAST(ts AS DATE)")), path, "append"
+    )
+    min_day = ev.agg(F.min(F.expr("CAST(ts AS DATE)"))).collect()[0][0]
+    filters = [("day", "=", min_day)]
+    kept, total = deltalite.scan_file_counts(path, skip_filters=filters)
+    snap = deltalite.read(spark, path, skip_filters=filters).filter(
+        F.col("day") == F.lit(min_day)
+    )
+    return snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    ).select(
+        "n_rows",
+        "id_sum",
+        "value_sum",
+        # lossless-pruning witness: the day-equality scan must touch a
+        # strict subset of the table's files (the aggregates themselves
+        # prove the pruned read lost no rows vs the oracle's recompute)
+        F.lit(int(kept < total)).cast("int").alias("pruned_ok"),
+    )

@@ -2698,3 +2698,222 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pass_at_5"),
     )
+
+
+@query(
+    "eval_confusion_at_thresholds",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT 1.0 / (1.0 + EXP(-ROUND(LN(1 + len(tokens)) * 0.5
+                 + (len(list_distinct(tokens)) / len(tokens)) * 1.5
+                 - (len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+                    / len(tokens)) * 3.0, 6))) AS p,
+           CASE WHEN lang IN ('en', 'es') THEN 1 ELSE 0 END AS y
+    FROM toks WHERE len(tokens) > 0
+), fanned AS (
+    SELECT t.tau, s.p, s.y
+    FROM scored s CROSS JOIN (VALUES (0.3), (0.5), (0.7)) t(tau)
+), cm AS (
+    SELECT tau,
+           SUM(CASE WHEN p >= tau AND y = 1 THEN 1 ELSE 0 END) AS tp,
+           SUM(CASE WHEN p >= tau AND y = 0 THEN 1 ELSE 0 END) AS fp,
+           SUM(CASE WHEN p < tau AND y = 1 THEN 1 ELSE 0 END) AS fn,
+           SUM(CASE WHEN p < tau AND y = 0 THEN 1 ELSE 0 END) AS tn
+    FROM fanned GROUP BY tau
+)
+SELECT tau,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       ROUND(tp * 1.0 / NULLIF(tp + fp, 0), 6) AS precision_,
+       ROUND(tp * 1.0 / NULLIF(tp + fn, 0), 6) AS recall_,
+       ROUND(2.0 * tp / NULLIF(2 * tp + fp + fn, 0), 6) AS f1,
+       ROUND((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy
+FROM cm
+""",
+)
+def eval_confusion_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1/accuracy at a lattice of
+    decision thresholds (0.3 / 0.5 / 0.7) for the quality classifier —
+    the table every model-promotion dashboard renders next to AUC.
+
+    Scale: the threshold lattice fans each row out 3× ROW-LOCALLY
+    (explode of a 3-element literal array — no join, no second scan) and
+    ONE map-side-combined groupBy on the 3-value threshold key reduces
+    the corpus to 3 rows of integer counts; all ratios are row-local math
+    on exact counts (NULLIF guards empty cells, ANSI-safe both engines).
+    """
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    scored = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            (
+                1.0
+                / (
+                    1.0
+                    + F.exp(
+                        -F.round(
+                            F.log(F.lit(1) + n_tok) * 0.5
+                            + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
+                            - (
+                                F.size(
+                                    F.filter(
+                                        "tokens", lambda x: x.rlike("^[0-9]+$")
+                                    )
+                                )
+                                / n_tok
+                            )
+                            * 3.0,
+                            6,
+                        )
+                    )
+                )
+            ).alias("p"),
+            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
+        )
+    )
+    fanned = scored.select(
+        F.explode(F.array(F.lit(0.3), F.lit(0.5), F.lit(0.7))).alias("tau"),
+        "p",
+        "y",
+    )
+    p, y, tau = F.col("p"), F.col("y"), F.col("tau")
+    cm = fanned.groupBy("tau").agg(
+        F.sum(F.when((p >= tau) & (y == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((p >= tau) & (y == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((p < tau) & (y == 1), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((p < tau) & (y == 0), 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return cm.select(
+        "tau",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        F.round(tp / F.nullif(tp + fp, F.lit(0)), 6).alias("precision_"),
+        F.round(tp / F.nullif(tp + fn, F.lit(0)), 6).alias("recall_"),
+        F.round(2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6).alias("f1"),
+        F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
+    )
+
+
+@query(
+    "eval_spearman_rank_correlation",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, n_chars,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT n_chars AS y_val,
+           ROUND(LN(1 + len(tokens)) * 0.5
+                 + (len(list_distinct(tokens)) / len(tokens)) * 1.5
+                 - (len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+                    / len(tokens)) * 3.0, 6) AS x_val
+    FROM toks WHERE len(tokens) > 0
+), xr AS (
+    SELECT x_val,
+           SUM(c) OVER (ORDER BY x_val ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - c + (c + 1) / 2.0 AS rx
+    FROM (SELECT x_val, COUNT(*) AS c FROM scored GROUP BY x_val)
+), yr AS (
+    SELECT y_val,
+           SUM(c) OVER (ORDER BY y_val ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - c + (c + 1) / 2.0 AS ry
+    FROM (SELECT y_val, COUNT(*) AS c FROM scored GROUP BY y_val)
+), ranked AS (
+    SELECT xr.rx, yr.ry
+    FROM scored s JOIN xr ON s.x_val = xr.x_val JOIN yr ON s.y_val = yr.y_val
+), moments AS (
+    SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+           SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           AS spearman_rho
+FROM moments
+""",
+)
+def eval_spearman_rank_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation (with mid-rank tie handling) between the
+    quality score and document length — the monotone-association check
+    run before trusting a heuristic filter as a training-signal proxy.
+
+    Sort-free ranking at scale: NO global per-row sort. Each variable
+    reduces to its DISTINCT-VALUE histogram (quantized scores: ≤10⁶
+    values; lengths: bounded domain) with a map-side-combined groupBy;
+    mid-ranks come from a cumulative window over that bounded frame
+    (rank = cum_count − c + (c+1)/2); rows get their ranks back via two
+    keyed equi-joins on the value. Pearson over the mid-ranks is one
+    5-moment aggregate. Rank sums are exact (integers and halves well
+    inside 2⁵³ at gate scale), so cross-engine summation order cannot
+    drift the result."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    scored = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            F.col("n_chars").alias("y_val"),
+            F.round(
+                F.log(F.lit(1) + n_tok) * 0.5
+                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
+                - (
+                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
+                    / n_tok
+                )
+                * 3.0,
+                6,
+            ).alias("x_val"),
+        )
+    )
+
+    def midranks(df: DataFrame, col: str, out: str) -> DataFrame:
+        h = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        # non-foldable constant key over the bounded distinct-value frame
+        one = F.col("c") % F.lit(1)
+        w = (
+            Window.partitionBy(one)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return h.select(
+            col,
+            (F.sum("c").over(w) - F.col("c") + (F.col("c") + 1) / 2.0).alias(
+                out
+            ),
+        )
+    ranked = scored.join(midranks(scored, "x_val", "rx"), "x_val").join(
+        midranks(scored, "y_val", "ry"), "y_val"
+    )
+    rx, ry = F.col("rx"), F.col("ry")
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rx).alias("sx"),
+        F.sum(ry).alias("sy"),
+        F.sum(rx * ry).alias("sxy"),
+        F.sum(rx * rx).alias("sxx"),
+        F.sum(ry * ry).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        n.cast("long").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -578,12 +578,49 @@ def _meta_action(
     }
 
 
+_GEN_KEY = "delta.generationExpression"
+
+
+def _generated_exprs(meta: dict) -> dict[str, str]:
+    """{column: SQL expression} for every generated column the committed
+    schema declares (spec: generated columns store their expression in
+    the field metadata under ``delta.generationExpression``)."""
+    if not meta:
+        return {}
+    out = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        expr = (f.get("metadata") or {}).get(_GEN_KEY)
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def _apply_generated(df: DataFrame, meta: dict, what: str) -> DataFrame:
+    """Enforce the spec's generated-column writer contract on a batch:
+    a column the batch OMITS is computed from its expression; a column
+    the batch provides must EQUAL the expression on every row (a writer
+    that cannot guarantee the invariant must refuse to write) — same
+    posture as CHECK constraints, with NULL-safe comparison so a NULL
+    provided against a non-NULL expression is a violation."""
+    for name, expr in _generated_exprs(meta).items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+            continue
+        bad = df.filter(~F.col(name).eqNullSafe(F.expr(expr))).limit(1)
+        if not bad.isEmpty():
+            raise ValueError(
+                f"{what} violates generated column {name!r} = {expr!r}"
+            )
+    return df
+
+
 def write(
     spark: SparkSession,
     df: DataFrame,
     table_path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the table. ``overwrite`` removes every currently
     active file and adds the new ones in ONE commit; ``append`` only adds.
@@ -594,7 +631,17 @@ def write(
     partition pruning then happens on the LOG, before any file is listed.
     Appends must keep the table's existing partitioning (spec: metaData
     partitionColumns are table-level, changing them is a schema change
-    that requires overwrite)."""
+    that requires overwrite).
+
+    ``generated`` declares GENERATED COLUMNS ({name: SQL expression})
+    at table creation or a schema-resetting overwrite (the spec stores
+    the expression in the field metadata, ``delta.generationExpression``).
+    A batch that omits the column gets it computed; a batch that provides
+    it must match the expression on every row, NULL-safe — every later
+    append enforces the same contract from the committed schema. The
+    canonical use is a derived partition key (``day = CAST(ts AS DATE)``)
+    so log-level partition pruning works for queries that only filter the
+    base column's derivation."""
     os.makedirs(table_path, exist_ok=True)
     versions = _list_versions(table_path)
     if not versions:
@@ -604,6 +651,24 @@ def write(
     else:
         version = versions[-1] + 1
         prior, meta = _replay(table_path)
+    if generated:
+        if versions and mode != "overwrite":
+            raise ValueError(
+                "generated columns are declared at CREATE or a "
+                "schema-resetting OVERWRITE; appends inherit them from "
+                "the committed schema"
+            )
+        for name, expr in generated.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                bad = df.filter(
+                    ~F.col(name).eqNullSafe(F.expr(expr))
+                ).limit(1)
+                if not bad.isEmpty():
+                    raise ValueError(
+                        f"batch violates generated column {name!r} = {expr!r}"
+                    )
     existing_parts = meta.get("partitionColumns", [])
     if mode == "append" and versions:
         if partition_by is None:
@@ -614,6 +679,10 @@ def write(
             )
     mapping = _column_mapping(meta)
     if mode == "append" and versions:
+        # generated columns first (an omitted column is computed, a
+        # provided one validated), so constraints and schema validation
+        # see the complete batch
+        df = _apply_generated(df, meta, "append batch")
         _enforce_constraints(df, meta, "append batch")
     if mapping and mode == "append":
         # column-mapped table: new files carry PHYSICAL names. Additive
@@ -667,6 +736,19 @@ def write(
             _enforce_constraints(df, meta, "overwrite batch")
         adds = _write_data_files(df, table_path, partition_by)
         meta_action = _meta_action(df, meta.get("id", uuid.uuid4().hex), partition_by)
+        if generated:
+            # record the generation expressions in the field metadata
+            # (spec delta.generationExpression) so appends enforce them
+            sch = json.loads(meta_action["metaData"]["schemaString"])
+            for f in sch["fields"]:
+                if f["name"] in generated:
+                    f["metadata"] = {
+                        **(f.get("metadata") or {}),
+                        _GEN_KEY: generated[f["name"]],
+                    }
+            meta_action["metaData"]["schemaString"] = json.dumps(
+                sch, separators=(",", ":")
+            )
         # INSERT OVERWRITE replaces data, not table CONFIGURATION: the full
         # prior configuration (CHECK constraints, delta.appendOnly, any
         # delta.* / user property) is carried into the new metaData, as
@@ -1039,7 +1121,10 @@ def merge(
     # conform the source to the COMMITTED schema (column order and types):
     # the metaData is preserved, so the written files must match it — a
     # source expression like decimal(18,2)*2 widens to decimal(19,2) and
-    # would otherwise write files the committed schema can't read
+    # would otherwise write files the committed schema can't read.
+    # Generated columns first: a source that omits one gets it computed,
+    # a source that provides one is validated (writer invariant).
+    source = _apply_generated(source, meta, "merge source")
     source = source.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )

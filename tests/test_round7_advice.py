@@ -279,3 +279,64 @@ def test_dist_stream_shallow_clone_of_dv_table_filters_tombstones(spark, tdir):
     finally:
         q.stop()
     assert sorted(rows) == [(1, "a"), (3, "c")]
+
+
+# ------------------------------------------------------- generated columns
+
+
+def test_generated_columns_create_append_enforce(spark, tdir):
+    """Spec generated-column writer contract: declared at CREATE with the
+    expression in field metadata; appends that omit the column get it
+    computed, appends that provide it are validated NULL-safe; a derived
+    partition key prunes on the log."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-02 09:30:00")],
+        "k int, ts_s string",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts")
+    deltalite.write(
+        spark,
+        df.coalesce(1),
+        tdir,
+        generated={"day": "CAST(ts AS DATE)"},
+        partition_by=["day"],
+    )
+    got = deltalite.read(spark, tdir)
+    assert "day" in got.columns
+    assert {str(r.day) for r in got.collect()} == {"2024-01-01", "2024-01-02"}
+    # append WITHOUT the generated column: computed from the expression
+    more = spark.createDataFrame(
+        [(3, "2024-01-02 23:00:00")], "k int, ts_s string"
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts")
+    deltalite.write(spark, more.coalesce(1), tdir, "append")
+    by_day = {
+        r.k: str(r.day) for r in deltalite.read(spark, tdir).collect()
+    }
+    assert by_day[3] == "2024-01-02"
+    # derived partition key prunes on the log
+    kept, total = deltalite.scan_file_counts(
+        tdir, skip_filters=[("day", "=", "2024-01-01")]
+    )
+    assert kept < total
+    # append WITH a WRONG generated value: refused
+    bad = spark.createDataFrame(
+        [(4, "2024-01-03 08:00:00", "2029-12-31")],
+        "k int, ts_s string, day_s string",
+    ).selectExpr(
+        "k", "CAST(ts_s AS TIMESTAMP) AS ts", "CAST(day_s AS DATE) AS day"
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        deltalite.write(spark, bad.coalesce(1), tdir, "append")
+    # merge source omitting the generated column: computed, not rejected
+    src = spark.createDataFrame(
+        [(2, "2024-01-05 01:00:00")], "k int, ts_s string"
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts")
+    deltalite.merge(spark, src, tdir, ["k"])
+    by_day = {
+        r.k: str(r.day) for r in deltalite.read(spark, tdir).collect()
+    }
+    assert by_day[2] == "2024-01-05"
+    # redeclaring on append is an error; on overwrite it resets
+    with pytest.raises(ValueError, match="declared at CREATE"):
+        deltalite.write(
+            spark, more, tdir, "append", generated={"day": "CAST(ts AS DATE)"}
+        )
