@@ -2917,3 +2917,139 @@ def eval_spearman_rank_correlation(
             6,
         ).alias("spearman_rho"),
     )
+
+
+@query(
+    "eval_corpus_bleu2",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS ref
+    FROM documents
+), pairs AS (
+    SELECT doc_id, ref,
+           list_transform(
+               range(1, CAST(CEIL(len(ref) * 0.8) AS BIGINT) + 1),
+               i -> CASE WHEN i % 7 = 3 THEN 'the' ELSE ref[i] END) AS hyp
+    FROM toks WHERE len(ref) >= 5
+), uni_h AS (
+    SELECT doc_id, u.g AS gram, COUNT(*) AS ch
+    FROM pairs, UNNEST(hyp) AS u(g) GROUP BY doc_id, u.g
+), uni_r AS (
+    SELECT doc_id, u.g AS gram, COUNT(*) AS cr
+    FROM pairs, UNNEST(ref) AS u(g) GROUP BY doc_id, u.g
+), bi_h AS (
+    SELECT doc_id, u.g AS gram, COUNT(*) AS ch
+    FROM (SELECT doc_id,
+                 list_transform(range(1, len(hyp)),
+                                i -> hyp[i] || ' ' || hyp[i + 1]) AS bs
+          FROM pairs), UNNEST(bs) AS u(g)
+    GROUP BY doc_id, u.g
+), bi_r AS (
+    SELECT doc_id, u.g AS gram, COUNT(*) AS cr
+    FROM (SELECT doc_id,
+                 list_transform(range(1, len(ref)),
+                                i -> ref[i] || ' ' || ref[i + 1]) AS bs
+          FROM pairs), UNNEST(bs) AS u(g)
+    GROUP BY doc_id, u.g
+), p1 AS (
+    SELECT SUM(LEAST(h.ch, COALESCE(r.cr, 0))) AS clipped, SUM(h.ch) AS total
+    FROM uni_h h LEFT JOIN uni_r r USING (doc_id, gram)
+), p2 AS (
+    SELECT SUM(LEAST(h.ch, COALESCE(r.cr, 0))) AS clipped, SUM(h.ch) AS total
+    FROM bi_h h LEFT JOIN bi_r r USING (doc_id, gram)
+), lens AS (
+    SELECT SUM(len(ref)) AS r, SUM(len(hyp)) AS h,
+           COUNT(*) AS n_docs
+    FROM pairs
+)
+SELECT CAST(lens.n_docs AS BIGINT) AS n_docs,
+       ROUND(p1.clipped * 1.0 / p1.total, 6) AS p1,
+       ROUND(p2.clipped * 1.0 / p2.total, 6) AS p2,
+       ROUND(EXP(1 - lens.r * 1.0 / lens.h), 6) AS brevity_penalty,
+       ROUND(EXP(1 - lens.r * 1.0 / lens.h)
+             * EXP(0.5 * (LN(p1.clipped * 1.0 / p1.total)
+                          + LN(p2.clipped * 1.0 / p2.total))), 6) AS bleu2
+FROM p1, p2, lens
+""",
+)
+def eval_corpus_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-2 (Papineni et al. 2002): clipped modified
+    unigram/bigram precision + brevity penalty, over deterministic
+    (hypothesis, reference) pairs — the hypothesis is each document
+    truncated to 80% with every 7th token substituted, so all three BLEU
+    components are non-trivial and engine-reproducible. The generation
+    eval every translation/summarization pipeline reports.
+
+    Scale — BLEU as keyed aggregation, no alignment pass: per-doc n-gram
+    multisets come from row-local array transforms (index lambdas build
+    bigrams without a second explode pass), clipping is a keyed LEFT
+    join of hypothesis-gram counts to reference-gram counts on
+    (doc, gram) — an equi-join whose build side is the doc's own grams,
+    never a corpus-wide vocabulary — and corpus precision is one SUM of
+    exact integer counts. Everything after the per-doc joins is
+    arithmetic on a 1-row frame."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    pairs = (
+        d.withColumn("ref", _tokens())
+        .filter(F.size("ref") >= 5)
+        .select(
+            "doc_id",
+            "ref",
+            F.expr(
+                "transform(sequence(1, CAST(CEIL(size(ref) * 0.8) AS INT)), "
+                "i -> CASE WHEN i % 7 = 3 THEN 'the' ELSE ref[i - 1] END)"
+            ).alias("hyp"),
+        )
+    )
+    bigrams = "transform(sequence(1, size({c}) - 1), i -> concat({c}[i - 1], ' ', {c}[i]))"
+
+    def gram_counts(col: str, n: int, out: str) -> DataFrame:
+        src = (
+            F.col(col)
+            if n == 1
+            else F.expr(bigrams.format(c=col))
+        )
+        return (
+            pairs.select("doc_id", F.explode(src).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    def precision(n: int):
+        h = gram_counts("hyp", n, "ch")
+        r = gram_counts("ref", n, "cr")
+        j = h.join(r, ["doc_id", "gram"], "left")
+        return j.agg(
+            F.sum(F.least(F.col("ch"), F.coalesce(F.col("cr"), F.lit(0)))).alias(
+                "clipped"
+            ),
+            F.sum("ch").alias("total"),
+        )
+
+    p1 = precision(1).select(
+        (F.col("clipped") / F.col("total")).alias("p1v")
+    )
+    p2 = precision(2).select(
+        (F.col("clipped") / F.col("total")).alias("p2v")
+    )
+    lens = pairs.agg(
+        F.sum(F.size("ref")).alias("r"),
+        F.sum(F.size("hyp")).alias("h"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    bp = F.exp(1 - F.col("r") / F.col("h"))
+    return (
+        lens.crossJoin(F.broadcast(p1))
+        .crossJoin(F.broadcast(p2))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("p1v", 6).alias("p1"),
+            F.round("p2v", 6).alias("p2"),
+            F.round(bp, 6).alias("brevity_penalty"),
+            F.round(
+                bp * F.exp(0.5 * (F.log("p1v") + F.log("p2v"))), 6
+            ).alias("bleu2"),
+        )
+    )

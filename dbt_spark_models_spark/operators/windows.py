@@ -561,3 +561,90 @@ def window_cumulative_distinct_users(
         "n_new_users",
         F.sum("n_new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@query(
+    "window_rolling_regression_slope",
+    oracle="""
+WITH o AS (
+    SELECT o_custkey,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS DOUBLE)
+               AS x,
+           CAST(o_totalprice AS DOUBLE) AS y,
+           o_orderdate, o_orderkey
+    FROM orders
+), wins AS (
+    SELECT o_custkey, o_orderdate, o_orderkey,
+           COUNT(*) OVER w AS n,
+           SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+           SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rn
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 180 DAYS PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey,
+       CAST(n AS BIGINT) AS n_orders_180d,
+       ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 4)
+           AS slope_per_day
+FROM wins
+WHERE rn = 1 AND n >= 3
+""",
+)
+def window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ordinary-least-squares TREND per customer: the OLS slope
+    of order value vs time over each customer's trailing 180-day RANGE
+    window, reported at their latest order for customers with ≥3 orders
+    in the window — the spend-trajectory feature churn/LTV models
+    consume.
+
+    Scale — regression BY WINDOW FRAME without refitting: the slope
+    needs only the frame's sufficient statistics (n, Σx, Σy, Σxy, Σx²),
+    each a built-in SUM over the same RANGE frame, so Spark computes all
+    five in ONE window pass with bounded per-customer state — no
+    per-frame refit, no self-join of each order against its trailing
+    window (the O(n·w) shape this replaces). One shuffle on o_custkey
+    shared by both the frame and the latest-row ranking. x is integer
+    days since epoch-anchor and y money, so the frame sums stay exact in
+    doubles; the slope rounds at 4 decimals."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    days = lambda n: n * 86400  # RANGE on a timestamp orders by seconds
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-days(180), 0)
+    )
+    w_last = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    x, y = F.col("x"), F.col("y")
+    wins = o.select(
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("sx"),
+        F.sum(y).over(w).alias("sy"),
+        F.sum(x * y).over(w).alias("sxy"),
+        F.sum(x * x).over(w).alias("sxx"),
+        F.row_number().over(w_last).alias("rn"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    return wins.filter((F.col("rn") == 1) & (n >= 3)).select(
+        "o_custkey",
+        n.cast("long").alias("n_orders_180d"),
+        F.round(
+            (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0)), 4
+        ).alias("slope_per_day"),
+    )

@@ -268,6 +268,8 @@ BNLJ_ALLOWED = {
     # broadcast onto the ≤|items|-row MM weight table per iteration
     "train_gradient_boost_stumps",  # 1-row best-split/leaf rows broadcast
     # onto the bounded histogram cell table per boosting round
+    "eval_corpus_bleu2",  # 1-row precision/length scalars crossJoined
+    # into the final 1-row BLEU arithmetic
 }
 
 
