@@ -844,3 +844,62 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("sec_to_convert", F.lit(0.9)), 2).alias("p90_sec"),
         F.max("sec_to_convert").cast("long").alias("max_sec"),
     )
+
+
+@query(
+    "funnel_markov_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+), trans AS (
+    SELECT event_type AS from_type,
+           COALESCE(next_type, '<end>') AS to_type,
+           COUNT(*) AS n
+    FROM seq GROUP BY from_type, to_type
+), tot AS (
+    SELECT from_type, SUM(n) AS row_n FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type,
+       CAST(t.n AS BIGINT) AS n_transitions,
+       ROUND(t.n * 1.0 / tt.row_n, 6) AS p
+FROM trans t JOIN tot tt USING (from_type)
+""",
+)
+def funnel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event journeys:
+    P(next event type | current event type), with an explicit ``<end>``
+    absorbing state for each user's final event — the drop-off map
+    behind journey-flow (Sankey) dashboards and Markov-chain attribution
+    (removal effects are computed from exactly this matrix).
+
+    Scale: one user-keyed window (LEAD over the per-user ordered stream,
+    bounded state: one row lookahead), then TWO map-side-combined
+    groupBys onto the (from, to) key — the matrix is
+    |event types|² ≤ a few hundred rows at any corpus size, and the
+    row-normalization joins happen on that bounded table, not the
+    events. The same user_id exchange the sessionization family already
+    pays; no sort beyond the per-user window order."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = (
+        seq.select(
+            F.col("event_type").alias("from_type"),
+            F.coalesce(F.col("next_type"), F.lit("<end>")).alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+    )
