@@ -99,3 +99,29 @@ def test_asof_nearest_agrees_with_backward_when_backward_wins(spark, sf_dir):
     ).count()
     assert fwd_bad == 0
     assert nearest.filter(F.col("gap_us") < 0).count() == 0
+
+
+def test_markov_transition_rows_are_distributions(spark, sf_dir):
+    from dbt_spark_models_spark.operators.funnels import (
+        funnel_markov_transitions,
+    )
+
+    rows = funnel_markov_transitions(spark, sf_dir).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r.p)
+        assert r.n_transitions > 0
+    for src, ps in by_from.items():
+        assert abs(sum(ps) - 1.0) < 1e-3, (src, sum(ps))  # rows normalize
+    # the absorbing state absorbs: one <end> transition per user
+    ends = sum(r.n_transitions for r in rows if r.to_type == "<end>")
+    from dbt_spark_models_spark.sources.testdata import load_tables
+
+    n_users = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert ends == n_users
