@@ -106,6 +106,13 @@ HEADLINE = [
     # engine: exchange-free bucketed join + distributed exact NTILE
     "engine_bucketed_colocated_join",
     "window_exact_ntile_distributed",
+    # round-7 family representatives: Bradley-Terry (one corpus pass →
+    # broadcast-size MM iterations), histogram gradient boosting (one
+    # scan → bounded cell-table rounds), corpus BLEU-2 (keyed n-gram
+    # clipping joins — the join-heavy text-eval shape)
+    "curation_bradley_terry_strengths",
+    "train_gradient_boost_stumps",
+    "eval_corpus_bleu2",
 ]
 
 # Correctness-gated, not timed by default: plans are near-duplicates of a
@@ -113,6 +120,17 @@ HEADLINE = [
 # the adversarially dense synthetic corpus.  `bench.py --smoke` times them
 # too (not part of the recorded round artifact).
 SMOKE = [
+    "pipeline_preference_pair_construction",
+    "eval_pass_at_k",
+    "eval_expected_calibration_error",
+    "eval_mrr_first_relevant",
+    "eval_confusion_at_thresholds",
+    "eval_spearman_rank_correlation",
+    "dedup_url_canonical_groups",
+    "join_asof_nearest_view",
+    "window_rolling_regression_slope",
+    "funnel_markov_transition_matrix",
+    "engine_deltalite_generated_partition",
     "graph_label_propagation",
     "graph_kcore_peel",
     "graph_bfs_hops_from_cohort",
