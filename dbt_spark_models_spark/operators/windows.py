@@ -362,6 +362,7 @@ def distributed_cumsum(
     val_col: str,
     out_col: str,
     num_partitions: int | None = None,
+    _keep_pid: bool = False,
 ) -> DataFrame:
     """Exact global running sum without a single-partition sort — the
     cumulative twin of :func:`exact_ntile`, same TeraSort shape:
@@ -417,7 +418,7 @@ def distributed_cumsum(
     return (
         local.join(F.broadcast(offs), "__pid")
         .withColumn(out_col, F.col("__lcs") + F.col("__off"))
-        .drop("__pid", "__lcs", "__off")
+        .drop(*([] if _keep_pid else ["__pid"]), "__lcs", "__off")
     )
 
 

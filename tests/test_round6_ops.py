@@ -164,20 +164,31 @@ def test_distributed_cumsum_equals_window(spark, sf_dir):
 
 def test_distributed_cumsum_plan_has_no_global_window(spark, sf_dir):
     """The plan must range-partition and never run a window over an
-    unpartitioned (single-partition) exchange of the full input."""
+    unpartitioned (single-partition) exchange of the full input. The
+    range exchange now sits INSIDE the localCheckpoint (r7: the ranged
+    intermediate materializes as Scan ExistingRDD — r6 ADVICE #4), so
+    range partitioning is proven BEHAVIORALLY: the output's partitions
+    (preserved through the broadcast join) must hold disjoint,
+    increasing key ranges — exactly what a single-partition plan or a
+    hash exchange could not produce."""
     from dbt_spark_models_spark.operators.windows import distributed_cumsum
 
     o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         "o_orderkey", F.col("o_totalprice").alias("v")
     )
-    plan = (
-        distributed_cumsum(o, ["o_orderkey"], "v", "cs")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "rangepartitioning" in plan.lower()
+    out = distributed_cumsum(o, ["o_orderkey"], "v", "cs", _keep_pid=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "singlepartition" not in plan.lower()
+    assert "existingrdd" in plan.lower()  # materialized ranged intermediate
+    ranges = sorted(
+        (r["__pid"], r["lo"], r["hi"])
+        for r in out.groupBy("__pid")
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) > 1, "range shuffle collapsed to one partition"
+    for (_, _, prev_hi), (_, lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi < lo, f"overlapping ranges: {ranges}"
 
 
 def test_ndcg_bounds_and_ideal(spark, sf_dir):
