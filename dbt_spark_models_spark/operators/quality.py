@@ -3053,3 +3053,151 @@ def eval_corpus_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bleu2"),
         )
     )
+
+
+@query(
+    "eval_auc_delong_ci",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tokens
+    FROM documents
+), scored AS (
+    SELECT ROUND(LN(1 + len(tokens)) * 0.5
+                 + (len(list_distinct(tokens)) / len(tokens)) * 1.5
+                 - (len(list_filter(tokens, x -> regexp_matches(x, '^[0-9]+$')))
+                    / len(tokens)) * 3.0, 6) AS s,
+           CASE WHEN lang IN ('en', 'es') THEN 1 ELSE 0 END AS y
+    FROM toks WHERE len(tokens) > 0
+), buckets AS (
+    SELECT s, SUM(y) AS p, COUNT(*) - SUM(y) AS q FROM scored GROUP BY s
+), cum AS (
+    SELECT p, q,
+           SUM(q) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - q AS q_below,
+           SUM(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - p AS p_above,
+           SUM(p) OVER () AS np, SUM(q) OVER () AS nq
+    FROM buckets
+), placed AS (
+    SELECT p, q, np, nq,
+           (q_below + 0.5 * q) / nq AS v10,
+           (p_above + 0.5 * p) / np AS v01
+    FROM cum
+), auc_t AS (
+    SELECT SUM(p * v10) / MIN(np) AS auc, MIN(np) AS np, MIN(nq) AS nq
+    FROM placed
+)
+SELECT ROUND(a.auc, 6) AS auc,
+       ROUND(SQRT(
+           (SELECT SUM(p * (v10 - a.auc) * (v10 - a.auc)) FROM placed)
+               / (a.np - 1) / a.np
+         + (SELECT SUM(q * (v01 - (1 - a.auc)) * (v01 - (1 - a.auc)))
+            FROM placed) / (a.nq - 1) / a.nq), 6) AS se,
+       ROUND(a.auc - 1.96 * SQRT(
+           (SELECT SUM(p * (v10 - a.auc) * (v10 - a.auc)) FROM placed)
+               / (a.np - 1) / a.np
+         + (SELECT SUM(q * (v01 - (1 - a.auc)) * (v01 - (1 - a.auc)))
+            FROM placed) / (a.nq - 1) / a.nq), 6) AS ci_lo,
+       ROUND(a.auc + 1.96 * SQRT(
+           (SELECT SUM(p * (v10 - a.auc) * (v10 - a.auc)) FROM placed)
+               / (a.np - 1) / a.np
+         + (SELECT SUM(q * (v01 - (1 - a.auc)) * (v01 - (1 - a.auc)))
+            FROM placed) / (a.nq - 1) / a.nq), 6) AS ci_hi,
+       CAST(a.np AS BIGINT) AS n_pos, CAST(a.nq AS BIGINT) AS n_neg
+FROM auc_t a
+""",
+)
+def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC with a DeLong (1988) confidence interval — the standard
+    answer to "is this AUC actually better, or just noise": AUC is the
+    mean positive placement (fraction of negatives below, mid-rank
+    ties), and the DeLong variance is the placement variance of the
+    positives plus that of the negatives, each over its own class size.
+
+    Scale — same quantize-then-bucket discipline as the exact AUC:
+    scores round to 6 decimals, ONE map-side-combined groupBy reduces
+    the corpus to score buckets, placements come from two cumulative
+    windows over the bounded bucket frame (negatives-below ascending,
+    positives-above descending), and the variance terms are one more
+    agg over that frame joined to the 1-row AUC. No per-pair comparison
+    (naive DeLong is O(m·n)), no global per-document sort."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    n_tok = F.size("tokens")
+    scored = (
+        d.withColumn("tokens", _tokens())
+        .filter(n_tok > 0)
+        .select(
+            F.round(
+                F.log(F.lit(1) + n_tok) * 0.5
+                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
+                - (
+                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
+                    / n_tok
+                )
+                * 3.0,
+                6,
+            ).alias("s"),
+            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
+        )
+    )
+    buckets = scored.groupBy("s").agg(
+        F.sum("y").alias("p"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("q"),
+    )
+    one = F.col("p") % F.lit(1)
+    w_up = (
+        Window.partitionBy(one)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_dn = (
+        Window.partitionBy(one)
+        .orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(one).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    placed = buckets.select(
+        "p",
+        "q",
+        ((F.sum("q").over(w_up) - F.col("q") + 0.5 * F.col("q"))
+         / F.sum("q").over(w_all)).alias("v10"),
+        ((F.sum("p").over(w_dn) - F.col("p") + 0.5 * F.col("p"))
+         / F.sum("p").over(w_all)).alias("v01"),
+        F.sum("p").over(w_all).alias("np"),
+        F.sum("q").over(w_all).alias("nq"),
+    )
+    auc_t = placed.agg(
+        (F.sum(F.col("p") * F.col("v10")) / F.min("np")).alias("auc")
+    )
+    j = placed.crossJoin(F.broadcast(auc_t))
+    auc = F.col("auc")
+    var = j.agg(
+        F.min("auc").alias("auc"),
+        F.min("np").alias("np"),
+        F.min("nq").alias("nq"),
+        (
+            F.sum(F.col("p") * (F.col("v10") - auc) * (F.col("v10") - auc))
+            / (F.min("np") - 1)
+            / F.min("np")
+            + F.sum(
+                F.col("q")
+                * (F.col("v01") - (1 - auc))
+                * (F.col("v01") - (1 - auc))
+            )
+            / (F.min("nq") - 1)
+            / F.min("nq")
+        ).alias("var"),
+    )
+    se = F.sqrt(F.col("var"))
+    return var.select(
+        F.round("auc", 6).alias("auc"),
+        F.round(se, 6).alias("se"),
+        F.round(F.col("auc") - 1.96 * se, 6).alias("ci_lo"),
+        F.round(F.col("auc") + 1.96 * se, 6).alias("ci_hi"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nq").cast("long").alias("n_neg"),
+    )

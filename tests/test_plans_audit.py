@@ -270,6 +270,8 @@ BNLJ_ALLOWED = {
     # onto the bounded histogram cell table per boosting round
     "eval_corpus_bleu2",  # 1-row precision/length scalars crossJoined
     # into the final 1-row BLEU arithmetic
+    "eval_auc_delong_ci",  # 1-row AUC broadcast back onto the bounded
+    # score-bucket frame for the placement-variance agg
 }
 
 
