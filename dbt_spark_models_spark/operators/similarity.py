@@ -1374,3 +1374,78 @@ SELECT q_id, cell, neighbor_id, cosine, rnk
 FROM ({REGISTRY["similarity_ivf_topk"].oracle})
 WHERE q_id < 3
 """
+
+
+@query(
+    "similarity_radius_search_ivf",
+    oracle=f"""
+WITH {_IVF_CELLS_DUCK}, q AS (
+    SELECT a.vec_id AS q_id, a.embedding AS q_emb, a.cell,
+           SQRT(list_sum(list_transform(a.embedding,
+                                        x -> CAST(x AS DOUBLE) * x)))
+               AS q_norm
+    FROM assigned a WHERE a.vec_id < 10
+)
+SELECT q_id, neighbor_id, cosine
+FROM (
+    SELECT q.q_id, a.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.q_emb::DOUBLE[], a.embedding::DOUBLE[])
+                 / (q.q_norm *
+                    SQRT(list_sum(list_transform(a.embedding,
+                                                 x -> CAST(x AS DOUBLE) * x)))),
+                 4) AS cosine
+    FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.q_id
+) WHERE cosine >= 0.2
+""",
+)
+def similarity_radius_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) search over the IVF index: every in-cell neighbor
+    within a cosine radius, rather than a fixed top-k — the query shape
+    behind dedup-by-similarity-threshold and near-duplicate audits,
+    where the neighbor COUNT is data-dependent and top-k would silently
+    truncate dense neighborhoods.
+
+    Scale: identical pruning to ``similarity_ivf_topk`` — centroids
+    broadcast, each query scans only its probe cell (~1/n_cells of the
+    corpus; physical partition-per-cell layout makes that a partition
+    scan, `sink_ivf_partitioned_layout`) — but with NO per-query window:
+    the radius predicate filters row-locally after the in-cell score, so
+    the whole query is join + filter, cheaper than top-k at the same
+    probe set. Radius recall has the same nprobe lever as top-k recall
+    (a neighborhood split across cells needs multi-probe)."""
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    assigned = _ivf_assigned(e).persist()
+    q = (
+        assigned.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            "cell",
+        )
+        .withColumn("q_norm", _norm_spark("q_emb"))
+    )
+    pair_scored = (
+        F.broadcast(q)
+        .join(
+            assigned.alias("a"),
+            (F.col("a.cell") == q.cell) & (F.col("a.vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("a.vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q_emb"),
+                        F.col("a.embedding"),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (F.col("q_norm") * _norm_spark("a.embedding")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return pair_scored.filter(F.col("cosine") >= 0.2)

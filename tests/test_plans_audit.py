@@ -248,6 +248,7 @@ BNLJ_ALLOWED = {
     "similarity_ivf_topk",  # K-row centroid broadcast
     "similarity_ivf_topk_multiprobe",  # K-row centroid broadcast
     "similarity_ivf_recall",  # composes the two above
+    "similarity_radius_search_ivf",  # K-row centroid broadcast
     "similarity_kmeans_ivf_train",  # K-row centroid broadcast per round
     "dedup_semantic_survivors",  # centroid-cell broadcast
     "text_tfidf_top_terms",  # 1-row corpus doc-count scalar
