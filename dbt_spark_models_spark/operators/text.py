@@ -540,3 +540,112 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         dom_ok.alias("dominance_ok"),
         (word_ok & mwl_ok & stop_ok & dr_ok & dom_ok).alias("keep"),
     )
+
+
+_RAKE_STOP_RE = "|".join(_STOPWORDS)
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle=f"""
+WITH cleaned AS (
+    SELECT doc_id,
+           ' ' || regexp_replace(
+                      regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                      ' ', '  ', 'g') || ' ' AS body
+    FROM documents
+), segmented AS (
+    SELECT doc_id,
+           regexp_replace(body, ' ({_RAKE_STOP_RE}) ', ' | ', 'g') AS marked
+    FROM cleaned
+), phrases AS (
+    SELECT trim(regexp_replace(seg, '  +', ' ', 'g')) AS phrase
+    FROM segmented, UNNEST(string_split(marked, '|')) AS u(seg)
+), kept AS (
+    SELECT phrase, string_split(phrase, ' ') AS ws
+    FROM phrases
+    WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= 3
+), word_inst AS (
+    SELECT w.word, len(k.ws) AS plen
+    FROM kept k, UNNEST(k.ws) AS w(word)
+), word_stats AS (
+    SELECT word, COUNT(*) AS freq, SUM(plen) AS deg
+    FROM word_inst GROUP BY word
+), phrase_groups AS (
+    SELECT phrase, ws, COUNT(*) AS occurrences
+    FROM kept GROUP BY phrase, ws
+), scored AS (
+    SELECT g.phrase, g.occurrences,
+           ROUND(SUM(s.deg * 1.0 / s.freq), 4) AS rake_score
+    FROM phrase_groups g, UNNEST(g.ws) AS w(word)
+    JOIN word_stats s ON s.word = w.word
+    GROUP BY g.phrase, g.occurrences
+)
+SELECT phrase, CAST(occurrences AS BIGINT) AS occurrences, rake_score
+FROM scored
+ORDER BY rake_score DESC, phrase
+LIMIT 20
+""",
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword/punctuation-free token runs (≤3 words), each
+    word scores degree/frequency (degree = Σ length of the phrases it
+    appears in — co-occurrence credit), and a phrase scores the sum of
+    its words — the unsupervised keyword extractor run over corpora
+    before topic labeling or index building. Top-20 by (score, phrase).
+
+    Segmentation is pure string math, symmetric across engines: the
+    space-doubling trick makes ADJACENT stopwords each own their
+    delimiting spaces, so one global regex pass marks every boundary
+    (sequential regex passes would miss overlapping ' the of ' matches).
+
+    Scale: phrase extraction is row-local (regex + split, no UDF); word
+    stats are ONE map-side-combined groupBy on the word key; phrase
+    scoring joins the DISTINCT-phrase table (bounded by phrase
+    vocabulary, not corpus size) to the word-stats table — both keyed
+    equi-joins. No pairwise anything; the only corpus-sized shuffle is
+    the word-count agg every TF-IDF-class op already pays."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    body = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]+", " "), " ", "  "
+        ),
+        F.lit(" "),
+    )
+    marked = F.regexp_replace(body, f" ({_RAKE_STOP_RE}) ", " | ")
+    phrases = d.select(marked.alias("marked")).select(
+        F.explode(F.split("marked", r"\|")).alias("seg")
+    ).select(
+        F.trim(F.regexp_replace("seg", "  +", " ")).alias("phrase")
+    )
+    kept = phrases.filter(F.col("phrase") != "").select(
+        "phrase", F.split("phrase", " ").alias("ws")
+    ).filter(F.size("ws") <= 3)
+    word_inst = kept.select(
+        F.explode("ws").alias("word"), F.size("ws").alias("plen")
+    )
+    word_stats = word_inst.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    phrase_groups = kept.groupBy("phrase", "ws").agg(
+        F.count(F.lit(1)).alias("occurrences")
+    )
+    scored = (
+        phrase_groups.select(
+            "phrase", "occurrences", F.explode("ws").alias("word")
+        )
+        .join(word_stats, "word")
+        .groupBy("phrase", "occurrences")
+        .agg(F.round(F.sum(F.col("deg") / F.col("freq")), 4).alias("rake_score"))
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.col("occurrences").cast("long").alias("occurrences"),
+            "rake_score",
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(20)
+    )
