@@ -1438,6 +1438,7 @@ def engine_deltalite_generated_partition(
     deltalite.write(
         spark, rest.repartition(F.expr("CAST(ts AS DATE)")), path, "append"
     )
+    # 1-row probe: min(day) picks the pruning literal (metadata-rate)
     min_day = ev.agg(F.min(F.expr("CAST(ts AS DATE)"))).collect()[0][0]
     filters = [("day", "=", min_day)]
     kept, total = deltalite.scan_file_counts(path, skip_filters=filters)

@@ -54,6 +54,8 @@ COLLECT_ALLOWED = {
     "sink_deltalite_change_feed": "1-row max() cutoff probe",
     "engine_deltalite_cdf_incremental_agg": "1-row max() cutoff probe",
     "streaming_deltalite_cdf_tail": "1-row max() cutoff probe",
+    # 1-row min(day) picks the generated-partition pruning literal.
+    "engine_deltalite_generated_partition": "1-row min() pruning-literal probe",
 }
 
 
