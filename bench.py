@@ -120,6 +120,9 @@ HEADLINE = [
 # the adversarially dense synthetic corpus.  `bench.py --smoke` times them
 # too (not part of the recorded round artifact).
 SMOKE = [
+    "eval_auc_delong_ci",
+    "text_rake_keyphrases",
+    "similarity_radius_search_ivf",
     "pipeline_preference_pair_construction",
     "eval_pass_at_k",
     "eval_expected_calibration_error",
