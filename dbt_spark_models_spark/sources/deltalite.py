@@ -481,6 +481,26 @@ def _translate_filters(skip_filters, mapping: dict[str, str]):
     return [(mapping.get(c, c), op, lit) for c, op, lit in skip_filters]
 
 
+def _check_column_not_referenced(meta: dict, name: str, verb: str) -> None:
+    """Refuse to rename/drop a column that a CHECK constraint or another
+    column's generation expression references by name (real Delta's
+    guard: the stored expression text would silently dangle and every
+    later write would fail with an unresolved column). Word-boundary
+    text match — conservative, like the spec's own behavior."""
+    for cname, expr in _constraints(meta).items():
+        if re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"cannot {verb} {name!r}: referenced by CHECK constraint "
+                f"{cname!r} ({expr}) — drop the constraint first"
+            )
+    for gcol, expr in _generated_exprs(meta).items():
+        if gcol != name and re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"cannot {verb} {name!r}: referenced by generated column "
+                f"{gcol!r} ({expr})"
+            )
+
+
 def rename_column(table_path: str, old: str, new: str) -> int:
     """Metadata-only column rename — the spec's column mapping
     (``delta.columnMapping.mode = name``): the schema field takes the new
@@ -499,6 +519,7 @@ def rename_column(table_path: str, old: str, new: str) -> int:
         raise FileNotFoundError(f"no DeltaLite table at {table_path}")
     if old in meta.get("partitionColumns", []):
         raise ValueError(f"cannot rename partition column {old!r}")
+    _check_column_not_referenced(meta, old, "rename")
     sch = json.loads(meta["schemaString"])
     names = [f["name"] for f in sch["fields"]]
     if old not in names:
@@ -2574,12 +2595,7 @@ def drop_column(table_path: str, name: str) -> int:
         raise ValueError(f"no column {name!r} (have {names})")
     if len(names) == 1:
         raise ValueError("cannot drop the last column")
-    for cname, expr in _constraints(meta).items():
-        if re.search(rf"\b{re.escape(name)}\b", expr):
-            raise ValueError(
-                f"cannot drop {name!r}: referenced by CHECK constraint "
-                f"{cname!r} ({expr}) — drop the constraint first"
-            )
+    _check_column_not_referenced(meta, name, "drop")
     kept = []
     for f in sch["fields"]:
         md = f.setdefault("metadata", {})

@@ -340,3 +340,27 @@ def test_generated_columns_create_append_enforce(spark, tdir):
         deltalite.write(
             spark, more, tdir, "append", generated={"day": "CAST(ts AS DATE)"}
         )
+
+
+def test_rename_drop_guard_generated_and_constraint_references(spark, tdir):
+    """Renaming or dropping a column referenced by a generation
+    expression (or a CHECK constraint) must refuse up front — otherwise
+    the stored expression text dangles and every later write fails with
+    an unresolved column. Dropping the generated column ITSELF stays
+    legal (it removes the feature, not a dependency)."""
+    df = spark.createDataFrame([(1, "ab")], "k int, v string")
+    deltalite.write(spark, df.coalesce(1), tdir, generated={"g": "upper(v)"})
+    with pytest.raises(ValueError, match="generated column"):
+        deltalite.rename_column(tdir, "v", "w")
+    with pytest.raises(ValueError, match="generated column"):
+        deltalite.drop_column(tdir, "v")
+    deltalite.add_check_constraint(spark, tdir, "k_pos", "k > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        deltalite.rename_column(tdir, "k", "kk")
+    # unreferenced renames still work; dropping g itself is legal
+    deltalite.rename_column(tdir, "g", "gen")
+    deltalite.drop_column(tdir, "gen")
+    assert set(deltalite.read(spark, tdir).columns) == {"k", "v"}
+    # with g gone, v is free to rename again
+    deltalite.rename_column(tdir, "v", "w")
+    assert set(deltalite.read(spark, tdir).columns) == {"k", "w"}
