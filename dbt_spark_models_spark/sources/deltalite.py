@@ -1315,6 +1315,9 @@ def txn_append(
             raise ValueError(
                 "txn_append to a column-mapped table is not supported"
             )
+        # a streaming micro-batch omitting a generated column gets it
+        # computed from the committed schema, same contract as write()
+        df = _apply_generated(df, meta, "txn_append batch")
         _enforce_constraints(df, meta, "txn_append batch")
         # reuse the TABLE's metaData (validated/widened) — a narrower or
         # retyped batch must never replace the committed schema, and the

@@ -364,3 +364,15 @@ def test_rename_drop_guard_generated_and_constraint_references(spark, tdir):
     # with g gone, v is free to rename again
     deltalite.rename_column(tdir, "v", "w")
     assert set(deltalite.read(spark, tdir).columns) == {"k", "w"}
+
+
+def test_txn_append_computes_generated_column(spark, tdir):
+    df = spark.createDataFrame([(1, "ab")], "k int, v string")
+    deltalite.write(spark, df.coalesce(1), tdir, generated={"g": "upper(v)"})
+    more = spark.createDataFrame([(2, "cd")], "k int, v string")
+    v = deltalite.txn_append(spark, more.coalesce(1), tdir, "app", 1)
+    assert v == 1
+    got = {r.k: r.g for r in deltalite.read(spark, tdir).collect()}
+    assert got == {1: "AB", 2: "CD"}
+    # idempotent retry still no-ops
+    assert deltalite.txn_append(spark, more, tdir, "app", 1) is None
