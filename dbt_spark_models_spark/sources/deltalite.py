@@ -2293,6 +2293,15 @@ def update(
     pcols = meta.get("partitionColumns") or []
     if set(set_exprs) & set(pcols):
         raise ValueError("updating a partition column is not supported")
+    gen = _generated_exprs(meta)
+    direct = set(set_exprs) & set(gen)
+    if direct:
+        # real Delta: generated columns can't be SET explicitly — they
+        # are RECOMPUTED below when their inputs change
+        raise ValueError(
+            f"cannot SET generated column(s) {sorted(direct)}; update "
+            "their inputs and the expressions recompute"
+        )
     phys_filters = _translate_filters(filters, mapping)
     untouched, candidates = [], {}
     for p in sorted(active):
@@ -2308,7 +2317,7 @@ def update(
         # conform each SET expression back to the COMMITTED column type
         # so the written files match the preserved metaData
         types = {f.name: f.dataType for f in schema.fields}
-        return df.select(
+        out = df.select(
             *[
                 (
                     F.expr(set_exprs[c]).cast(types[c]).alias(c)
@@ -2318,6 +2327,11 @@ def update(
                 for c in out_cols
             ]
         )
+        # generated columns recompute from the POST-SET values (writer
+        # invariant: the stored expression always holds)
+        for gcol, gexpr in gen.items():
+            out = out.withColumn(gcol, F.expr(gexpr).cast(types[gcol]))
+        return out
 
     now_ms = int(time.time() * 1000)
     adds: list[dict] = []

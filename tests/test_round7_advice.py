@@ -376,3 +376,13 @@ def test_txn_append_computes_generated_column(spark, tdir):
     assert got == {1: "AB", 2: "CD"}
     # idempotent retry still no-ops
     assert deltalite.txn_append(spark, more, tdir, "app", 1) is None
+
+
+def test_update_recomputes_generated_column(spark, tdir):
+    df = spark.createDataFrame([(1, "ab"), (2, "cd")], "k int, v string")
+    deltalite.write(spark, df.coalesce(1), tdir, generated={"g": "upper(v)"})
+    with pytest.raises(ValueError, match="generated column"):
+        deltalite.update(spark, tdir, [("k", "=", 1)], {"g": "'X'"})
+    deltalite.update(spark, tdir, [("k", "=", 1)], {"v": "'zz'"})
+    got = {r.k: (r.v, r.g) for r in deltalite.read(spark, tdir).collect()}
+    assert got == {1: ("zz", "ZZ"), 2: ("cd", "CD")}
