@@ -903,3 +903,96 @@ def funnel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_transitions"),
         F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
     )
+
+
+@query(
+    "funnel_window_funnel_levels",
+    oracle="""
+WITH t1 AS (
+    SELECT user_id, MIN(ts) AS ts1
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+    SELECT e.user_id, MIN(e.ts) AS ts2
+    FROM events e JOIN t1 ON t1.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      AND e.ts <= t1.ts1 + INTERVAL 7 DAY
+    GROUP BY e.user_id
+), t3 AS (
+    SELECT e.user_id, MIN(e.ts) AS ts3
+    FROM events e JOIN t2 ON t2.user_id = e.user_id
+    JOIN t1 ON t1.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      AND e.ts <= t1.ts1 + INTERVAL 7 DAY
+    GROUP BY e.user_id
+), levels AS (
+    SELECT t1.user_id,
+           CASE WHEN t3.user_id IS NOT NULL THEN 3
+                WHEN t2.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS level
+    FROM t1
+    LEFT JOIN t2 ON t2.user_id = t1.user_id
+    LEFT JOIN t3 ON t3.user_id = t1.user_id
+)
+SELECT level,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(user_id) AS BIGINT) AS min_user_id
+FROM levels GROUP BY level
+""",
+)
+def funnel_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style ``windowFunnel(7 days)(view, click, purchase)``:
+    per user, the deepest funnel step reached by STRICTLY ORDERED events
+    inside a 7-day window anchored at the first step — the sequential
+    conversion metric plain step-presence funnels
+    (``funnel_signup_view_purchase``) can't express, because here each
+    step must happen AFTER the previous one and inside the window.
+
+    Scale — one exchange, zero self-joins: the chained "earliest step k
+    after step k-1" times are nested window aggregates over the SAME
+    user_id partitioning (t1 = min view ts; t2 = min click ts > t1
+    within t1+7d, with t1 available to every row of the partition; t3
+    likewise after t2) — Spark plans one hashpartitioning(user_id)
+    exchange and three window passes over it. The oracle states the same
+    chain as per-level keyed aggregates + joins, the relational
+    equivalent. Level counts are a final map-side-combined groupBy on a
+    3-value key."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w_user = Window.partitionBy("user_id")
+    horizon = F.expr("INTERVAL 7 DAYS")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w_user)
+    stage1 = ev.select("user_id", "event_type", "ts", t1.alias("ts1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("ts1"))
+            & (F.col("ts") <= F.col("ts1") + horizon),
+            F.col("ts"),
+        )
+    ).over(w_user)
+    stage2 = stage1.select("user_id", "event_type", "ts", "ts1", t2.alias("ts2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("ts2"))
+            & (F.col("ts") <= F.col("ts1") + horizon),
+            F.col("ts"),
+        )
+    ).over(w_user)
+    stage3 = stage2.select("user_id", "ts1", "ts2", t3.alias("ts3")).groupBy(
+        "user_id"
+    ).agg(
+        F.max("ts1").alias("ts1"),
+        F.max("ts2").alias("ts2"),
+        F.max("ts3").alias("ts3"),
+    )
+    levels = stage3.filter(F.col("ts1").isNotNull()).select(
+        "user_id",
+        F.when(F.col("ts3").isNotNull(), 3)
+        .when(F.col("ts2").isNotNull(), 2)
+        .otherwise(1)
+        .alias("level"),
+    )
+    return levels.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("user_id").cast("long").alias("min_user_id"),
+    )
