@@ -129,34 +129,76 @@ def _apply_action(state: dict, action: dict) -> None:
         )
 
 
+def _load_checkpoint_state(table_path: str, ckpt: int) -> dict | None:
+    """State dict materialized from the version-``ckpt`` checkpoint
+    parquet, or None when the file is missing."""
+    path = _checkpoint_file(table_path, ckpt)
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    state: dict = {"active": {}, "meta": {}, "txns": {}}
+    for blob in pq.read_table(path).column("action_json").to_pylist():
+        _apply_action(state, json.loads(blob))
+    return state
+
+
+def _checkpoint_versions(table_path: str) -> list[int]:
+    """All checkpoint parquet versions present in the log directory
+    (ascending). The ``_last_checkpoint`` hint only names the newest;
+    after ``cleanup_expired_logs`` older anchors may still matter for
+    reads between a cleaned head and the newest checkpoint."""
+    log = _log_path(table_path)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for f in os.listdir(log):
+        if f.endswith(".checkpoint.parquet"):
+            try:
+                out.append(int(f.split(".")[0]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def _replay_state(table_path: str, version: int | None = None) -> dict:
     """Replay up to ``version`` (inclusive; None = latest). Starts from the
     newest checkpoint ≤ version when one exists (so the JSON tail is at
     most CHECKPOINT_INTERVAL-1 files), else from version 0. Returns
-    {"active": {path: add}, "meta": metaData, "txns": {appId: version}}."""
+    {"active": {path: add}, "meta": metaData, "txns": {appId: version}}.
+
+    On a retention-cleaned log (``cleanup_expired_logs``): commit JSONs
+    at or below a checkpoint may be gone — any read that can bootstrap
+    from a surviving checkpoint and fold a CONTIGUOUS JSON tail works
+    exactly as before; a read whose history was pruned raises (the same
+    trade VACUUM makes past its horizon)."""
     versions = _list_versions(table_path)
-    if not versions:
+    ckpts = _checkpoint_versions(table_path)
+    if not versions and not ckpts:
         raise FileNotFoundError(f"no DeltaLite log at {table_path}")
+    newest = max(versions[-1] if versions else -1, ckpts[-1] if ckpts else -1)
     if version is None:
-        version = versions[-1]
-    if version not in versions:
+        version = newest
+    if version not in versions and version not in ckpts:
         raise ValueError(
-            f"version {version} not in log (have {versions[0]}..{versions[-1]})"
+            f"version {version} not in log (latest {newest}; earlier "
+            "history may have been retention-cleaned)"
         )
     state: dict = {"active": {}, "meta": {}, "txns": {}}
     start = 0
-    ckpt = _last_checkpoint_version(table_path)
-    if ckpt is not None and ckpt <= version:
-        path = _checkpoint_file(table_path, ckpt)
-        if os.path.exists(path):
-            import pyarrow.parquet as pq
-
-            for blob in pq.read_table(path).column("action_json").to_pylist():
-                _apply_action(state, json.loads(blob))
-            start = ckpt + 1
-    for v in versions:
-        if v < start or v > version:
-            continue
+    anchors = [c for c in ckpts if c <= version]
+    if anchors:
+        loaded = _load_checkpoint_state(table_path, anchors[-1])
+        if loaded is not None:
+            state = loaded
+            start = anchors[-1] + 1
+    tail = [v for v in versions if start <= v <= version]
+    if len(tail) != version - start + 1:
+        raise ValueError(
+            f"cannot replay version {version}: commit files in "
+            f"[{start}, {version}] were retention-cleaned"
+        )
+    for v in tail:
         with open(_version_file(table_path, v)) as f:
             for line in f:
                 line = line.strip()
@@ -192,6 +234,19 @@ def _walk_commits(table_path: str, start_v: int, end_v: int):
     if prior:
         state = _replay_state(table_path, prior[-1])
         fold_from = prior[-1] + 1
+    elif versions and versions[0] > 0:
+        # head was retention-cleaned: a walk may only start at the
+        # oldest surviving commit (its parent state is the anchor
+        # checkpoint); asking for cleaned commits must fail loudly, not
+        # silently skip them (CDF/stream correctness)
+        if start_v < versions[0]:
+            raise ValueError(
+                f"commits [{start_v}, {versions[0] - 1}] were "
+                "retention-cleaned; restart the walk from "
+                f"{versions[0]} or later"
+            )
+        state = _replay_state(table_path, versions[0] - 1)
+        fold_from = versions[0]
     for v in versions:
         if v < fold_from or v > end_v:
             continue
@@ -1803,7 +1858,20 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
                 # same trade as time travel past the horizon)
                 if "cdc" in action and v >= horizon:
                     referenced.add(action["cdc"]["path"])
-    if retain_versions is not None:
+    if retain_versions is None:
+        # a retention-cleaned log head keeps its file references only in
+        # the checkpoint parquets — without this, every file added before
+        # the cleanup cut would look unreferenced and be deleted
+        for c in _checkpoint_versions(table_path):
+            cs = _load_checkpoint_state(table_path, c)
+            if cs:
+                referenced.update(cs["active"])
+                referenced.update(
+                    a["deletionVector"]["path"]
+                    for a in cs["active"].values()
+                    if a.get("deletionVector")
+                )
+    else:
         for v in versions:
             if v >= horizon:
                 state_v = _replay_state(table_path, v)
@@ -1841,6 +1909,40 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
 _CDC_DIR = "_change_data"
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
+
+
+def cleanup_expired_logs(table_path: str, retain_versions: int) -> list[int]:
+    """Log retention — the count-based twin of real Delta's
+    ``delta.logRetentionDuration`` cleanup: delete commit JSON files that
+    are (a) covered by a checkpoint and (b) older than the last
+    ``retain_versions`` commits. The cut lands ON a checkpoint version so
+    every SURVIVING version stays exactly replayable (bootstrap from the
+    anchor checkpoint + a contiguous JSON tail); time travel, CDF reads,
+    and stream restarts that reach below the cut raise a clear
+    retention-cleaned error instead of silently replaying partial state.
+    Checkpoint parquets are kept (they are the anchors, and spot reads AT
+    a checkpointed version still work). Returns the deleted versions.
+
+    Scale: an always-on streaming table commits every few seconds —
+    millions of tiny JSONs per month. Replay cost and file-listing cost
+    both stay bounded only if the log is compacted (checkpoints) AND the
+    dead head is eventually dropped; this is the drop."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    versions = _list_versions(table_path)
+    if not versions:
+        return []
+    horizon = versions[-1] - retain_versions
+    anchors = [c for c in _checkpoint_versions(table_path) if c <= horizon]
+    if not anchors:
+        return []  # nothing both checkpoint-covered and expired
+    cut = anchors[-1]
+    if _load_checkpoint_state(table_path, cut) is None:
+        return []  # anchor parquet missing: never delete what it covers
+    doomed = [v for v in versions if v <= cut]
+    for v in doomed:
+        os.remove(_version_file(table_path, v))
+    return doomed
 
 
 def _write_cdc_files(df: DataFrame, table_path: str) -> list[dict]:

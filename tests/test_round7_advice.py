@@ -386,3 +386,49 @@ def test_update_recomputes_generated_column(spark, tdir):
     deltalite.update(spark, tdir, [("k", "=", 1)], {"v": "'zz'"})
     got = {r.k: (r.v, r.g) for r in deltalite.read(spark, tdir).collect()}
     assert got == {1: ("zz", "ZZ"), 2: ("cd", "CD")}
+
+
+# ---------------------------------------------------------- log retention
+
+
+def test_cleanup_expired_logs_lifecycle(spark, tdir):
+    """Retention cleanup: JSONs at/below a checkpoint and older than the
+    window go; every surviving version still replays exactly; reads,
+    CDF walks, and stream restarts below the cut raise a clear
+    retention-cleaned error; vacuum keeps checkpoint-referenced files."""
+    for i in range(13):  # versions 0..12, auto-checkpoint at 10
+        deltalite.write(
+            spark, _df(spark, [(i, f"v{i}")]).coalesce(1), tdir,
+            "append" if i else "overwrite",
+        )
+    assert deltalite._checkpoint_versions(tdir) == [10]
+    removed = deltalite.cleanup_expired_logs(tdir, retain_versions=2)
+    assert removed == list(range(11))  # <=10: covered + expired
+    # latest and all surviving versions replay exactly
+    assert len(deltalite.read(spark, tdir).collect()) == 13
+    assert len(deltalite.read(spark, tdir, version=11).collect()) == 12
+    # spot read AT the anchor checkpoint version still works
+    assert len(deltalite.read(spark, tdir, version=10).collect()) == 11
+    # below the cut: clear error, not silent partial state
+    with pytest.raises(ValueError, match="retention-cleaned|not in log"):
+        deltalite.read(spark, tdir, version=5)
+    # CDF walk from the cleaned range refuses; from the survivors works
+    with pytest.raises(ValueError, match="retention-cleaned"):
+        list(deltalite._walk_commits(tdir, 0, 12))
+    walked = [v for v, _, _ in deltalite._walk_commits(tdir, 11, 12)]
+    assert walked == [11, 12]
+    # vacuum must NOT delete files only referenced through the checkpoint
+    assert deltalite.vacuum(tdir) == []
+    assert len(deltalite.read(spark, tdir).collect()) == 13
+    # appends keep working on the cleaned log
+    deltalite.write(spark, _df(spark, [(99, "x")]).coalesce(1), tdir, "append")
+    assert len(deltalite.read(spark, tdir).collect()) == 14
+
+
+def test_cleanup_noop_without_checkpoint_or_window(spark, tdir):
+    deltalite.write(spark, _df(spark, [(1, "a")]).coalesce(1), tdir)
+    for i in range(2, 5):
+        deltalite.write(spark, _df(spark, [(i, "b")]).coalesce(1), tdir, "append")
+    # no checkpoint yet (only 4 commits): nothing is coverable
+    assert deltalite.cleanup_expired_logs(tdir, retain_versions=1) == []
+    assert len(deltalite._list_versions(tdir)) == 4
