@@ -76,9 +76,13 @@ def load_all() -> dict[str, Query]:
     Registry order IS the driver's grading order: a driver with a fixed
     per-round query budget grades from the front.  After importing every
     module, the registry is reordered so queries that have never received a
-    hard driver signal (not in ``_graded.DRIVER_GRADED``, the union of the
-    green rows in CORRECTNESS_r01-r03.json) come first — prioritized by
-    ``_ROTATION_FRONT`` module order — and already-graded queries go last.
+    hard driver signal (per ``graded_state.graded_rounds()``, derived live
+    from the ``CORRECTNESS_r*.json`` artifacts) come first — prioritized by
+    ``_ROTATION_FRONT`` module order.  Already-graded queries follow,
+    ordered by STALENESS (oldest grading round first), so a driver whose
+    whole registry is green spends its slots re-verifying the rows whose
+    code has churned longest since their last grade — regression insurance,
+    not arbitrary registration order (VERDICT r7 #2).
     """
     from dbt_spark_models_spark.operators import (  # noqa: F401
         relational,
@@ -113,17 +117,22 @@ def load_all() -> dict[str, Query]:
         timeseries,
         preference,
     )
-    from dbt_spark_models_spark.operators._graded import DRIVER_GRADED
+    from dbt_spark_models_spark.operators.graded_state import graded_rounds
 
+    rounds = graded_rounds()
     mod_rank = {m: i for i, m in enumerate(_ROTATION_FRONT)}
 
     def sort_key(item: tuple[str, Query]) -> tuple:
         name, q = item
         mod = q.fn.__module__.rsplit(".", 1)[-1]
-        graded = name in DRIVER_GRADED
+        graded = name in rounds
         # ungraded first; within ungraded, _ROTATION_FRONT modules in listed
-        # order, then the rest; registration order breaks ties (stable sort).
-        return (graded, mod_rank.get(mod, len(_ROTATION_FRONT)))
+        # order, then the rest.  Within graded, oldest grading round first
+        # (staleness rotation).  Registration order breaks ties (stable sort).
+        return (
+            graded,
+            rounds.get(name, 0) if graded else mod_rank.get(mod, len(_ROTATION_FRONT)),
+        )
 
     ordered = sorted(REGISTRY.items(), key=sort_key)
     REGISTRY.clear()
