@@ -2967,8 +2967,8 @@ WITH toks AS (
 SELECT CAST(lens.n_docs AS BIGINT) AS n_docs,
        ROUND(p1.clipped * 1.0 / p1.total, 6) AS p1,
        ROUND(p2.clipped * 1.0 / p2.total, 6) AS p2,
-       ROUND(EXP(1 - lens.r * 1.0 / lens.h), 6) AS brevity_penalty,
-       ROUND(EXP(1 - lens.r * 1.0 / lens.h)
+       ROUND(LEAST(1.0, EXP(1 - lens.r * 1.0 / lens.h)), 6) AS brevity_penalty,
+       ROUND(LEAST(1.0, EXP(1 - lens.r * 1.0 / lens.h))
              * EXP(0.5 * (LN(p1.clipped * 1.0 / p1.total)
                           + LN(p2.clipped * 1.0 / p2.total))), 6) AS bleu2
 FROM p1, p2, lens
@@ -3039,7 +3039,10 @@ def eval_corpus_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("hyp")).alias("h"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    bp = F.exp(1 - F.col("r") / F.col("h"))
+    # Standard BP cap: 1 when the hypothesis corpus is longer than the
+    # reference (here h < r always — hyp truncated to 80% — but the cap
+    # keeps the helper correct if the pairing is reused, ADVICE r7 #3).
+    bp = F.least(F.lit(1.0), F.exp(1 - F.col("r") / F.col("h")))
     return (
         lens.crossJoin(F.broadcast(p1))
         .crossJoin(F.broadcast(p2))
