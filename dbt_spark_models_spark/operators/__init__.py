@@ -46,6 +46,7 @@ def query(name: str, oracle: str | None = None):
 # sketches / train+eval (quality) / streaming / funnels / text — breadth
 # of family over count.
 _ROTATION_FRONT = [
+    "gold_replica_gate",
     "preference",
     "deltalite_gate",
     "clustering",
@@ -113,6 +114,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         engine_gate,
         deltalite_gate,
+        gold_replica_gate,
         retrieval,
         timeseries,
         preference,

@@ -307,9 +307,18 @@ class Runner:
 
         out = []
         for model_name, model_checks in self.project.checks.items():
-            ident = (
-                f"{self.database}.{model_name}" if self.database else model_name
+            # resolve through _identity so checks find models with custom
+            # schema/alias configs (prod target) and dev-renamed tables
+            node = self.project.models.get(model_name) or self.project.snapshots.get(
+                model_name
             )
+            if node is not None:
+                node_db, node_table = self._identity(node)
+                ident = f"{node_db}.{node_table}" if node_db else node_table
+            else:
+                ident = (
+                    f"{self.database}.{model_name}" if self.database else model_name
+                )
             for check_name, sql in build_check_queries(
                 ident, model_checks, self._resolve_ref
             ).items():
