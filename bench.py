@@ -165,6 +165,11 @@ SMOKE = [
     "sample_weighted_without_replacement",
     "sample_neyman_allocation",
     "text_token_counts_bpe",
+    # r8: gold_replica engine gates (full project builds — correctness
+    # surface, not plan-bound timing) + protocol handshake
+    "engine_gold_replica_users",
+    "engine_gold_replica_segments_scd2",
+    "sink_deltalite_protocol_features",
 ]
 
 

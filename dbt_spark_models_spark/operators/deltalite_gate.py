@@ -1460,3 +1460,155 @@ def engine_deltalite_generated_partition(
         # prove the pruned read lost no rows vs the oracle's recompute)
         F.lit(int(kept < total)).cast("int").alias("pruned_ok"),
     )
+
+
+@query(
+    "sink_deltalite_protocol_features",
+    oracle="""
+SELECT * FROM (VALUES
+    (0, 'create',            1, 2, '', '', FALSE),
+    (1, 'add_constraint',    1, 3, '', '', FALSE),
+    (2, 'enable_cdf',        1, 4, '', '', FALSE),
+    (3, 'rename_column',     2, 5, '', '', FALSE),
+    -- the upgrade to table-features form lists every feature the prior
+    -- LEGACY versions (2,5) implied, per the spec's upgrade rule
+    (4, 'dv_delete',         3, 7, 'columnMapping,deletionVectors',
+        'appendOnly,changeDataFeed,checkConstraints,columnMapping,deletionVectors,generatedColumns,invariants',
+        FALSE),
+    (5, 'unknown_reader_feature', 3, 7, 'futureRowMagic', 'futureRowMagic', TRUE),
+    (6, 'unknown_writer_feature', 1, 7, '', 'futureWriteMagic', TRUE)
+) AS t(stage, stage_name, min_reader, min_writer, reader_features,
+       writer_features, refused)
+""",
+)
+def sink_deltalite_protocol_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol negotiation / table-features handshake (public Delta
+    PROTOCOL.md "Protocol Evolution" + "Table Features"; VERDICT r7 #4).
+
+    A lifecycle of commits ratchets the protocol UP mid-history — create
+    (1/2) → CHECK constraint (writer 3) → change data feed (writer 4) →
+    rename under column mapping (2/5) → deletion-vector delete (3/7 with
+    explicit readerFeatures/writerFeatures) — and the gate publishes the
+    negotiated versions + feature lists after each stage, read back from
+    the log by replay (so checkpoint and sticky-merge behavior are what
+    is actually graded). Two doctored tables then prove the refusal
+    side: a table demanding an unknown READER feature must fail
+    read() loudly (stage 5), and one demanding only an unknown WRITER
+    feature must still read but refuse writes (stage 6).
+
+    Scale: the protocol fold rides the existing checkpoint-anchored log
+    replay — pure driver-side metadata, no data files touched."""
+    import json as _json
+
+    path = _table_dir(sf_dir, "protocol_features")
+    rows: list[tuple] = []
+
+    def snap_proto(stage: int, name: str, refused: bool = False) -> None:
+        p = deltalite.table_protocol(path)
+        rows.append(
+            (
+                stage,
+                name,
+                p.get("minReaderVersion", 1),
+                p.get("minWriterVersion", 1),
+                ",".join(p.get("readerFeatures") or []),
+                ",".join(p.get("writerFeatures") or []),
+                refused,
+            )
+        )
+
+    deltalite.write(
+        spark, _orders_slice(spark, sf_dir, 0).coalesce(2), path, "overwrite"
+    )
+    snap_proto(0, "create")
+    deltalite.add_check_constraint(
+        spark, path, "price_nonneg", "o_totalprice >= 0"
+    )
+    snap_proto(1, "add_constraint")
+    deltalite.set_table_property(path, "delta.enableChangeDataFeed", "true")
+    snap_proto(2, "enable_cdf")
+    deltalite.rename_column(path, "o_orderpriority", "priority")
+    snap_proto(3, "rename_column")
+    deltalite.delete(
+        spark,
+        path,
+        [("o_orderkey", "<=", 64)],
+        change_feed=True,
+        deletion_vectors=True,
+    )
+    snap_proto(4, "dv_delete")
+
+    def doctored(gate: str, proto: dict) -> str:
+        """A 1-commit table whose protocol demands features we don't
+        implement (hand-written log — the point is refusing it)."""
+        import os as _os
+
+        dpath = _table_dir(sf_dir, gate)
+        base = _table_dir(sf_dir, gate + "_seed")
+        deltalite.write(
+            spark, _orders_slice(spark, sf_dir, 2).limit(10).coalesce(1), base,
+            "overwrite",
+        )
+        with open(
+            _os.path.join(base, "_delta_log", "0" * 20 + ".json")
+        ) as f:
+            actions = [_json.loads(line) for line in f if line.strip()]
+        out = []
+        for a in actions:
+            if "protocol" in a:
+                out.append({"protocol": proto})
+            else:
+                out.append(a)
+        _os.makedirs(_os.path.join(dpath, "_delta_log"), exist_ok=True)
+        for a in out:
+            if "add" in a:
+                src = _os.path.join(base, a["add"]["path"])
+                dst = _os.path.join(dpath, a["add"]["path"])
+                _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(src, dst)
+        with open(_os.path.join(dpath, "_delta_log", "0" * 20 + ".json"), "w") as f:
+            for a in out:
+                f.write(_json.dumps(a, separators=(",", ":")) + "\n")
+        return dpath
+
+    reader_proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["futureRowMagic"],
+        "writerFeatures": ["futureRowMagic"],
+    }
+    rpath = doctored("protocol_unknown_reader", reader_proto)
+    try:
+        deltalite.read(spark, rpath).count()
+        read_refused = False
+    except deltalite.DeltaProtocolError:
+        read_refused = True
+    rows.append(
+        (5, "unknown_reader_feature", 3, 7, "futureRowMagic", "futureRowMagic",
+         read_refused)
+    )
+
+    writer_proto = {
+        "minReaderVersion": 1,
+        "minWriterVersion": 7,
+        "writerFeatures": ["futureWriteMagic"],
+    }
+    wpath = doctored("protocol_unknown_writer", writer_proto)
+    deltalite.read(spark, wpath).count()  # read side must still work
+    try:
+        deltalite.write(
+            spark, _orders_slice(spark, sf_dir, 2).limit(5), wpath, "append"
+        )
+        write_refused = False
+    except deltalite.DeltaProtocolError:
+        write_refused = True
+    rows.append(
+        (6, "unknown_writer_feature", 1, 7, "", "futureWriteMagic",
+         write_refused)
+    )
+
+    return spark.createDataFrame(
+        rows,
+        "stage int, stage_name string, min_reader int, min_writer int, "
+        "reader_features string, writer_features string, refused boolean",
+    )

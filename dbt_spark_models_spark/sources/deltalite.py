@@ -127,6 +127,210 @@ def _apply_action(state: dict, action: dict) -> None:
         state["txns"][t["appId"]] = max(
             t["version"], state["txns"].get(t["appId"], -1)
         )
+    elif "protocol" in action:
+        # sticky merge: a replayed protocol can only ratchet up — the spec
+        # forbids downgrades, and a max-merge makes a buggy lower-version
+        # action in a later commit harmless instead of corrupting
+        state["protocol"] = _merge_protocol(state.get("protocol"), action["protocol"])
+
+
+# --- protocol negotiation / table features (public Delta PROTOCOL.md,
+# "Protocol Evolution" + "Table Features"; reference tables are delta
+# throughout — file_format='delta' ×197) -------------------------------
+#
+# Reader/writer version ceilings this implementation understands, and the
+# feature names it actually implements.  A snapshot whose protocol demands
+# more must be REFUSED loudly: replaying a log whose semantics we don't
+# know (e.g. an unknown row-tracking feature) would silently return wrong
+# rows — refusal is the spec's core safety mechanism.
+
+READER_VERSION_MAX = 3
+WRITER_VERSION_MAX = 7
+# reader-scoped features (affect how a snapshot is interpreted)
+_READER_SCOPED = frozenset({"columnMapping", "deletionVectors", "timestampNtz"})
+SUPPORTED_READER_FEATURES = frozenset(
+    {"columnMapping", "deletionVectors", "timestampNtz"}
+)
+SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        "columnMapping",
+        "deletionVectors",
+        "timestampNtz",
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "generatedColumns",
+        "changeDataFeed",
+    }
+)
+
+
+class DeltaProtocolError(RuntimeError):
+    """Snapshot requires a protocol version / table feature this reader or
+    writer does not implement."""
+
+
+def _implied_features(reader: int, writer: int) -> set[str]:
+    """Features implied by LEGACY protocol versions (spec mapping), used
+    when converting a legacy protocol to table-features form."""
+    feats: set[str] = set()
+    if writer >= 2:
+        feats |= {"appendOnly", "invariants"}
+    if writer >= 3:
+        feats.add("checkConstraints")
+    if writer >= 4:
+        feats |= {"changeDataFeed", "generatedColumns"}
+    if writer >= 5 or reader >= 2:
+        feats.add("columnMapping")
+    return feats
+
+
+def _merge_protocol(cur: dict | None, new: dict | None) -> dict | None:
+    """Monotonic protocol merge: max versions, union features."""
+    if not cur:
+        return dict(new) if new else None
+    if not new:
+        return cur
+    reader = max(cur.get("minReaderVersion", 1), new.get("minReaderVersion", 1))
+    writer = max(cur.get("minWriterVersion", 1), new.get("minWriterVersion", 1))
+    out: dict = {"minReaderVersion": reader, "minWriterVersion": writer}
+    if writer >= 7:
+        wf = set()
+        for p in (cur, new):
+            if p.get("minWriterVersion", 1) >= 7:
+                wf |= set(p.get("writerFeatures") or [])
+            else:
+                wf |= _implied_features(
+                    p.get("minReaderVersion", 1), p.get("minWriterVersion", 1)
+                )
+        out["writerFeatures"] = sorted(wf)
+    if reader >= 3:
+        rf = set()
+        for p in (cur, new):
+            if p.get("minReaderVersion", 1) >= 3:
+                rf |= set(p.get("readerFeatures") or [])
+            else:
+                rf |= _implied_features(
+                    p.get("minReaderVersion", 1), p.get("minWriterVersion", 1)
+                ) & _READER_SCOPED
+        out["readerFeatures"] = sorted(rf)
+    return out
+
+
+def _features_from_meta(meta: dict | None) -> set[str]:
+    """Table features actually ENABLED by the metadata: configuration
+    keys + schema field metadata (generation expressions)."""
+    feats: set[str] = set()
+    if not meta:
+        return feats
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.appendOnly", "")).lower() == "true":
+        feats.add("appendOnly")
+    if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        feats.add("changeDataFeed")
+    if conf.get("delta.columnMapping.mode") in ("name", "id"):
+        feats.add("columnMapping")
+    if any(k.startswith("delta.constraints.") for k in conf):
+        feats.add("checkConstraints")
+    try:
+        sch = json.loads(meta.get("schemaString") or "{}")
+        for f in sch.get("fields", []):
+            if (f.get("metadata") or {}).get("delta.generationExpression"):
+                feats.add("generatedColumns")
+                break
+    except (ValueError, AttributeError):
+        pass
+    return feats
+
+
+def _protocol_action(
+    meta: dict | None,
+    dv: bool = False,
+    prior: dict | None = None,
+    table_path: str | None = None,
+) -> dict:
+    """The ``protocol`` action for a commit: the versions + feature lists
+    the table's enabled features REQUIRE, ratcheted against the current
+    protocol (``prior``, or replayed from ``table_path``) so a commit can
+    upgrade the protocol mid-history but never downgrade it."""
+    if prior is None and table_path is not None:
+        prior = _current_protocol(table_path)
+    feats = _features_from_meta(meta)
+    if dv:
+        feats.add("deletionVectors")
+    if "deletionVectors" in feats or "timestampNtz" in feats:
+        # features with no legacy version → table-features protocol form
+        needed = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(feats & _READER_SCOPED),
+            "writerFeatures": sorted(feats),
+        }
+    else:
+        reader = 2 if "columnMapping" in feats else 1
+        writer = 2
+        if "checkConstraints" in feats:
+            writer = 3
+        if feats & {"changeDataFeed", "generatedColumns"}:
+            writer = 4
+        if "columnMapping" in feats:
+            writer = 5
+        needed = {"minReaderVersion": reader, "minWriterVersion": writer}
+    return {"protocol": _merge_protocol(prior, needed)}
+
+
+def _current_protocol(table_path: str) -> dict | None:
+    """Protocol of the latest snapshot (None for pre-protocol logs)."""
+    if latest_version(table_path) is None:
+        return None
+    return _replay_state(table_path).get("protocol")
+
+
+def table_protocol(table_path: str) -> dict:
+    """Public: the negotiated protocol of the latest snapshot."""
+    return _current_protocol(table_path) or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 1,
+    }
+
+
+def _assert_readable(proto: dict | None, table_path: str = "") -> None:
+    """Refuse to interpret a snapshot whose protocol this reader does not
+    implement (unknown version or unknown reader-scoped feature)."""
+    if not proto:
+        return
+    reader = proto.get("minReaderVersion", 1)
+    if reader > READER_VERSION_MAX:
+        raise DeltaProtocolError(
+            f"{table_path}: requires minReaderVersion={reader}, "
+            f"this reader supports <= {READER_VERSION_MAX}"
+        )
+    unknown = set(proto.get("readerFeatures") or []) - SUPPORTED_READER_FEATURES
+    if unknown:
+        raise DeltaProtocolError(
+            f"{table_path}: requires reader features {sorted(unknown)} "
+            "this reader does not implement"
+        )
+
+
+def _assert_writable(proto: dict | None, table_path: str = "") -> None:
+    """Writers must understand the whole snapshot (read side) AND every
+    writer-scoped feature before committing."""
+    _assert_readable(proto, table_path)
+    if not proto:
+        return
+    writer = proto.get("minWriterVersion", 1)
+    if writer > WRITER_VERSION_MAX:
+        raise DeltaProtocolError(
+            f"{table_path}: requires minWriterVersion={writer}, "
+            f"this writer supports <= {WRITER_VERSION_MAX}"
+        )
+    unknown = set(proto.get("writerFeatures") or []) - SUPPORTED_WRITER_FEATURES
+    if unknown:
+        raise DeltaProtocolError(
+            f"{table_path}: requires writer features {sorted(unknown)} "
+            "this writer does not implement"
+        )
 
 
 def _load_checkpoint_state(table_path: str, ckpt: int) -> dict | None:
@@ -268,7 +472,13 @@ def _write_checkpoint(table_path: str, version: int) -> None:
 
     state = _replay_state(table_path, version)
     actions = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        # persist the NEGOTIATED protocol: a checkpoint that wrote a
+        # hardcoded 1/2 would downgrade a DV/column-mapping table for
+        # every replay that bootstraps from it
+        {
+            "protocol": state.get("protocol")
+            or {"minReaderVersion": 1, "minWriterVersion": 2}
+        },
         {"metaData": state["meta"]},
         *({"txn": {"appId": a, "version": v}} for a, v in sorted(state["txns"].items())),
         *({"add": state["active"][p]} for p in sorted(state["active"])),
@@ -569,6 +779,7 @@ def rename_column(table_path: str, old: str, new: str) -> int:
     do). Renaming a partition column is out of this subset (the physical
     directory layout carries its name)."""
     state = _replay_state(table_path)
+    _assert_writable(state.get("protocol"), table_path)
     meta = state["meta"]
     if not meta:
         raise FileNotFoundError(f"no DeltaLite table at {table_path}")
@@ -605,7 +816,7 @@ def rename_column(table_path: str, old: str, new: str) -> int:
                     "timestamp": int(time.time() * 1000),
                 }
             },
-            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _protocol_action(meta, prior=state.get("protocol")),
             {"metaData": meta},
         ],
     )
@@ -724,9 +935,13 @@ def write(
         version = 0
         prior: list[str] = []
         meta: dict = {}
+        _w_proto: dict | None = None
     else:
         version = versions[-1] + 1
-        prior, meta = _replay(table_path)
+        _w_state = _replay_state(table_path)
+        _assert_writable(_w_state.get("protocol"), table_path)
+        prior, meta = sorted(_w_state["active"]), _w_state["meta"]
+        _w_proto = _w_state.get("protocol")
     if generated:
         if versions and mode != "overwrite":
             raise ValueError(
@@ -842,7 +1057,7 @@ def write(
             meta_action["metaData"]["configuration"] = carried
     actions: list[dict] = [
         {"commitInfo": {"operation": mode.upper(), "timestamp": int(time.time() * 1000)}},
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _protocol_action(meta_action["metaData"], prior=_w_proto),
         meta_action,
     ]
     if mode == "overwrite":
@@ -1001,6 +1216,7 @@ def read(
             raise ValueError("pass version OR timestamp, not both")
         version = version_at_timestamp(table_path, timestamp)
     state = _replay_state(table_path, version)
+    _assert_readable(state.get("protocol"), table_path)
     active = state["active"]
     meta = state["meta"]
     skip_filters = _translate_filters(skip_filters, _column_mapping(meta))
@@ -1179,6 +1395,7 @@ def merge(
     versions = _list_versions(table_path)
     snap_version = versions[-1]
     state = _replay_state(table_path, snap_version)
+    _assert_writable(state.get("protocol"), table_path)
     active, meta = state["active"], state["meta"]
     # delta.appendOnly is checked at COMMIT level, not operation level
     # (r6 ADVICE #2): an insert-only merge commits no dataChange removes
@@ -1226,23 +1443,38 @@ def merge(
         if overlap is not None and not _maybe_skip(active[p], phys_overlap)
     ]
     if rewrite and (append_only or not deletion_vectors):
-        # zero-match probe (key columns only — column pruning makes it far
-        # cheaper than the rewrite): stats-grazed candidates that hold no
-        # matched key collapse the merge to insert-only, skipping the COW
-        # rewrite entirely (same gate the DV path gets from its `touched`
-        # counter). For append-only tables this probe also DECIDES
-        # legality: matches mean the commit would remove/tombstone rows.
+        # matched-FILE probe (key columns only — column pruning makes it
+        # far cheaper than the rewrite): the probe's matched-key set is
+        # reused to prune the rewrite list to exactly the files that hold
+        # a matched key (r7 ADVICE #2) — a stats-grazed candidate whose
+        # keys never match keeps its bytes untouched, and zero matched
+        # files collapses the merge to insert-only (same gate the DV path
+        # gets from its `touched` counter). For append-only tables the
+        # probe also DECIDES legality: matches mean the commit would
+        # remove/tombstone rows.
         probe = _scan_active(
-            spark, table_path, meta, {p: active[p] for p in rewrite}
-        ).select(*keys)
-        if probe.join(source.select(*keys), on=keys, how="left_semi").isEmpty():
-            rewrite = []
-        elif append_only:
+            spark,
+            table_path,
+            meta,
+            {p: active[p] for p in rewrite},
+            with_row_address=True,
+        ).select(_DV_FILE_COL, *keys)
+        matched_names = {
+            r[0]
+            for r in probe.join(source.select(*keys), on=keys, how="left_semi")
+            .select(_DV_FILE_COL)
+            .distinct()
+            .collect()  # ≤ |candidate files| rows — file names, not data
+        }
+        if matched_names and append_only:
             raise ValueError(
                 "MERGE matched existing rows: commit would remove or "
                 "tombstone data, forbidden on a delta.appendOnly table "
                 "(insert-only merges are allowed)"
             )
+        # __dl_file is the parquet file NAME — unique per table (the same
+        # invariant the deletion-vector tombstone join relies on)
+        rewrite = [p for p in rewrite if os.path.basename(p) in matched_names]
     now_ms = int(time.time() * 1000)
     adds: list[dict] = []
     cdc_adds: list[dict] = []
@@ -1315,11 +1547,11 @@ def merge(
                 )
             cdc_adds = _write_cdc_files(changes, table_path)
     if dv_mode:
-        protocol = {"minReaderVersion": 3, "minWriterVersion": 7}
+        protocol = _protocol_action(meta, dv=True, prior=state.get("protocol"))
         remove_actions = dv_removes
         re_add_actions = dv_re_adds
     else:
-        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        protocol = _protocol_action(meta, prior=state.get("protocol"))
         remove_actions = [
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
             for p in rewrite
@@ -1327,7 +1559,7 @@ def merge(
         re_add_actions = []
     actions: list[dict] = [
         {"commitInfo": {"operation": "MERGE", "timestamp": now_ms}},
-        {"protocol": protocol},
+        protocol,
         {"metaData": meta},
         *remove_actions,
         *re_add_actions,
@@ -1361,6 +1593,7 @@ def txn_append(
     pcols: list[str] | None = None
     if versions:
         state = _replay_state(table_path)
+        _assert_writable(state.get("protocol"), table_path)
         if state["txns"].get(app_id, -1) >= txn_version:
             return None  # retry of an already-committed micro-batch
         version = versions[-1] + 1
@@ -1386,7 +1619,10 @@ def txn_append(
     adds = _write_data_files(df, table_path, pcols)
     actions: list[dict] = [
         {"commitInfo": {"operation": "STREAMING UPDATE", "timestamp": int(time.time() * 1000)}},
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _protocol_action(
+            meta_action["metaData"],
+            prior=state.get("protocol") if versions else None,
+        ),
         meta_action,
         {"txn": {"appId": app_id, "version": txn_version}},
         *({"add": a} for a in adds),
@@ -1447,6 +1683,7 @@ def delete(
     # silently clobbered)
     snap_version = _list_versions(table_path)[-1]
     state = _replay_state(table_path, snap_version)
+    _assert_writable(state.get("protocol"), table_path)
     active, meta = state["active"], state["meta"]
     _check_append_only(meta, "DELETE")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1507,7 +1744,7 @@ def delete(
     version = snap_version + 1
     actions: list[dict] = [
         {"commitInfo": {"operation": "DELETE", "timestamp": now_ms}},
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _protocol_action(meta, prior=state.get("protocol")),
         {"metaData": meta},
         *(
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
@@ -1562,7 +1799,7 @@ def _delete_with_dv(
     version = snap_version + 1
     actions: list[dict] = [
         {"commitInfo": {"operation": "DELETE", "timestamp": now_ms}},
-        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        _protocol_action(meta, dv=True, table_path=table_path),
         {"metaData": meta},
         *removes,
         *re_adds,
@@ -1725,6 +1962,7 @@ def optimize(
     versions = _list_versions(table_path)
     snap_version = versions[-1]
     state = _replay_state(table_path, snap_version)
+    _assert_writable(state.get("protocol"), table_path)
     active, meta = state["active"], state["meta"]
     pcols = meta.get("partitionColumns") or None
     mapping = _column_mapping(meta)
@@ -1804,7 +2042,7 @@ def optimize(
         a["dataChange"] = False
     actions: list[dict] = [
         {"commitInfo": {"operation": "OPTIMIZE", "timestamp": now_ms}},
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _protocol_action(meta, prior=state.get("protocol")),
         # layout-only commit: metaData preserved VERBATIM (schema,
         # partitioning, column mapping, table configuration)
         {"metaData": meta},
@@ -1834,6 +2072,8 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
     readers don't lose files under them; a version count keeps the gate
     deterministic)."""
     versions = _list_versions(table_path)
+    if versions:
+        _assert_writable(_current_protocol(table_path), table_path)
     referenced: set[str] = set()
     horizon = (
         -1
@@ -2010,6 +2250,7 @@ def read_changes(
     versions = _list_versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no DeltaLite log at {table_path}")
+    _assert_readable(_current_protocol(table_path), table_path)
     ending = versions[-1] if ending_version is None else ending_version
     frames: list[DataFrame] = []
     # the feed presents the ENDING version's logical schema (delta's CDF
@@ -2131,6 +2372,7 @@ def restore(spark: SparkSession, table_path: str, version: int) -> int:
     versions = _list_versions(table_path)
     snap_version = versions[-1]
     cur = _replay_state(table_path, snap_version)
+    _assert_writable(cur.get("protocol"), table_path)
     old = _replay_state(table_path, version)
     needed = set(old["active"])
     needed.update(
@@ -2162,7 +2404,9 @@ def restore(spark: SparkSession, table_path: str, version: int) -> int:
     ]
     actions: list[dict] = [
         {"commitInfo": {"operation": "RESTORE", "timestamp": now_ms}},
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        # ratchet against the CURRENT protocol: restore rewinds data,
+        # never the protocol (spec: downgrades are illegal)
+        _protocol_action(old["meta"], prior=cur.get("protocol")),
         {"metaData": old["meta"]},
         *(
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
@@ -2272,7 +2516,7 @@ def convert_to_delta(
                 "timestamp": now_ms,
             }
         },
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _protocol_action(None),
         {
             "metaData": {
                 "id": uuid.uuid4().hex,
@@ -2343,7 +2587,9 @@ def clone(
         adds.append(a)
     actions = [
         {"commitInfo": {"operation": "CLONE", "timestamp": now_ms}},
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _protocol_action(
+            meta, dv=any(a.get("deletionVector") for a in adds)
+        ),
         {"metaData": dict(meta, id=uuid.uuid4().hex)},
         *({"add": a} for a in adds),
     ]
@@ -2384,6 +2630,7 @@ def update(
         raise ValueError("deletion_vectors=True requires change_feed=True")
     snap_version = _list_versions(table_path)[-1]
     state = _replay_state(table_path, snap_version)
+    _assert_writable(state.get("protocol"), table_path)
     active, meta = state["active"], state["meta"]
     _check_append_only(meta, "UPDATE")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -2508,15 +2755,13 @@ def update(
             cdc_adds = _write_cdc_files(changes, table_path)
     if not touched:
         return snap_version, len(untouched) + len(candidates), 0
-    proto = (
-        {"minReaderVersion": 3, "minWriterVersion": 7}
-        if deletion_vectors
-        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    proto = _protocol_action(
+        meta, dv=deletion_vectors, prior=state.get("protocol")
     )
     version = snap_version + 1
     actions: list[dict] = [
         {"commitInfo": {"operation": "UPDATE", "timestamp": now_ms}},
-        {"protocol": proto},
+        proto,
         {"metaData": meta},
         *removes,
         *re_adds,
@@ -2577,6 +2822,7 @@ def add_check_constraint(
     versions = _list_versions(table_path)
     snap_version = versions[-1]
     state = _replay_state(table_path, snap_version)
+    _assert_writable(state.get("protocol"), table_path)
     meta = state["meta"]
     if f"{_CONSTRAINT_PREFIX}{name}" in (meta.get("configuration") or {}):
         raise ValueError(f"constraint {name!r} already exists")
@@ -2606,7 +2852,7 @@ def add_check_constraint(
                     "timestamp": int(time.time() * 1000),
                 }
             },
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+            _protocol_action(new_meta, table_path=table_path),
             {"metaData": new_meta},
         ],
     )
@@ -2617,7 +2863,9 @@ def drop_check_constraint(table_path: str, name: str) -> int:
     """ALTER TABLE ... DROP CONSTRAINT: one metadata commit."""
     versions = _list_versions(table_path)
     snap_version = versions[-1]
-    meta = _replay_state(table_path, snap_version)["meta"]
+    _dc_state = _replay_state(table_path, snap_version)
+    _assert_writable(_dc_state.get("protocol"), table_path)
+    meta = _dc_state["meta"]
     key = f"{_CONSTRAINT_PREFIX}{name}"
     conf = dict(meta.get("configuration") or {})
     if key not in conf:
@@ -2634,7 +2882,9 @@ def drop_check_constraint(table_path: str, name: str) -> int:
                     "timestamp": int(time.time() * 1000),
                 }
             },
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+            _protocol_action(
+                dict(meta, configuration=conf), table_path=table_path
+            ),
             {"metaData": dict(meta, configuration=conf)},
         ],
     )
@@ -2652,7 +2902,9 @@ def set_table_property(table_path: str, key: str, value: str) -> int:
         )
     versions = _list_versions(table_path)
     snap_version = versions[-1]
-    meta = _replay_state(table_path, snap_version)["meta"]
+    _sp_state = _replay_state(table_path, snap_version)
+    _assert_writable(_sp_state.get("protocol"), table_path)
+    meta = _sp_state["meta"]
     new_meta = dict(
         meta,
         configuration={**(meta.get("configuration") or {}), key: str(value)},
@@ -2668,7 +2920,7 @@ def set_table_property(table_path: str, key: str, value: str) -> int:
                     "timestamp": int(time.time() * 1000),
                 }
             },
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _protocol_action(new_meta, table_path=table_path),
             {"metaData": new_meta},
         ],
     )
@@ -2703,6 +2955,7 @@ def drop_column(table_path: str, name: str) -> int:
     the last remaining column, and columns referenced by a CHECK
     constraint (drop the constraint first), all matching real Delta."""
     state = _replay_state(table_path)
+    _assert_writable(state.get("protocol"), table_path)
     meta = state["meta"]
     if not meta:
         raise FileNotFoundError(f"no DeltaLite table at {table_path}")
@@ -2741,7 +2994,7 @@ def drop_column(table_path: str, name: str) -> int:
                     "timestamp": int(time.time() * 1000),
                 }
             },
-            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _protocol_action(meta, table_path=table_path),
             {"metaData": meta},
         ],
     )

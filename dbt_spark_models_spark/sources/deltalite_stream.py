@@ -126,6 +126,7 @@ class DeltaLiteStreamSource(DataSource):
 
     def schema(self):
         state = deltalite._replay_state(self.options["path"])
+        deltalite._assert_readable(state.get("protocol"), self.options["path"])
         from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
         base = StructType.fromJson(json.loads(state["meta"]["schemaString"]))
@@ -161,6 +162,7 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         state = deltalite._replay_state(self.path)
+        deltalite._assert_readable(state.get("protocol"), self.path)
         meta = state["meta"]
         fields = [
             (f["name"], f["type"] if isinstance(f["type"], str) else "struct")
@@ -264,6 +266,7 @@ class DeltaLiteStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         state = deltalite._replay_state(self.path)
+        deltalite._assert_readable(state.get("protocol"), self.path)
         meta = state["meta"]
         fields = [
             (f["name"], f["type"] if isinstance(f["type"], str) else "struct")
@@ -399,6 +402,7 @@ class DeltaLiteDistStreamReader(DataSourceStreamReader):
         files / dataChange removes) with the schema metadata snapshotted
         so executors never read the log."""
         state = deltalite._replay_state(self.path)
+        deltalite._assert_readable(state.get("protocol"), self.path)
         meta = state["meta"]
         fields = [
             (f["name"], f["type"] if isinstance(f["type"], str) else "struct")

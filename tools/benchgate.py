@@ -94,6 +94,12 @@ def main() -> int:
     regs = compare(current, baseline)
     total_base = baseline.get("value")
     total_cur = current.get("value")
+    # bench-list length is self-reporting so a README/suite drift is
+    # visible in every gate run (VERDICT r7 #6)
+    print(
+        f"benchgate: {len(current.get('queries') or {})} timed queries "
+        f"({len(baseline.get('queries') or {})} in baseline)"
+    )
     print(f"benchgate: total {total_cur}s vs baseline {total_base}s")
     for name, b, c in regs:
         print(f"REGRESSION {name}: {b}s -> {c}s ({c / b:.2f}x)")
