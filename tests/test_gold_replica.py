@@ -212,6 +212,25 @@ def test_retention_flags_maturity(spark, two_run_db):
     assert bad_immature.count() == 0
 
 
+def test_daily_backfill_matches_scratch(spark):
+    """Runner.backfill day-by-day over the gold DAG (reference
+    backfill.sh:41-46 pattern): eight daily incremental runs with a
+    shifted run_date land on exactly the same table as one from-scratch
+    build at the final date."""
+    db = "t_gr_backfill"
+    _fresh_db(spark, db)
+    r = _runner(spark, db, "2024-01-22")
+    _assert_ok(r.seed() + r.run())
+    _assert_ok(r.backfill("2024-01-23", "2024-01-30", date_var="run_date"))
+
+    _fresh_db(spark, "t_gr_backfill_scratch")
+    rb = _runner(spark, "t_gr_backfill_scratch", "2024-01-30")
+    _assert_ok(rb.seed() + rb.run())
+    a = spark.table(f"{db}.gold__active_users_with_ephemeral")
+    b = spark.table("t_gr_backfill_scratch.gold__active_users_with_ephemeral")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_cli_build_end_to_end(spark, tmp_path):
     """plans/cli build runs the whole project (seed → models → snapshot →
     checks + singular test) and exits 0 (VERDICT r7 #3 'Done =' clause)."""
