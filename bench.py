@@ -166,10 +166,14 @@ SMOKE = [
     "sample_neyman_allocation",
     "text_token_counts_bpe",
     # r8: gold_replica engine gates (full project builds — correctness
-    # surface, not plan-bound timing) + protocol handshake
+    # surface, not plan-bound timing) + protocol handshake + new
+    # training-pipeline ops
     "engine_gold_replica_users",
     "engine_gold_replica_segments_scd2",
     "sink_deltalite_protocol_features",
+    "pipeline_concat_chunk_spans",
+    "pipeline_length_bucket_padding",
+    "preference_group_relative_advantages",
 ]
 
 

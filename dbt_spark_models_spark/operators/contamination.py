@@ -779,3 +779,188 @@ def eval_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classed.groupBy(pair_class.alias("pair_class")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+_CHUNK_LEN = 512  # tokens per packed training example
+
+
+@query(
+    "pipeline_concat_chunk_spans",
+    oracle=f"""
+WITH est AS (
+    SELECT doc_id, lang, CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_tokens
+    FROM documents
+), pos AS (
+    SELECT *,
+           COALESCE(SUM(est_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+    FROM est
+), spans AS (
+    SELECT lang, doc_id, est_tokens, start_tok,
+           start_tok + est_tokens AS end_tok,
+           CAST(FLOOR(start_tok / {_CHUNK_LEN}) AS BIGINT) AS first_chunk,
+           CAST(FLOOR((start_tok + est_tokens - 1) / {_CHUNK_LEN}) AS BIGINT) AS last_chunk
+    FROM pos
+), doc_chunks AS (
+    SELECT s.lang, s.doc_id, s.start_tok, s.end_tok, s.first_chunk,
+           c.chunk_id,
+           LEAST(s.end_tok, (c.chunk_id + 1) * {_CHUNK_LEN})
+             - GREATEST(s.start_tok, c.chunk_id * {_CHUNK_LEN}) AS tokens_here
+    FROM spans s
+    CROSS JOIN LATERAL (
+        SELECT UNNEST(generate_series(s.first_chunk, s.last_chunk)) AS chunk_id
+    ) c
+)
+SELECT lang,
+       chunk_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN first_chunk = chunk_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_starting,
+       CAST(SUM(tokens_here) AS BIGINT) AS tokens_filled,
+       -- plain IEEE division (identical bit result on both engines);
+       -- an in-query ROUND would tie-break differently on the exact
+       -- power-of-two fractions k/512 produces
+       SUM(tokens_here) * 1.0 / {_CHUNK_LEN} AS fill_ratio
+FROM doc_chunks
+GROUP BY lang, chunk_id
+""",
+)
+def pipeline_concat_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing, per-chunk view: per
+    language, documents concatenate in doc_id order into one token
+    stream cut every {_CHUNK_LEN} tokens; each doc occupies the byte
+    range [cumsum_before, cumsum_before + est_tokens), so a doc can
+    straddle chunk boundaries.  The output is the dataloader's manifest:
+    per training example (lang, chunk), how many docs it touches, how
+    many START in it (attention reset points), and its fill ratio (the
+    final chunk per language is partial).
+
+    Unlike `pipeline_pretraining_shards` (whole docs binned by the
+    cumsum FLOOR — docs never split), this is the packing variant that
+    SPLITS documents at example boundaries — the standard pre-training
+    layout where example k holds tokens [k*N, (k+1)*N).
+
+    Scale: the cumulative offset is one per-lang window (high-cardinality
+    partition key — no global sort); the doc→chunk fan-out is a
+    SEQUENCE explode bounded by ceil(doc_tokens/N)+1 rows per doc; the
+    final rollup is a map-side-combined groupBy on (lang, chunk)."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    est = d.select(
+        "doc_id",
+        "lang",
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = est.select(
+        "lang",
+        "doc_id",
+        "est_tokens",
+        F.coalesce(F.sum("est_tokens").over(w), F.lit(0)).alias("start_tok"),
+    ).select(
+        "lang",
+        "doc_id",
+        "start_tok",
+        (F.col("start_tok") + F.col("est_tokens")).alias("end_tok"),
+        F.floor(F.col("start_tok") / _CHUNK_LEN).alias("first_chunk"),
+        F.floor((F.col("start_tok") + F.col("est_tokens") - 1) / _CHUNK_LEN).alias(
+            "last_chunk"
+        ),
+    )
+    doc_chunks = spans.select(
+        "lang",
+        "start_tok",
+        "end_tok",
+        "first_chunk",
+        F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_id"),
+    ).select(
+        "lang",
+        "first_chunk",
+        "chunk_id",
+        (
+            F.least(F.col("end_tok"), (F.col("chunk_id") + 1) * _CHUNK_LEN)
+            - F.greatest(F.col("start_tok"), F.col("chunk_id") * _CHUNK_LEN)
+        ).alias("tokens_here"),
+    )
+    return doc_chunks.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("first_chunk") == F.col("chunk_id")).cast("long")).alias(
+            "n_docs_starting"
+        ),
+        F.sum("tokens_here").alias("tokens_filled"),
+        (F.sum("tokens_here") / F.lit(float(_CHUNK_LEN))).alias("fill_ratio"),
+    )
+
+
+_BATCH_SIZE = 32
+
+
+@query(
+    "pipeline_length_bucket_padding",
+    oracle=f"""
+WITH est AS (
+    SELECT doc_id,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_tokens
+    FROM documents
+), bucketed AS (
+    SELECT doc_id, est_tokens,
+           CAST(LEAST(1024, GREATEST(16,
+               POWER(2, CEIL(LOG2(est_tokens))))) AS BIGINT) AS bucket_len
+    FROM est WHERE est_tokens >= 1
+)
+SELECT bucket_len,
+       COUNT(*) AS n_docs,
+       CAST(CEIL(COUNT(*) * 1.0 / {_BATCH_SIZE}) AS BIGINT) AS n_batches,
+       CAST(SUM(LEAST(est_tokens, bucket_len)) AS BIGINT) AS real_tokens,
+       CAST(COUNT(*) * bucket_len AS BIGINT) AS padded_tokens,
+       1.0 - SUM(LEAST(est_tokens, bucket_len))
+                 * 1.0 / (COUNT(*) * bucket_len) AS padding_waste
+FROM bucketed
+GROUP BY bucket_len
+""",
+)
+def pipeline_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching economics: docs route to power-of-two
+    length buckets (clamped to [16, 1024] — longer docs truncate to the
+    cap), and per bucket the op reports batch count at batch_size=32 and
+    the padding waste (1 - real/padded tokens) a padded dataloader would
+    pay.  This is the pre-flight analysis that decides bucket boundaries
+    for fine-tuning jobs, the complement of concat-and-chunk packing
+    (which pays zero padding but splits docs).
+
+    Scale: one row-local bucket expression + one map-side-combined
+    groupBy on ≤ 8 bucket keys; no window, no shuffle beyond the tiny
+    final agg."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    est = d.select(
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens")
+    ).where(F.col("est_tokens") >= 1)
+    bucketed = est.select(
+        "est_tokens",
+        F.least(
+            F.lit(1024),
+            F.greatest(
+                F.lit(16),
+                F.pow(F.lit(2.0), F.ceil(F.log2("est_tokens"))).cast("long"),
+            ),
+        ).alias("bucket_len"),
+    )
+    return bucketed.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.ceil(F.count(F.lit(1)) / F.lit(float(_BATCH_SIZE)))
+        .cast("long")
+        .alias("n_batches"),
+        F.sum(F.least(F.col("est_tokens"), F.col("bucket_len"))).alias(
+            "real_tokens"
+        ),
+        (F.count(F.lit(1)) * F.first("bucket_len")).alias("padded_tokens"),
+        (
+            1.0
+            - F.sum(F.least(F.col("est_tokens"), F.col("bucket_len")))
+            / (F.count(F.lit(1)) * F.first("bucket_len"))
+        ).alias("padding_waste"),
+    )

@@ -329,3 +329,93 @@ def curation_bradley_terry_strengths(
         F.col("wins").cast("long").alias("wins"),
         F.col("n_matches").cast("long").alias("n_matches"),
     )
+
+
+@query(
+    "preference_group_relative_advantages",
+    oracle="""
+WITH cents AS (
+    SELECT user_id,
+           CAST(ts AS DATE) AS day,
+           event_id,
+           value AS reward,
+           CAST(ROUND(value * 100) AS BIGINT) AS c
+    FROM events
+), stats AS (
+    SELECT *,
+           COUNT(*) OVER w AS n,
+           SUM(c) OVER w AS s1,
+           SUM(c * c) OVER w AS s2
+    FROM cents
+    WINDOW w AS (PARTITION BY user_id, day)
+)
+SELECT user_id, day, event_id,
+       ROUND(reward, 2) AS reward,
+       CAST(n AS BIGINT) AS group_n,
+       ROUND(CASE WHEN n <= 1 OR n * s2 - s1 * s1 <= 0 THEN 0.0
+                  ELSE GREATEST(-4.0, LEAST(4.0,
+                      (n * c - s1) / (n * SQRT((n * s2 - s1 * s1) * 1.0
+                                               / (n * (n - 1))))))
+             END, 6) AS advantage
+FROM stats
+""",
+)
+def preference_group_relative_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative reward normalization (the GRPO advantage: each
+    completion's reward standardized against the OTHER completions of
+    the same prompt group, no learned value baseline).  Groups are
+    (user, day); advantage = (r - mean_group) / std_group, 0 for
+    singleton / zero-variance groups, clipped to ±4 — the normalization
+    PPO-free group-relative policy optimization feeds the policy
+    gradient.
+
+    Numerics: mean/std derive from EXACT integer cent sums (rewards have
+    2 decimals), so a constant group's variance is exactly zero on both
+    engines and the remaining expression is the same sequence of
+    correctly-rounded IEEE ops — a Welford-vs-naive stddev would disagree
+    by ~1e-14 at near-zero variance and flip 0 into a clipped ±4.
+
+    Scale: one window over the (user, day) partition key computes count
+    and the two power sums in a single exchange — no join back, no
+    per-group collect; 10^9 prompt groups stream through the same plan."""
+    e = spread(load_tables(spark, sf_dir, ("events",))["events"])
+    w = Window.partitionBy("user_id", F.to_date("ts"))
+    c = F.round(F.col("value") * 100).cast("long")
+    stats = e.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_id",
+        F.col("value").alias("reward"),
+        c.alias("c"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(c).over(w).alias("s1"),
+        F.sum(c * c).over(w).alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    adv = (
+        F.when((F.col("n") <= 1) | (var_num <= 0), F.lit(0.0))
+        .otherwise(
+            F.greatest(
+                F.lit(-4.0),
+                F.least(
+                    F.lit(4.0),
+                    (F.col("n") * F.col("c") - F.col("s1"))
+                    / (
+                        F.col("n")
+                        * F.sqrt(
+                            var_num * F.lit(1.0)
+                            / (F.col("n") * (F.col("n") - 1))
+                        )
+                    ),
+                ),
+            )
+        )
+    )
+    return stats.select(
+        "user_id",
+        "day",
+        "event_id",
+        F.round("reward", 2).alias("reward"),
+        F.col("n").cast("long").alias("group_n"),
+        F.round(adv, 6).alias("advantage"),
+    )
