@@ -1,4 +1,4 @@
-{{ config(materialized='view', schema='gold') }}
+{{ config(materialized='view', schema='gold', meta={'model_owner': '@analytics.duty'}) }}
 
 -- Region dimension view (reference ref('gold_regions') consumed by the
 -- gold macro at macros/gold_active_users_and_devices_with_ephemeral.sql:53).

@@ -3,7 +3,8 @@
     unique_key='real_user_id',
     strategy='check',
     check_cols=['user_segment'],
-    invalidate_hard_deletes=True
+    invalidate_hard_deletes=True,
+    meta={'model_owner': '@analytics.duty'}
   )
 }}
 
