@@ -46,6 +46,7 @@ def query(name: str, oracle: str | None = None):
 # sketches / train+eval (quality) / streaming / funnels / text — breadth
 # of family over count.
 _ROTATION_FRONT = [
+    "campaign_funnels_gate",
     "gold_replica_gate",
     "preference",
     "deltalite_gate",
@@ -115,6 +116,7 @@ def load_all() -> dict[str, Query]:
         engine_gate,
         deltalite_gate,
         gold_replica_gate,
+        campaign_funnels_gate,
         retrieval,
         timeseries,
         preference,
