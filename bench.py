@@ -174,6 +174,7 @@ SMOKE = [
     "pipeline_concat_chunk_spans",
     "pipeline_length_bucket_padding",
     "preference_group_relative_advantages",
+    "engine_campaign_funnels_rollup",
 ]
 
 

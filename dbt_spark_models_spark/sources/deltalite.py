@@ -1714,6 +1714,7 @@ def delete(
             untouched,
             match,
             change_feed,
+            prior_protocol=state.get("protocol"),
         )
     if rewrite:
         df = _scan_active(
@@ -1766,6 +1767,7 @@ def _delete_with_dv(
     untouched: list[str],
     match,
     change_feed: bool,
+    prior_protocol: dict | None = None,
 ) -> tuple[int, int, int]:
     """Merge-on-read DELETE body: tombstone matching row addresses
     instead of rewriting data files. One commit: remove+re-add (same
@@ -1799,7 +1801,8 @@ def _delete_with_dv(
     version = snap_version + 1
     actions: list[dict] = [
         {"commitInfo": {"operation": "DELETE", "timestamp": now_ms}},
-        _protocol_action(meta, dv=True, table_path=table_path),
+        _protocol_action(meta, dv=True, prior=prior_protocol, table_path=None
+                         if prior_protocol else table_path),
         {"metaData": meta},
         *removes,
         *re_adds,
@@ -2852,7 +2855,7 @@ def add_check_constraint(
                     "timestamp": int(time.time() * 1000),
                 }
             },
-            _protocol_action(new_meta, table_path=table_path),
+            _protocol_action(new_meta, prior=state.get("protocol")),
             {"metaData": new_meta},
         ],
     )
@@ -2883,7 +2886,7 @@ def drop_check_constraint(table_path: str, name: str) -> int:
                 }
             },
             _protocol_action(
-                dict(meta, configuration=conf), table_path=table_path
+                dict(meta, configuration=conf), prior=_dc_state.get("protocol")
             ),
             {"metaData": dict(meta, configuration=conf)},
         ],
@@ -2920,7 +2923,7 @@ def set_table_property(table_path: str, key: str, value: str) -> int:
                     "timestamp": int(time.time() * 1000),
                 }
             },
-            _protocol_action(new_meta, table_path=table_path),
+            _protocol_action(new_meta, prior=_sp_state.get("protocol")),
             {"metaData": new_meta},
         ],
     )
@@ -2994,7 +2997,7 @@ def drop_column(table_path: str, name: str) -> int:
                     "timestamp": int(time.time() * 1000),
                 }
             },
-            _protocol_action(meta, table_path=table_path),
+            _protocol_action(meta, prior=state.get("protocol")),
             {"metaData": meta},
         ],
     )
