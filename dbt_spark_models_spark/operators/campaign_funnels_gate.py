@@ -70,7 +70,9 @@ def _build(spark: SparkSession, sf_dir: str) -> str:
     return db
 
 
-_ORACLE = f"""
+def _chain(run_date: str) -> str:
+    """Full from-scratch funnel chain at ``run_date`` (DuckDB)."""
+    return f"""
 WITH dim_product_dict AS (
     SELECT p_partkey AS product_id, p_brand AS medicine_group_id
     FROM part WHERE p_partkey < 10
@@ -91,8 +93,8 @@ orders_info AS (
            CAST((CAST(ROUND(e.value * 100) AS BIGINT) * 110) // 100 AS DOUBLE) / 100 AS before_products_price
     FROM events e
     WHERE e.event_type = 'purchase'
-      AND CAST(e.ts AS DATE) < DATE '{_RUN_DATE}'
-      AND CAST(e.ts AS DATE) >= DATE '{_RUN_DATE}' - {_WINDOW_DAYS}
+      AND CAST(e.ts AS DATE) < DATE '{run_date}'
+      AND CAST(e.ts AS DATE) >= DATE '{run_date}' - {_WINDOW_DAYS}
 ),
 raw_events AS (
     SELECT e.user_id AS device_id,
@@ -115,8 +117,8 @@ raw_events AS (
                 ELSE 'cart' END AS source_screen,
            'camp_' || CAST(e.user_id % 7 AS VARCHAR) AS utm_campaign
     FROM events e
-    WHERE CAST(e.ts AS DATE) < DATE '{_RUN_DATE}'
-      AND CAST(e.ts AS DATE) >= DATE '{_RUN_DATE}' - {_WINDOW_DAYS}
+    WHERE CAST(e.ts AS DATE) < DATE '{run_date}'
+      AND CAST(e.ts AS DATE) >= DATE '{run_date}' - {_WINDOW_DAYS}
       AND e.event_type IN ('view', 'click', 'signup', 'error')
 ),
 events_with_flags AS (
@@ -244,6 +246,9 @@ SELECT * FROM flat
 """
 
 
+_ORACLE = _chain(_RUN_DATE)
+
+
 @query("engine_campaign_funnels", oracle=_ORACLE)
 def engine_campaign_funnels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build examples/campaign_funnels through the engine (seed-free DAG:
@@ -288,3 +293,73 @@ def engine_campaign_funnels_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("attributed_revenue"),
     )
+
+
+_INCR_BUILD_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _build_incremental(spark: SparkSession, sf_dir: str) -> str:
+    """Full build @ 2024-01-22, incremental @ 2024-01-30 — the rolling
+    window advances and run 2 insert-overwrites only its own window's
+    event_dt partitions."""
+    from dbt_spark_models_spark.plans import Project, Runner
+
+    db = "campaign_incr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    key = (id(spark), sf_dir)
+    if _INCR_BUILD_CACHE.get(key) == db and spark.catalog.tableExists(
+        f"{db}.campaign_funnels"
+    ):
+        return db
+    import shutil
+
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    shutil.rmtree(f"/tmp/spark_models_engine/{db}", ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db} LOCATION '/tmp/spark_models_engine/{db}'")
+    project = Project.load(_PROJECT_DIR)
+    r1 = Runner(
+        spark=spark,
+        project=project,
+        database=db,
+        target_name="dev",
+        vars={"sf_dir": sf_dir, "run_date": "2024-01-22"},
+    )
+    results = r1.seed() + r1.run()
+    r2 = Runner(
+        spark=spark,
+        project=project,
+        database=db,
+        target_name="dev",
+        vars={"sf_dir": sf_dir, "run_date": "2024-01-30"},
+    )
+    res2 = r2.run()
+    results += res2 + r2.test()
+    bad = [x for x in results if x.status != "success"]
+    if bad:
+        raise RuntimeError(f"campaign_funnels incr build failed: {bad}")
+    act = {x.node: x.action for x in res2}
+    if act.get("campaign_funnels") != "overwritten_partitions":
+        raise RuntimeError(f"expected insert_overwrite on run 2, got {act}")
+    _INCR_BUILD_CACHE[key] = db
+    return db
+
+
+@query(
+    "engine_campaign_funnels_incremental",
+    oracle=f"""
+SELECT * FROM ({_chain("2024-01-22")})
+WHERE event_dt < DATE '2024-01-16'
+UNION ALL
+SELECT * FROM ({_chain("2024-01-30")})
+WHERE event_dt >= DATE '2024-01-16'
+""",
+)
+def engine_campaign_funnels_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window insert_overwrite contract, driver-graded: after a
+    full build at 2024-01-22 and an incremental run at 2024-01-30, the
+    table must equal run 1's chain for partitions BEFORE run 2's window
+    (they were never rewritten — computed from run 1's data cutoff) plus
+    run 2's chain inside its window [01-16, 01-29].  The oracle simulates
+    both runs' windows independently — exactly the state a reference
+    120-day rolling model accumulates across daily runs."""
+    db = _build_incremental(spark, sf_dir)
+    return spark.table(f"{db}.campaign_funnels")
