@@ -175,6 +175,8 @@ SMOKE = [
     "pipeline_length_bucket_padding",
     "preference_group_relative_advantages",
     "engine_campaign_funnels_rollup",
+    "eval_rouge2_f1",
+    "preference_best_of_n",
 ]
 
 

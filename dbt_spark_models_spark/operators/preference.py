@@ -419,3 +419,65 @@ def preference_group_relative_advantages(spark: SparkSession, sf_dir: str) -> Da
         F.col("n").cast("long").alias("group_n"),
         F.round(adv, 6).alias("advantage"),
     )
+
+
+@query(
+    "preference_best_of_n",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id,
+           CAST(ts AS DATE) AS day,
+           event_id,
+           value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY value DESC, event_id
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS group_n
+    FROM events
+)
+SELECT user_id, day,
+       CAST(MAX(group_n) AS BIGINT) AS group_n,
+       MAX(CASE WHEN rn = 1 THEN event_id END) AS best_event_id,
+       ROUND(MAX(CASE WHEN rn = 1 THEN value END), 2) AS best_reward,
+       ROUND(MAX(CASE WHEN rn = 1 THEN value END)
+             - MAX(CASE WHEN rn = 2 THEN value END), 2) AS margin
+FROM ranked
+GROUP BY user_id, day
+""",
+)
+def preference_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n selection (rejection sampling over candidate
+    completions): per (user, day) prompt group, pick the highest-reward
+    completion with a deterministic (reward DESC, event_id) tie-break,
+    and report the margin over the runner-up (NULL for singleton
+    groups) — the filter that turns K sampled completions into one
+    SFT/BoN training example.
+
+    Scale: one window rank + one grouped conditional agg over the same
+    (user, day) exchange — no self-join, no per-group collect."""
+    e = spread(load_tables(spark, sf_dir, ("events",))["events"])
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    wc = Window.partitionBy("user_id", F.to_date("ts"))
+    ranked = e.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("group_n"),
+    )
+    return ranked.groupBy("user_id", "day").agg(
+        F.max("group_n").cast("long").alias("group_n"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias("best_event_id"),
+        F.round(F.max(F.when(F.col("rn") == 1, F.col("value"))), 2).alias(
+            "best_reward"
+        ),
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("value")))
+            - F.max(F.when(F.col("rn") == 2, F.col("value"))),
+            2,
+        ).alias("margin"),
+    )

@@ -3204,3 +3204,119 @@ def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").cast("long").alias("n_pos"),
         F.col("nq").cast("long").alias("n_neg"),
     )
+
+
+@query(
+    "eval_rouge2_f1",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS ref
+    FROM documents
+), pairs AS (
+    SELECT doc_id, lang, ref,
+           list_transform(
+               range(1, CAST(CEIL(len(ref) * 0.8) AS BIGINT) + 1),
+               i -> CASE WHEN i % 7 = 3 THEN 'the' ELSE ref[i] END) AS hyp
+    FROM toks WHERE len(ref) >= 5
+), bi_h AS (
+    SELECT doc_id, u.g AS gram, COUNT(*) AS ch
+    FROM (SELECT doc_id,
+                 list_transform(range(1, len(hyp)),
+                                i -> hyp[i] || ' ' || hyp[i + 1]) AS bs
+          FROM pairs), UNNEST(bs) AS u(g)
+    GROUP BY doc_id, u.g
+), bi_r AS (
+    SELECT doc_id, u.g AS gram, COUNT(*) AS cr
+    FROM (SELECT doc_id,
+                 list_transform(range(1, len(ref)),
+                                i -> ref[i] || ' ' || ref[i + 1]) AS bs
+          FROM pairs), UNNEST(bs) AS u(g)
+    GROUP BY doc_id, u.g
+), matched AS (
+    SELECT doc_id,
+           SUM(LEAST(h.ch, COALESCE(r.cr, 0))) AS m,
+           SUM(h.ch) AS n_hyp
+    FROM bi_h h LEFT JOIN bi_r r USING (doc_id, gram)
+    GROUP BY doc_id
+), per_doc AS (
+    SELECT p.lang,
+           m.m * 1.0 / m.n_hyp AS prec,
+           m.m * 1.0 / (len(p.ref) - 1) AS rec
+    FROM matched m JOIN pairs p USING (doc_id)
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(prec), 6) AS rouge2_precision,
+       ROUND(AVG(rec), 6) AS rouge2_recall,
+       ROUND(AVG(CASE WHEN prec + rec = 0 THEN 0.0
+                      ELSE 2 * prec * rec / (prec + rec) END), 6) AS rouge2_f1
+FROM per_doc
+GROUP BY lang
+""",
+)
+def eval_rouge2_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (Lin 2004) per-language macro averages over the same
+    deterministic (hypothesis, reference) pairing as eval_corpus_bleu2:
+    per doc, clipped matched bigrams give precision (vs hypothesis
+    bigrams) and RECALL (vs reference bigrams — the half BLEU doesn't
+    measure), combined as F1; macro-averaged per language.  The standard
+    summarization eval.
+
+    Scale: identical discipline to BLEU — row-local bigram construction,
+    per-doc (doc_id, gram) equi-join for clipping (build side is each
+    doc's own grams, never a corpus vocabulary), then arithmetic on the
+    per-lang frame."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    pairs = (
+        d.withColumn("ref", _tokens())
+        .filter(F.size("ref") >= 5)
+        .select(
+            "doc_id",
+            "lang",
+            "ref",
+            F.expr(
+                "transform(sequence(1, CAST(CEIL(size(ref) * 0.8) AS INT)), "
+                "i -> CASE WHEN i % 7 = 3 THEN 'the' ELSE ref[i - 1] END)"
+            ).alias("hyp"),
+        )
+    )
+    bigrams = (
+        "transform(sequence(1, size({c}) - 1), i -> concat({c}[i - 1], ' ', {c}[i]))"
+    )
+
+    def gram_counts(col: str, out: str) -> DataFrame:
+        return (
+            pairs.select("doc_id", F.explode(F.expr(bigrams.format(c=col))).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    h = gram_counts("hyp", "ch")
+    r = gram_counts("ref", "cr")
+    matched = (
+        h.join(r, ["doc_id", "gram"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.least(F.col("ch"), F.coalesce(F.col("cr"), F.lit(0)))).alias("m"),
+            F.sum("ch").alias("n_hyp"),
+        )
+    )
+    per_doc = matched.join(
+        pairs.select("doc_id", "lang", (F.size("ref") - 1).alias("n_ref")),
+        "doc_id",
+    ).select(
+        "lang",
+        (F.col("m") / F.col("n_hyp")).alias("prec"),
+        (F.col("m") / F.col("n_ref")).alias("rec"),
+    )
+    f1 = F.when(F.col("prec") + F.col("rec") == 0, F.lit(0.0)).otherwise(
+        2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("prec"), 6).alias("rouge2_precision"),
+        F.round(F.avg("rec"), 6).alias("rouge2_recall"),
+        F.round(F.avg(f1), 6).alias("rouge2_f1"),
+    )
