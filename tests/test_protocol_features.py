@@ -222,3 +222,116 @@ def test_merge_protocol_unit():
     meta = {"configuration": {"delta.enableChangeDataFeed": "true"}}
     act = _protocol_action(meta)["protocol"]
     assert act == {"minReaderVersion": 1, "minWriterVersion": 4}
+
+
+# --- randomized protocol invariants -----------------------------------
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _pop = st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 2)),
+        st.tuples(st.just("overwrite"), st.integers(0, 2)),
+        st.tuples(st.just("constraint"), st.none()),
+        st.tuples(st.just("cdf"), st.none()),
+        st.tuples(st.just("appendonly"), st.booleans()),
+        st.tuples(st.just("dvdelete"), st.integers(0, 19)),
+        st.tuples(st.just("delete"), st.integers(0, 19)),
+        st.tuples(st.just("optimize"), st.none()),
+        st.tuples(st.just("rename"), st.none()),
+        st.tuples(st.just("prop"), st.none()),
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(_pop, min_size=1, max_size=5))
+    def test_protocol_monotone_under_random_ops(spark, ops):
+        """Any legal op sequence: (a) the protocol at every historical
+        version is monotonically non-decreasing, (b) the final protocol
+        understands every feature the final metadata enables, (c) the
+        table stays readable by this implementation."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        with tempfile.TemporaryDirectory(prefix="dlproto-") as tdir:
+            path = os.path.join(tdir, "t")
+            renamed = False
+            appendonly = False
+
+            def batch(seed, n=4):
+                return spark.range(seed * 100, seed * 100 + n).select(
+                    F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+                )
+
+            deltalite.write(spark, batch(0), path, "overwrite")
+            for op, arg in ops:
+                try:
+                    if op == "append":
+                        deltalite.write(spark, batch(arg + 1), path, "append")
+                    elif op == "overwrite":
+                        deltalite.write(spark, batch(arg + 1), path, "overwrite")
+                        renamed = False  # schema reset drops the mapping? (mapping keys dropped, mode reset)
+                    elif op == "constraint":
+                        deltalite.add_check_constraint(
+                            spark, path, f"c{len(deltalite._list_versions(path))}", "k >= -1"
+                        )
+                    elif op == "cdf":
+                        deltalite.set_table_property(
+                            path, "delta.enableChangeDataFeed", "true"
+                        )
+                    elif op == "appendonly":
+                        deltalite.set_table_property(
+                            path, "delta.appendOnly", "true" if arg else "false"
+                        )
+                        appendonly = arg
+                    elif op == "dvdelete":
+                        deltalite.set_table_property(
+                            path, "delta.enableChangeDataFeed", "true"
+                        )
+                        deltalite.delete(
+                            spark, path, [("k", "<=", arg)],
+                            change_feed=True, deletion_vectors=True,
+                        )
+                    elif op == "delete":
+                        deltalite.delete(spark, path, [("k", "<=", arg)])
+                    elif op == "optimize":
+                        deltalite.optimize(spark, path)
+                    elif op == "rename":
+                        col = "val" if not renamed else "v"
+                        try:
+                            deltalite.rename_column(path, "v" if not renamed else "val", col)
+                            renamed = not renamed
+                        except ValueError:
+                            pass  # column name state drifted; irrelevant here
+                    elif op == "prop":
+                        deltalite.set_table_property(path, "user.note", "x")
+                except ValueError:
+                    # legality refusals (appendOnly vs delete etc.) are
+                    # fine — the invariant under test is protocol shape
+                    continue
+
+            last = (0, 0)
+            for v in deltalite._list_versions(path):
+                proto = deltalite._replay_state(path, v).get("protocol") or {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 1,
+                }
+                cur = (proto["minReaderVersion"], proto["minWriterVersion"])
+                assert cur >= last, f"downgrade at v{v}: {last} -> {cur}"
+                last = cur
+            final_state = deltalite._replay_state(path)
+            final = final_state.get("protocol")
+            deltalite._assert_writable(final, path)
+            needed = deltalite._features_from_meta(final_state["meta"])
+            if final and final.get("minWriterVersion", 0) >= 7:
+                assert needed <= set(final.get("writerFeatures") or [])
+            deltalite.read(spark, path).count()
