@@ -182,6 +182,13 @@ def _implied_features(reader: int, writer: int) -> set[str]:
         feats |= {"changeDataFeed", "generatedColumns"}
     if writer >= 5 or reader >= 2:
         feats.add("columnMapping")
+    if writer >= 6:
+        # legacy writer 6 implies identity columns — deliberately NOT in
+        # SUPPORTED_WRITER_FEATURES, so _assert_writable refuses legacy
+        # writer-6 tables instead of silently writing rows without
+        # generating identity values (same refusal story as any other
+        # unimplemented feature)
+        feats.add("identityColumns")
     return feats
 
 
@@ -230,6 +237,11 @@ def _features_from_meta(meta: dict | None) -> set[str]:
         feats.add("changeDataFeed")
     if conf.get("delta.columnMapping.mode") in ("name", "id"):
         feats.add("columnMapping")
+    if str(conf.get("delta.enableDeletionVectors", "")).lower() == "true":
+        # real Delta ratchets to (3,7)+deletionVectors at property-ENABLE
+        # time, not at the first DV DML — match that so a reader that
+        # doesn't implement DVs refuses the table before any DV exists
+        feats.add("deletionVectors")
     if any(k.startswith("delta.constraints.") for k in conf):
         feats.add("checkConstraints")
     try:
@@ -325,7 +337,15 @@ def _assert_writable(proto: dict | None, table_path: str = "") -> None:
             f"{table_path}: requires minWriterVersion={writer}, "
             f"this writer supports <= {WRITER_VERSION_MAX}"
         )
-    unknown = set(proto.get("writerFeatures") or []) - SUPPORTED_WRITER_FEATURES
+    if writer >= 7:
+        required = set(proto.get("writerFeatures") or [])
+    else:
+        # legacy protocol: the version itself implies features (spec
+        # mapping) — e.g. writer 6 implies identityColumns, which this
+        # writer does NOT implement, so legacy writer-6 tables must be
+        # refused rather than written without identity generation
+        required = _implied_features(proto.get("minReaderVersion", 1), writer)
+    unknown = required - SUPPORTED_WRITER_FEATURES
     if unknown:
         raise DeltaProtocolError(
             f"{table_path}: requires writer features {sorted(unknown)} "
@@ -928,12 +948,31 @@ def write(
     append enforces the same contract from the committed schema. The
     canonical use is a derived partition key (``day = CAST(ts AS DATE)``)
     so log-level partition pruning works for queries that only filter the
-    base column's derivation."""
+    base column's derivation.
+
+    ``mode='overwrite_partitions'`` is DYNAMIC partition overwrite (real
+    Delta: ``partitionOverwriteMode=dynamic`` / ``replaceWhere``): the
+    commit removes only the active files whose partition tuple appears in
+    the batch, and adds the batch — untouched partitions keep their bytes
+    and their stats. This is the delta-native form of dbt-spark's
+    incremental ``insert_overwrite`` (reference incremental models,
+    ``file_format='delta'`` ×197): at 100 TB a daily increment replaces
+    one day's files in one atomic commit instead of rewriting the table.
+    On a table with no versions yet it degrades to a plain create."""
     os.makedirs(table_path, exist_ok=True)
     versions = _list_versions(table_path)
+    dynamic = mode == "overwrite_partitions"
+    if dynamic:
+        if not versions:
+            mode, dynamic = "overwrite", False
+        else:
+            # validation, schema evolution, and file writes are exactly
+            # the append path; only the commit's remove set differs
+            mode = "append"
     if not versions:
         version = 0
         prior: list[str] = []
+        prior_active: dict = {}
         meta: dict = {}
         _w_proto: dict | None = None
     else:
@@ -941,7 +980,15 @@ def write(
         _w_state = _replay_state(table_path)
         _assert_writable(_w_state.get("protocol"), table_path)
         prior, meta = sorted(_w_state["active"]), _w_state["meta"]
+        prior_active = _w_state["active"]
         _w_proto = _w_state.get("protocol")
+    if dynamic:
+        if not meta.get("partitionColumns"):
+            raise ValueError(
+                "overwrite_partitions requires a partitioned table; "
+                "use mode='overwrite' for unpartitioned tables"
+            )
+        _check_append_only(meta, "dynamic partition overwrite")
     if generated:
         if versions and mode != "overwrite":
             raise ValueError(
@@ -1055,8 +1102,9 @@ def write(
         }
         if carried:
             meta_action["metaData"]["configuration"] = carried
+    op_name = "OVERWRITE_PARTITIONS" if dynamic else mode.upper()
     actions: list[dict] = [
-        {"commitInfo": {"operation": mode.upper(), "timestamp": int(time.time() * 1000)}},
+        {"commitInfo": {"operation": op_name, "timestamp": int(time.time() * 1000)}},
         _protocol_action(meta_action["metaData"], prior=_w_proto),
         meta_action,
     ]
@@ -1065,6 +1113,24 @@ def write(
         actions += [
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
             for p in prior
+        ]
+    elif dynamic:
+        # remove exactly the active files whose partition tuple the batch
+        # replaces — a log-level set match on partitionValues, no file I/O
+        pcols_dyn = meta.get("partitionColumns", [])
+        replaced = {
+            tuple((a.get("partitionValues") or {}).get(c) for c in pcols_dyn)
+            for a in adds
+        }
+        now_ms = int(time.time() * 1000)
+        actions += [
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+            for p in prior
+            if tuple(
+                (prior_active[p].get("partitionValues") or {}).get(c)
+                for c in pcols_dyn
+            )
+            in replaced
         ]
     elif mode != "append":
         raise ValueError(f"unknown mode {mode!r}")
@@ -2565,6 +2631,12 @@ def clone(
             raise ValueError("pass version OR timestamp, not both")
         version = version_at_timestamp(src_path, timestamp)
     state = _replay_state(src_path, version)
+    # a clone re-interprets the source's files, so the source snapshot's
+    # protocol must be readable HERE — and must carry over to the clone
+    # (via prior= below), else cloning a table whose protocol demands an
+    # unknown reader feature would commit a downgraded clone that later
+    # reads silently misinterpret
+    _assert_readable(state.get("protocol"), src_path)
     meta = state["meta"]
     if _list_versions(dst_path):
         raise ValueError(f"{dst_path} is already a DeltaLite table")
@@ -2591,7 +2663,9 @@ def clone(
     actions = [
         {"commitInfo": {"operation": "CLONE", "timestamp": now_ms}},
         _protocol_action(
-            meta, dv=any(a.get("deletionVector") for a in adds)
+            meta,
+            dv=any(a.get("deletionVector") for a in adds),
+            prior=state.get("protocol"),
         ),
         {"metaData": dict(meta, id=uuid.uuid4().hex)},
         *({"add": a} for a in adds),
