@@ -30,6 +30,21 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def run_scope(*parts: str) -> str:
+    """Per-process scope hash for gate database names and /tmp workspace
+    locations. Gates used to derive these from sf_dir alone, so two
+    concurrent PROCESSES (parallel pytest shards; a driver grading while
+    a local run iterates) computed the SAME physical location and
+    clobbered each other mid-scan — the r8 FileScanRDD failure (VERDICT
+    r8 #2). Mixing the pid in makes every process's gate workspace
+    disjoint; within one process the cache semantics are unchanged."""
+    import hashlib
+    import os
+
+    key = "|".join(parts) + f"|{os.getpid()}"
+    return hashlib.md5(key.encode()).hexdigest()[:10]
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
@@ -46,6 +61,7 @@ def query(name: str, oracle: str | None = None):
 # sketches / train+eval (quality) / streaming / funnels / text — breadth
 # of family over count.
 _ROTATION_FRONT = [
+    "delta_mart_gate",
     "campaign_funnels_gate",
     "gold_replica_gate",
     "preference",
@@ -115,6 +131,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         engine_gate,
         deltalite_gate,
+        delta_mart_gate,
         gold_replica_gate,
         campaign_funnels_gate,
         retrieval,

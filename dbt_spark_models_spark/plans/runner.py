@@ -114,8 +114,20 @@ class Runner:
             node = self.project.snapshots.get(name)
         if node is not None:
             db, table = self._identity(node)
-            return f"{db}.{table}" if db else table
+            return self._node_ident(node, db, table)
         raise KeyError(f"ref() to unknown node {name!r}")
+
+    def _node_ident(self, node, db: str | None, table: str) -> str:
+        """SQL-resolvable identifier for a node's table: the catalog name,
+        or the DeltaLite temp view for jar-free ``file_format='delta'``
+        nodes (plans/deltalite_tables.py). The view is attached after
+        every commit by materialize/snapshot; topo order guarantees the
+        upstream commit (and attach) ran before a downstream ref reads."""
+        from dbt_spark_models_spark.plans import deltalite_tables as dlt
+
+        if dlt.uses_deltalite(self.spark, node.config):
+            return dlt.view_name(db, table)
+        return f"{db}.{table}" if db else table
 
     def _resolve_source(self, schema: str, table: str) -> str:
         mapping = self.project.sources.get(schema, {})
@@ -130,8 +142,16 @@ class Runner:
             path = str(target).format(**{**self.project.vars, **self.vars})
             # persistent view over the file (temp views can't back
             # persistent model views), with TIMESTAMP(NANOS) columns
-            # converted SQL-side
+            # converted SQL-side. The db-less TEMP view is session-global,
+            # so two concurrent db-less Runners pointing the same source
+            # name at DIFFERENT paths would clobber each other — the name
+            # carries a path hash to keep them disjoint (same path → same
+            # view → harmless).
             name = f"src_{schema}_{table}"
+            if not self.database:
+                import hashlib as _hashlib
+
+                name += "_" + _hashlib.md5(path.encode()).hexdigest()[:8]
             view = f"{self.database}.{name}" if self.database else name
             ns_cols = set(_ns_timestamp_columns(path))
             fields = self.spark.read.parquet(path).schema.fieldNames()
@@ -156,7 +176,7 @@ class Runner:
 
     def _compile(self, node, is_incremental: bool) -> str:
         db, table = self._identity(node)
-        ident = f"{db}.{table}" if db else table
+        ident = self._node_ident(node, db, table)
         return jinja.compile_node(
             self.project,
             node,
@@ -225,11 +245,19 @@ class Runner:
                     self._ephemeral_sql[name] = self._compile(node, False)
                     out.append(RunResult(name, "model", "success", "ephemeral"))
                     continue
+                from dbt_spark_models_spark.plans import deltalite_tables as dlt
                 from dbt_spark_models_spark.plans.materialize import table_exists
 
                 node_db, node_table = self._identity(node)
                 self._ensure_db(node_db)
-                exists = table_exists(self.spark, node_db, node_table)
+                if dlt.uses_deltalite(self.spark, node.config):
+                    exists = dlt.exists(self.spark, node_db, node_table)
+                    if exists:
+                        # {{ this }} in incremental SQL resolves to the
+                        # temp view — attach the current snapshot first
+                        dlt.attach(self.spark, node_db, node_table)
+                else:
+                    exists = table_exists(self.spark, node_db, node_table)
                 # weekly full reload (reference 'full_reload_on': '6' ×9,
                 # gold_orders.sql:16): force full refresh when the run
                 # date's day-of-week matches (0=Sunday..6=Saturday)
@@ -281,16 +309,36 @@ class Runner:
                 sql = self._compile(node, is_incremental=False)
                 snap_db, snap_table = self._identity(node)
                 self._ensure_db(snap_db)
-                res = snapshot(
-                    self.spark,
-                    snap_table,
-                    self.spark.sql(sql),
-                    node.config,
-                    snap_db,
-                    run_ts=run_ts,
-                )
+                from dbt_spark_models_spark.plans import deltalite_tables as dlt
+
+                if dlt.uses_deltalite(self.spark, node.config):
+                    # the reference's 54 snapshot blocks all target delta —
+                    # one atomic commit per batch, history = time travel
+                    from dbt_spark_models_spark.plans.snapshots import (
+                        snapshot_deltalite,
+                    )
+
+                    snapshot_deltalite(
+                        self.spark,
+                        dlt.table_path(self.spark, snap_db, snap_table),
+                        self.spark.sql(sql),
+                        node.config,
+                        run_ts=run_ts,
+                    )
+                    dlt.attach(self.spark, snap_db, snap_table)
+                    action = "snapshot_deltalite"
+                else:
+                    res = snapshot(
+                        self.spark,
+                        snap_table,
+                        self.spark.sql(sql),
+                        node.config,
+                        snap_db,
+                        run_ts=run_ts,
+                    )
+                    action = res.action
                 out.append(
-                    RunResult(name, "snapshot", "success", res.action, time.time() - t0)
+                    RunResult(name, "snapshot", "success", action, time.time() - t0)
                 )
             except Exception as e:  # noqa: BLE001
                 out.append(
@@ -314,7 +362,7 @@ class Runner:
             )
             if node is not None:
                 node_db, node_table = self._identity(node)
-                ident = f"{node_db}.{node_table}" if node_db else node_table
+                ident = self._node_ident(node, node_db, node_table)
             else:
                 ident = (
                     f"{self.database}.{model_name}" if self.database else model_name
@@ -436,6 +484,48 @@ class Runner:
             ident = f"{db}.{name}" if db else name
             t0 = _time.time()
             try:
+                from dbt_spark_models_spark.plans import deltalite_tables as dlt
+
+                if dlt.uses_deltalite(self.spark, node.config):
+                    # DeltaLite-backed table: anti-join rewrite committed
+                    # atomically (overwrite commit), partitioning kept
+                    from dbt_spark_models_spark.sources import deltalite
+
+                    path = dlt.table_path(self.spark, db, name)
+                    if deltalite.latest_version(path) is None:
+                        continue
+                    df = deltalite.read(self.spark, path)
+                    if column not in df.columns:
+                        continue
+                    kept = df.join(
+                        _F.broadcast(
+                            key_df.select(
+                                _F.col("__erase_key")
+                                .cast(dict(df.dtypes)[column])
+                                .alias("__erase_key")
+                            )
+                        ),
+                        df[column] == _F.col("__erase_key"),
+                        "left_anti",
+                    )
+                    pcols = (
+                        deltalite._replay_state(path)["meta"].get(
+                            "partitionColumns"
+                        )
+                        or None
+                    )
+                    deltalite.write(self.spark, kept, path, "overwrite", pcols)
+                    dlt.attach(self.spark, db, name)
+                    out.append(
+                        RunResult(
+                            node.name,
+                            node.kind,
+                            "success",
+                            action="erase",
+                            seconds=round(_time.time() - t0, 3),
+                        )
+                    )
+                    continue
                 if not self.spark.catalog.tableExists(ident):
                     continue
                 tbl = next(
