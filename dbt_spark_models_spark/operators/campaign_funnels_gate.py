@@ -26,7 +26,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.operators import query, run_scope
 
 _PROJECT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -43,7 +43,7 @@ _WINDOW_DAYS = 14
 def _build(spark: SparkSession, sf_dir: str) -> str:
     from dbt_spark_models_spark.plans import Project, Runner
 
-    db = "campaign_funnels_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    db = "campaign_funnels_" + run_scope(sf_dir)
     key = (id(spark), sf_dir)
     if _BUILD_CACHE.get(key) == db and spark.catalog.tableExists(
         f"{db}.campaign_funnels"
@@ -304,7 +304,7 @@ def _build_incremental(spark: SparkSession, sf_dir: str) -> str:
     event_dt partitions."""
     from dbt_spark_models_spark.plans import Project, Runner
 
-    db = "campaign_incr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    db = "campaign_incr_" + run_scope(sf_dir)
     key = (id(spark), sf_dir)
     if _INCR_BUILD_CACHE.get(key) == db and spark.catalog.tableExists(
         f"{db}.campaign_funnels"

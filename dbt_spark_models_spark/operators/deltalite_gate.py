@@ -24,7 +24,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.operators import query, run_scope
 from dbt_spark_models_spark.sources import deltalite
 from dbt_spark_models_spark.sources.testdata import load_tables
 
@@ -32,7 +32,7 @@ _ROOT = "/tmp/spark_models_deltalite"
 
 
 def _table_dir(sf_dir: str, gate: str) -> str:
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    h = run_scope(sf_dir)
     path = os.path.join(_ROOT, h, gate)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)

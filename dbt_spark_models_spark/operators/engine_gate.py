@@ -16,7 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.operators import query, run_scope
 from dbt_spark_models_spark.sources.testdata import load_tables
 
 _EXAMPLE_PROJECT = os.path.join(
@@ -65,7 +65,7 @@ def _shared_mini_mart(spark: SparkSession, sf_dir: str) -> str:
     # tableExists probe checks the right one.
     import hashlib
 
-    db = "engine_gate_mart_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    db = "engine_gate_mart_" + run_scope(sf_dir)
     key = (id(spark), sf_dir)
     if _MART_CACHE.get(key) != db or not spark.catalog.tableExists(
         f"{db}.daily_user_stats"
@@ -222,7 +222,7 @@ def engine_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("orders",))
     import hashlib
 
-    db = "engine_gate_merge_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    db = "engine_gate_merge_" + run_scope(sf_dir)
     _fresh_db(spark, db)
     cfg = dict(
         materialized="incremental",
@@ -279,7 +279,7 @@ def engine_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dbt_spark_models_spark.plans.snapshots import snapshot
 
-    db = "engine_gate_scd2_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    db = "engine_gate_scd2_" + run_scope(sf_dir)
     key = (id(spark), sf_dir)
     if _SCD2_CACHE.get(key) == db and spark.catalog.tableExists(
         f"{db}.dim_product"
@@ -483,7 +483,7 @@ def engine_curation_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeat gradings of this query reuse the built project
     import hashlib
 
-    db = "engine_gate_cur_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    db = "engine_gate_cur_" + run_scope(sf_dir)
     key = (id(spark), sf_dir, "curation")
     if _MART_CACHE.get(key) != db or not spark.catalog.tableExists(
         f"{db}.corpus_report"
@@ -534,7 +534,7 @@ def engine_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import hashlib
 
-    db = "engine_gate_bkt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    db = "engine_gate_bkt_" + run_scope(sf_dir)
     key = (id(spark), sf_dir, "bucketed")
     if _MART_CACHE.get(key) != db or not spark.catalog.tableExists(
         f"{db}.orders_bkt"
@@ -788,7 +788,7 @@ def engine_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark_models_spark.sources.testdata import register_views
 
     register_views(spark, sf_dir, ("events",))
-    db = "engine_gate_erase_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    db = "engine_gate_erase_" + run_scope(sf_dir)
     key = (id(spark), sf_dir)
     if _ERASE_CACHE.get(key) != db or not spark.catalog.tableExists(
         f"{db}.daily_user_stats"

@@ -42,7 +42,10 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **read_opts) -> DataF
     ev = load_tables(spark, sf_dir, ("events",))["events"].filter(
         F.col("user_id") < 30
     )
-    path = os.path.join(_FMT_DIR, f"{fmt}_events")
+    from dbt_spark_models_spark.operators import run_scope
+
+    # per-(process, sf) workspace: concurrent graders never share a dir
+    path = os.path.join(_FMT_DIR, run_scope(sf_dir), f"{fmt}_events")
     shutil.rmtree(path, ignore_errors=True)
     # default text-format timestamps truncate to ms — force µs precision
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"

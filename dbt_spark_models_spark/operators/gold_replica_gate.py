@@ -33,7 +33,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.operators import query, run_scope
 
 _PROJECT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -67,7 +67,7 @@ def _build(
     from dbt_spark_models_spark.plans import Project, Runner
 
     schedule = f"{run1}|{run2}|{tag}"
-    db = "gold_replica_" + hashlib.md5(f"{sf_dir}|{schedule}".encode()).hexdigest()[:10]
+    db = "gold_replica_" + run_scope(sf_dir, schedule)
     key = (id(spark), sf_dir, schedule)
     if _BUILD_CACHE.get(key) == db and spark.catalog.tableExists(
         f"{db}.gold__active_users_with_ephemeral"

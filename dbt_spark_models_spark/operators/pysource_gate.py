@@ -9,7 +9,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbt_spark_models_spark.operators import query
+from dbt_spark_models_spark.operators import query, run_scope
 from dbt_spark_models_spark.sources.testdata import load_tables
 
 
@@ -45,9 +45,7 @@ def source_python_datasource_jsonl(spark: SparkSession, sf_dir: str) -> DataFram
     except Exception:  # noqa: BLE001 — already registered in this session
         pass
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    out = "/tmp/spark_models_engine/pyds_" + hashlib.md5(
-        sf_dir.encode()
-    ).hexdigest()[:10]
+    out = "/tmp/spark_models_engine/pyds_" + run_scope(sf_dir)
     # 4 splits keeps the multi-partition contract under test while not
     # paying 32 Python-worker startups for a dimension-sized gate input
     # (the connector itself is split-count-agnostic)
@@ -96,9 +94,7 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     except Exception:  # noqa: BLE001 — already registered in this session
         pass
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    out = "/tmp/spark_models_engine/pyds_sink_" + hashlib.md5(
-        sf_dir.encode()
-    ).hexdigest()[:10]
+    out = "/tmp/spark_models_engine/pyds_sink_" + run_scope(sf_dir)
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)

@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbt_spark_models_spark.operators import REGISTRY, query
+from dbt_spark_models_spark.operators import REGISTRY, query, run_scope
 from dbt_spark_models_spark.sources.testdata import load_tables, spread
 
 _DIM = 64
@@ -1287,7 +1287,7 @@ def _layout_dir(sf_dir: str, gate: str) -> str:
     import hashlib
     import shutil
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    h = run_scope(sf_dir)
     path = os.path.join("/tmp/spark_models_ivf", h, gate)
     shutil.rmtree(path, ignore_errors=True)
     return path
