@@ -444,6 +444,73 @@ class Runner:
             self.vars = saved
         return out
 
+    def maintain(
+        self,
+        optimize: bool = True,
+        vacuum_retain_versions: int | None = None,
+    ) -> list[RunResult]:
+        """Table housekeeping sweep over every DeltaLite-backed node
+        (models + snapshots): OPTIMIZE compacts small files in a
+        dataChange=false commit (readers keep their snapshot), VACUUM
+        drops files no retained version references. The reference runs
+        the same maintenance as scheduled infra jobs outside dbt; here it
+        is a Runner verb so an orchestration export can schedule it. At
+        100 TB this is what keeps a daily insert_overwrite mart's file
+        count bounded: each day's dynamic-overwrite commit adds
+        partition-aligned files, OPTIMIZE folds the dust, VACUUM reclaims
+        replaced bytes after the time-travel window."""
+        import time as _time
+
+        from dbt_spark_models_spark.plans import deltalite_tables as dlt
+        from dbt_spark_models_spark.sources import deltalite
+
+        out: list[RunResult] = []
+        nodes = list(self.project.models.values()) + list(
+            self.project.snapshots.values()
+        )
+        for node in nodes:
+            if not dlt.uses_deltalite(self.spark, node.config):
+                continue
+            db, name = self._identity(node)
+            path = dlt.table_path(self.spark, db, name)
+            if deltalite.latest_version(path) is None:
+                continue
+            t0 = _time.time()
+            try:
+                actions = []
+                if optimize:
+                    deltalite.optimize(self.spark, path)
+                    actions.append("optimize")
+                if vacuum_retain_versions is not None:
+                    removed = deltalite.vacuum(
+                        path, retain_versions=vacuum_retain_versions
+                    )
+                    actions.append(f"vacuum({len(removed)} files)")
+                # re-attach: vacuum may have dropped files the previous
+                # temp-view snapshot referenced
+                dlt.attach(self.spark, db, name)
+                out.append(
+                    RunResult(
+                        node.name,
+                        node.kind,
+                        "success",
+                        action="+".join(actions) or "noop",
+                        seconds=round(_time.time() - t0, 3),
+                    )
+                )
+            except Exception as exc:  # noqa: BLE001 — per-table isolation
+                out.append(
+                    RunResult(
+                        node.name,
+                        node.kind,
+                        "error",
+                        action="maintain",
+                        seconds=round(_time.time() - t0, 3),
+                        message=str(exc),
+                    )
+                )
+        return out
+
     def erase(self, column: str, keys: Any) -> list[RunResult]:
         """Right-to-be-forgotten sweep (GDPR/CCPA erasure): rewrite every
         MATERIALIZED table in the project (models + snapshots) whose

@@ -229,6 +229,35 @@ def test_erase_on_deltalite_table(spark, built):
     assert hist[0]["operation"] == "OVERWRITE"
 
 
+def test_maintain_optimize_and_vacuum(spark, built):
+    """Runner.maintain: OPTIMIZE compacts, VACUUM reclaims files only the
+    pre-overwrite snapshots referenced, reads are unchanged, and the temp
+    view survives the reclaim."""
+    db, runner = built
+    before = dlt.read(spark, db, "orders_monthly").collect()
+    path = dlt.table_path(spark, db, "orders_monthly")
+
+    def files_on_disk():
+        return sum(
+            1
+            for dirpath, _d, files in os.walk(path)
+            if "_delta_log" not in dirpath
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    disk_before = files_on_disk()
+    out = runner.maintain(optimize=True, vacuum_retain_versions=0)
+    ok = [r for r in out if r.status == "success"]
+    assert len(ok) == len(out) and ok, out
+    # replaced first-run files for the overlap months are now reclaimed
+    assert files_on_disk() < disk_before
+    after = dlt.read(spark, db, "orders_monthly").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # the refreshed temp view scans the compacted snapshot
+    assert spark.table(dlt.view_name(db, "orders_monthly")).count() == len(after)
+
+
 # --- on_schema_change on the delta path --------------------------------
 
 
