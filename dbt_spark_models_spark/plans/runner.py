@@ -448,6 +448,7 @@ class Runner:
         self,
         optimize: bool = True,
         vacuum_retain_versions: int | None = None,
+        log_retain_versions: int | None = None,
     ) -> list[RunResult]:
         """Table housekeeping sweep over every DeltaLite-backed node
         (models + snapshots): OPTIMIZE compacts small files in a
@@ -458,7 +459,10 @@ class Runner:
         100 TB this is what keeps a daily insert_overwrite mart's file
         count bounded: each day's dynamic-overwrite commit adds
         partition-aligned files, OPTIMIZE folds the dust, VACUUM reclaims
-        replaced bytes after the time-travel window."""
+        replaced bytes after the time-travel window, and
+        ``log_retain_versions`` trims checkpoint-covered commit JSONs
+        (the delta.logRetentionDuration twin) so replay stays O(tail)
+        over years of dailies."""
         import time as _time
 
         from dbt_spark_models_spark.plans import deltalite_tables as dlt
@@ -486,6 +490,11 @@ class Runner:
                         path, retain_versions=vacuum_retain_versions
                     )
                     actions.append(f"vacuum({len(removed)} files)")
+                if log_retain_versions is not None:
+                    dropped = deltalite.cleanup_expired_logs(
+                        path, retain_versions=log_retain_versions
+                    )
+                    actions.append(f"log_cleanup({len(dropped)} commits)")
                 # re-attach: vacuum may have dropped files the previous
                 # temp-view snapshot referenced
                 dlt.attach(self.spark, db, name)

@@ -247,7 +247,9 @@ def test_maintain_optimize_and_vacuum(spark, built):
         )
 
     disk_before = files_on_disk()
-    out = runner.maintain(optimize=True, vacuum_retain_versions=0)
+    out = runner.maintain(
+        optimize=True, vacuum_retain_versions=0, log_retain_versions=2
+    )
     ok = [r for r in out if r.status == "success"]
     assert len(ok) == len(out) and ok, out
     # replaced first-run files for the overlap months are now reclaimed
