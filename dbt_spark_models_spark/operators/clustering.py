@@ -567,9 +567,9 @@ def _pagerank_loop(
 
     ``broadcast_ranks=True`` (node count fits an executor): the rank
     vector is NODE-sized (16 bytes/node) while edges are the big side —
-    broadcast ranks into the edge join and the contribution sum back into
-    the node join, leaving exactly ONE exchange per round (the dst-keyed
-    aggregate). Edge partitioning is irrelevant on this path.
+    broadcast ranks into the edge join; the union-seed aggregate below
+    folds the node attributes back in, leaving exactly ONE broadcast and
+    ONE exchange per round. Edge partitioning is irrelevant on this path.
 
     ``broadcast_ranks=False`` (rank vector too big to broadcast): the
     co-partitioned path — edges re-shuffle ONCE onto src and stay cached
@@ -577,35 +577,52 @@ def _pagerank_loop(
     key so the edge side of the join never exchanges again. Two rank-
     sized exchanges per round (join key + dst aggregate), zero edge-sized
     ones — the shape that survives graphs whose node set alone outgrows
-    executor memory. Both paths compute bit-identical ranks (same
-    associative float sums at equal partition counts is NOT guaranteed —
-    which is why the gate rounds to 1e-6, the oracle contract)."""
+    executor memory. Both paths compute rank sums whose float ordering
+    may differ at ~1e-15 — which is why the gate rounds to 1e-6, the
+    oracle contract."""
     if not broadcast_ranks:
         edges = edges.repartition(parts, "src").persist()
     ranks = nodes.select(
         F.col("src").alias("node"), "d", "n", (F.lit(1.0) / F.col("n")).alias("r")
     )
+    # Each node contributes one zero-weight seed row carrying its (d, n):
+    # unioned under the edge contributions, ONE dst-keyed aggregate then
+    # yields sum(w) AND the node attributes (max over {value, null}) —
+    # replacing the former contribs→nodes LEFT JOIN. Per round that is
+    # one broadcast + one exchange instead of two broadcasts + one
+    # exchange (broadcast build latency was half the query's wall time at
+    # bench scale), and dangling-node handling (no inbound edges) falls
+    # out of the seed row instead of a null-coalescing outer join.
+    seed = nodes.select(
+        F.col("src").alias("dst"), F.lit(0.0).alias("w"), "d", "n"
+    )
     for i in range(iters):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks.repartition(
             parts, "node"
         )
-        contribs = (
-            edges.join(rank_side, edges.src == rank_side.node)
-            .select("dst", (F.col("r") / F.col("d")).alias("w"))
-            .groupBy("dst")
-            .agg(F.sum("w").alias("s"))
+        contribs = edges.join(rank_side, edges.src == rank_side.node).select(
+            edges.dst.alias("dst"),
+            (rank_side.r / rank_side.d).alias("w"),
+            F.lit(None).cast("bigint").alias("d"),
+            F.lit(None).cast("double").alias("n"),
         )
-        contrib_side = F.broadcast(contribs) if broadcast_ranks else contribs
-        ranks = nodes.join(
-            contrib_side, nodes.src == contrib_side.dst, "left"
-        ).select(
-            F.col("src").alias("node"),
-            "d",
-            "n",
-            (
-                F.lit(1 - _PR_D) / F.col("n")
-                + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("r"),
+        ranks = (
+            contribs.unionByName(seed)
+            .groupBy("dst")
+            .agg(
+                F.sum("w").alias("s"),
+                F.max("d").alias("d"),
+                F.max("n").alias("n"),
+            )
+            .select(
+                F.col("dst").alias("node"),
+                "d",
+                "n",
+                (
+                    F.lit(1 - _PR_D) / F.col("n")
+                    + F.lit(_PR_D) * F.col("s")
+                ).alias("r"),
+            )
         )
         if (i + 1) % _PR_CKPT_EVERY == 0:
             ranks = ranks.repartition(parts, "node").localCheckpoint()
