@@ -220,6 +220,66 @@ def engine_deltalite_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "engine_deltalite_cdf_overwrite",
+    oracle=f"""
+WITH stg AS ({_STG}),
+full_m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           o_orderstatus, COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(price_cents) AS BIGINT) AS total_cents
+    FROM stg GROUP BY 1, 2
+),
+b1_m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           o_orderstatus, COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(price_cents) AS BIGINT) AS total_cents
+    FROM stg WHERE o_orderdate < DATE '{_CUTOFF1}' GROUP BY 1, 2
+)
+SELECT order_month, o_orderstatus, n_orders, n_customers, total_cents,
+       'insert' AS change_type
+FROM full_m WHERE order_month >= DATE '{_CUTOFF2}'
+UNION ALL
+SELECT order_month, o_orderstatus, n_orders, n_customers, total_cents,
+       'delete' AS change_type
+FROM b1_m WHERE order_month >= DATE '{_CUTOFF2}'
+""",
+)
+def engine_deltalite_cdf_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed of the dynamic-partition-overwrite commit alone:
+    exactly one ``delete`` per first-run row in a replaced month and one
+    ``insert`` per recomputed row — months before _CUTOFF2 must not
+    appear at all (their files were untouched, so they generate no
+    changes). This pins the CDF contract of the new write mode: an
+    incremental consumer (the reference's downstream daily marts) sees
+    precisely the replaced slice, never a full-table churn."""
+    from dbt_spark_models_spark.plans import deltalite_tables as dlt
+    from dbt_spark_models_spark.sources import deltalite
+    from dbt_spark_models_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    db = _shared_delta_mart(spark, sf_dir)
+    path = dlt.table_path(spark, db, "orders_monthly")
+    ver = next(
+        h["version"]
+        for h in deltalite.describe_history(path)
+        if h["operation"] == "OVERWRITE_PARTITIONS"
+    )
+    feed = deltalite.read_changes(spark, path, ver, ver)
+    from pyspark.sql import functions as F
+
+    return feed.select(
+        "order_month",
+        "o_orderstatus",
+        "n_orders",
+        "n_customers",
+        "total_cents",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+@query(
     "engine_deltalite_snapshot_tier",
     oracle=f"""
 WITH stg AS ({_STG}),
