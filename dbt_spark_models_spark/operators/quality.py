@@ -1601,6 +1601,146 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_krippendorff_alpha",
+    oracle="""
+WITH ratings AS (
+    SELECT doc_id AS u, 'a' AS rater,
+           CASE WHEN n_chars >= 400 THEN 'long'
+                WHEN n_chars >= 150 THEN 'mid' ELSE 'short' END AS c
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'b',
+           CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 70
+                  THEN 'long'
+                WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 25
+                  THEN 'mid' ELSE 'short' END
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'c',
+           CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, '.', '')) >= 8
+                  THEN 'long'
+                WHEN LENGTH(text) - LENGTH(REPLACE(text, '.', '')) >= 3
+                  THEN 'mid' ELSE 'short' END
+    FROM documents WHERE doc_id % 3 = 0
+),
+m AS (SELECT u, COUNT(*) AS mu FROM ratings GROUP BY u),
+r AS (
+    SELECT ratings.u, ratings.rater, ratings.c, m.mu
+    FROM ratings JOIN m ON ratings.u = m.u WHERE m.mu >= 2
+),
+o AS (
+    SELECT r1.c AS c1, r2.c AS c2, SUM(1.0 / (r1.mu - 1)) AS o_ck
+    FROM r r1 JOIN r r2 ON r1.u = r2.u AND r1.rater <> r2.rater
+    GROUP BY r1.c, r2.c
+),
+tot AS (
+    SELECT SUM(o_ck) AS n,
+           SUM(CASE WHEN c1 <> c2 THEN o_ck ELSE 0 END) AS do_num
+    FROM o
+),
+nc AS (SELECT c1 AS c, SUM(o_ck) AS n_c FROM o GROUP BY c1),
+de AS (SELECT SUM(a.n_c * b.n_c) AS de_num FROM nc a JOIN nc b ON a.c <> b.c)
+SELECT CAST((SELECT COUNT(*) FROM m WHERE mu >= 2) AS BIGINT) AS n_units,
+       tot.n AS n_ratings,
+       1.0 - (tot.n - 1.0) * tot.do_num / de.de_num AS alpha
+FROM tot, de
+""",
+)
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over three synthetic annotators
+    with MISSING ratings — the agreement statistic that, unlike Cohen's
+    kappa (``eval_cohens_kappa``), handles >2 raters and units some
+    raters skipped: annotator C labels only every third document.
+    Coincidence-matrix formulation: each ordered within-unit rating pair
+    contributes 1/(m_u−1); alpha = 1 − (n−1)·Σ_{c≠k}o_ck / Σ_{c≠k}n_c·n_k.
+
+    Exactness: m_u ∈ {2,3} so every pair weight is 1.0 or 0.5 — all sums
+    and the marginal products are exact doubles, and the single final
+    division is bit-identical across engines (no in-query ROUND needed).
+
+    Scale: the pair join is WITHIN-unit (m_u ≤ #raters, so ≤ m·(m−1)
+    rows per unit — never a corpus blowup); everything after is one
+    label-pair aggregate of at most |labels|² rows. One shuffle on the
+    unit key, map-side combined."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    )
+    dots = F.length("text") - F.length(F.replace(F.col("text"), F.lit(".")))
+    lab = (
+        lambda x, hi, mid: F.when(x >= hi, "long")
+        .when(x >= mid, "mid")
+        .otherwise("short")
+    )
+    ratings = (
+        d.select(
+            F.col("doc_id").alias("u"),
+            F.lit("a").alias("rater"),
+            lab(F.col("n_chars"), 400, 150).alias("c"),
+        )
+        .unionByName(
+            d.select(
+                F.col("doc_id").alias("u"),
+                F.lit("b").alias("rater"),
+                lab(words, 70, 25).alias("c"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                F.col("doc_id").alias("u"),
+                F.lit("c").alias("rater"),
+                lab(dots, 8, 3).alias("c"),
+            )
+        )
+    )
+    m = ratings.groupBy("u").agg(F.count(F.lit(1)).alias("mu"))
+    r = ratings.join(m, "u").filter(F.col("mu") >= 2)
+    r1, r2 = r.alias("r1"), r.alias("r2")
+    o = (
+        r1.join(
+            r2,
+            (F.col("r1.u") == F.col("r2.u"))
+            & (F.col("r1.rater") != F.col("r2.rater")),
+        )
+        .select(
+            F.col("r1.c").alias("c1"),
+            F.col("r2.c").alias("c2"),
+            (F.lit(1.0) / (F.col("r1.mu") - 1)).alias("w"),
+        )
+        .groupBy("c1", "c2")
+        .agg(F.sum("w").alias("o_ck"))
+        .persist()
+    )
+    tot = o.agg(
+        F.sum("o_ck").alias("n"),
+        F.sum(F.when(F.col("c1") != F.col("c2"), F.col("o_ck")).otherwise(0.0)).alias(
+            "do_num"
+        ),
+    )
+    nc = o.groupBy("c1").agg(F.sum("o_ck").alias("n_c"))
+    de = (
+        nc.alias("a")
+        .join(F.broadcast(nc.alias("b")), F.col("a.c1") != F.col("b.c1"))
+        .agg(F.sum(F.col("a.n_c") * F.col("b.n_c")).alias("de_num"))
+    )
+    n_units = m.filter(F.col("mu") >= 2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units")
+    )
+    return (
+        n_units.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(de))
+        .select(
+            "n_units",
+            F.col("n").alias("n_ratings"),
+            (
+                F.lit(1.0)
+                - (F.col("n") - F.lit(1.0)) * F.col("do_num") / F.col("de_num")
+            ).alias("alpha"),
+        )
+    )
+
+
+@query(
     "quality_k_anonymity_audit",
     oracle="""
 WITH classes AS (

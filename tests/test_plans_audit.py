@@ -275,6 +275,8 @@ BNLJ_ALLOWED = {
     # into the final 1-row BLEU arithmetic
     "eval_auc_delong_ci",  # 1-row AUC broadcast back onto the bounded
     # score-bucket frame for the placement-variance agg
+    "eval_krippendorff_alpha",  # 1-row totals crossJoin 1-row De onto the
+    # 1-row unit count; plus the ≤|labels|²-row marginal self-join
 }
 
 
