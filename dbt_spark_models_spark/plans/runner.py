@@ -125,7 +125,12 @@ class Runner:
         upstream commit (and attach) ran before a downstream ref reads."""
         from dbt_spark_models_spark.plans import deltalite_tables as dlt
 
-        if dlt.uses_deltalite(self.spark, node.config):
+        if (
+            dlt.uses_deltalite(self.spark, node.config)
+            # copy-from-prod overrides the materialization with a catalog
+            # view onto prod — resolve to that, not a DeltaLite temp view
+            and not (node.name in self.copy_from_prod and self.prod_database)
+        ):
             return dlt.view_name(db, table)
         return f"{db}.{table}" if db else table
 
