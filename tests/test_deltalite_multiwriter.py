@@ -37,8 +37,8 @@ from dbt_spark_models_spark.sources.deltalite import ConcurrentWriteError
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_SCHEDULES = int(os.environ.get("SPARK_GRAFT_FUZZ_SCHEDULES", "3"))
-N_WRITERS = 4
-OPS_PER_WRITER = 5
+N_WRITERS = int(os.environ.get("SPARK_GRAFT_FUZZ_WRITERS", "4"))
+OPS_PER_WRITER = int(os.environ.get("SPARK_GRAFT_FUZZ_OPS", "5"))
 
 
 def _retry(fn, attempts=60):
