@@ -186,6 +186,7 @@ def test_concurrent_writer_threads_torture(spark):
                 t.join()
             assert not errors, errors[0]
             _verify_schedule(spark, path, models)
+            print(f"schedule {schedule + 1}/{N_SCHEDULES} ok", flush=True)
 
 
 _CHILD = r"""
