@@ -123,7 +123,10 @@ def _verify_schedule(spark, path, models):
         got = {k: v for k, v in final.items() if lo <= k <= hi}
         assert got == model, f"writer {wid} lost updates: {got} != {model}"
     # 2. contiguous version chain, every version replays, protocol
-    # monotone
+    # monotone. Replay + active-file-existence checks are log/FS-level
+    # (no Spark job) so they run at EVERY version; full snapshot SCANS
+    # (which also exercise DV anti-joins) run at three sampled versions —
+    # first, middle, last — to keep a 100-schedule proof run affordable.
     versions = deltalite._list_versions(path)
     assert versions == list(range(versions[-1] + 1)), "version gap"
     last = (0, 0)
@@ -136,7 +139,10 @@ def _verify_schedule(spark, path, models):
         )
         assert cur >= last, f"protocol downgrade at v{v}"
         last = cur
-        # snapshot must be scannable (count forces the file list + DVs)
+        for rel in state["active"]:
+            f = rel if os.path.isabs(rel) else os.path.join(path, rel)
+            assert os.path.exists(f), f"v{v} references missing file {rel}"
+    for v in {0, versions[-1] // 2, versions[-1]}:
         deltalite.read(spark, path, version=v).count()
     # 3. the signed change feed telescopes to the final state
     feed = deltalite.read_changes(spark, path).collect()
