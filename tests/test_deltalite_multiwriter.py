@@ -39,6 +39,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_SCHEDULES = int(os.environ.get("SPARK_GRAFT_FUZZ_SCHEDULES", "3"))
 N_WRITERS = int(os.environ.get("SPARK_GRAFT_FUZZ_WRITERS", "4"))
 OPS_PER_WRITER = int(os.environ.get("SPARK_GRAFT_FUZZ_OPS", "5"))
+# offset the schedule seeds so PARALLEL proof runs (several pytest
+# processes at once) explore disjoint randomized schedules
+SEED_BASE = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED_BASE", "0"))
 
 
 def _retry(fn, attempts=60):
@@ -178,7 +181,9 @@ def test_concurrent_writer_threads_torture(spark):
 
             def run(wid):
                 try:
-                    models[wid] = _writer_ops(spark, path, wid, schedule)
+                    models[wid] = _writer_ops(
+                        spark, path, wid, SEED_BASE + schedule
+                    )
                 except BaseException as e:  # noqa: BLE001
                     errors.append(e)
 
