@@ -500,9 +500,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one job, so ``localCheckpoint`` fires only every ``_PR_CKPT_EVERY``
     rounds (a no-op at 6 rounds; the guard that matters for 50-round
     runs, where unbounded lineage would blow up planning and recovery).
-    The in-plan node-count scalar comes from a constant-key window; the
-    only driver probe is the 1-row node-count read that auto-selects
-    broadcast vs co-partitioned rank joins (``_pagerank_loop``)."""
+    The node count is a map-side-combined COUNT pulled as one row — the
+    same 1-row driver probe that auto-selects broadcast vs co-partitioned
+    rank joins (``_pagerank_loop``) — and stamped as a literal, never a
+    constant-key window over the unbounded node set."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     e = (
         t["lineitem"]
@@ -533,18 +534,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x.src", "x.dst")
         .persist()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # node count via constant-key window (non-foldable key — see
-    # pipeline_domain_mixture) instead of a driver collect
-    nw = Window.partitionBy(F.col("src").isNotNull())
-    nodes = deg.withColumn(
-        "n", F.count(F.lit(1)).over(nw).cast("double")
-    ).persist()
-    # AUTO-SELECT broadcast vs co-partitioned (VERDICT r8 #4): the node
-    # count is already materialized in the cached `nodes` frame — one
-    # 1-row scalar probe (same budget class as the BPE/k-means trainers)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    # Node count as a plain map-side-combined COUNT pulled as ONE row —
+    # the same probe that auto-selects the join strategy below, so it is
+    # free — then stamped on every node as a literal.  (A constant-key
+    # window here would buffer the ENTIRE node set in one task: the node
+    # set is unbounded, so that single partition dies at exactly the
+    # scale where the co-partitioned fallback is supposed to kick in.)
+    n_nodes = deg.count()  # 1-row probe — also the strategy selector
+    nodes = deg.withColumn("n", F.lit(float(n_nodes))).persist()
+    # AUTO-SELECT broadcast vs co-partitioned (VERDICT r8 #4): one 1-row
+    # scalar probe (same budget class as the BPE/k-means trainers)
     # decides the join strategy for the whole loop.
-    n_nodes = int(nodes.select(F.max("n")).first()[0] or 0)
     max_bc = int(
         spark.conf.get(_PR_MODE_CONF, str(_PR_BROADCAST_MAX_NODES))
     )
@@ -722,6 +723,12 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BFS_ROUNDS = 4
+# A frontier that outgrows one executor's memory must not be broadcast:
+# past this row count the frontier join flips to the co-partitioned path
+# (edges re-shuffled onto src once, frontier-sized exchanges per round).
+# Same ceiling + conf-override device as PageRank (VERDICT r9 #3).
+_BFS_BROADCAST_MAX_FRONTIER = 20_000_000
+_BFS_MODE_CONF = "spark.dbt_spark_models.bfs.broadcastMaxFrontier"
 
 
 def _bfs_oracle() -> str:
@@ -769,14 +776,25 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components and PageRank.
 
     Frontier form: each round expands ONLY the newly-reached frontier
-    (edges ⨝ broadcast(frontier), anti-join against the settled set), so
-    per-round work is proportional to the frontier's edge cut, not the
-    whole reached set — on a 100 TB graph with a small seed cohort the
-    early rounds touch a tiny fraction of edges. The settled set is
+    (edges ⨝ frontier, anti-join against the settled set), so per-round
+    work is proportional to the frontier's edge cut, not the whole
+    reached set — on a 100 TB graph with a small seed cohort the early
+    rounds touch a tiny fraction of edges. The settled set is
     localCheckpoint'ed per round (each round references it twice: anti
     join + union — unbounded lineage would double the subtree per round).
     The oracle unrolls the equivalent min-aggregate recursion one CTE per
     round; frontier expansion and min-unrolling are the same fixpoint.
+
+    Frontier-join AUTO-SELECT (the PageRank treatment, VERDICT r9 #3):
+    the frontier starts seed-sized but can grow to node scale by round
+    2-3 on a dense graph — an unconditional broadcast hint dies exactly
+    then. Each round sizes the frontier with a 1-row count on the
+    already-localCheckpoint'ed settled set (cached scan, no recompute)
+    and broadcasts only while it fits
+    ``spark.dbt_spark_models.bfs.broadcastMaxFrontier`` (default 20M);
+    past that, edges re-shuffle ONCE onto src (persisted, reused by all
+    later big rounds) and the frontier co-partitions onto the same key —
+    per-round exchanges are frontier-sized, never edge-sized.
     """
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
     e = (
@@ -810,19 +828,46 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = seeds.localCheckpoint()
     frontier = dist
+    max_bc = int(
+        spark.conf.get(_BFS_MODE_CONF, str(_BFS_BROADCAST_MAX_FRONTIER))
+    )
+    parts = max(8, spark.sparkContext.defaultParallelism // 2)
+    state = {"edges_by_src": None}
     for r in range(1, _BFS_ROUNDS + 1):
+        # 1-row probe on the cached settled set — sizes THIS round's
+        # frontier join strategy (cf. _pagerank_loop's node-count probe)
+        n_frontier = frontier.count()
+        reached = _bfs_expand(edges, frontier, n_frontier, max_bc, parts, state)
         nxt = (
-            edges.join(F.broadcast(frontier), edges.src == frontier.node)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(dist, "node", "left_anti")
-            .withColumn("h", F.lit(r))
+            reached.join(dist, "node", "left_anti").withColumn("h", F.lit(r))
         )
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = dist.filter(F.col("h") == r)
     out = dist.select("node", F.col("h").cast("long").alias("hops"))
     edges.unpersist()
+    if state["edges_by_src"] is not None:
+        state["edges_by_src"].unpersist()
     return out
+
+
+def _bfs_expand(edges, frontier, n_frontier: int, max_bc: int, parts: int, state):
+    """One BFS frontier expansion, strategy-selected: broadcast the
+    frontier while it fits ``max_bc`` rows; past that, shuffle edges onto
+    src ONCE (memoized in ``state`` and reused by every later big round)
+    and co-partition the frontier onto the same key, so each round's
+    exchanges are frontier-sized, never edge-sized."""
+    if n_frontier <= max_bc:
+        e_side, f_side = edges, F.broadcast(frontier)
+    else:
+        if state["edges_by_src"] is None:
+            state["edges_by_src"] = edges.repartition(parts, "src").persist()
+        e_side = state["edges_by_src"]
+        f_side = frontier.repartition(parts, "node")
+    return (
+        e_side.join(f_side, e_side.src == f_side.node)
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
 
 
 _KCORE_K = 3

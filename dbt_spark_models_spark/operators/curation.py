@@ -458,6 +458,7 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is constant-true here but references a column, so it survives as a
     # partition spec. counts is post-agg (one row per mixture source), so
     # the single partition holds only #sources rows.
+    # bounded: one row per mixture source (enum-scale post-agg)
     scale_w = Window.partitionBy(F.col("source").isNotNull())
     quota = counts.select(
         "source",
@@ -536,6 +537,7 @@ def curation_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
     # constant-true but non-foldable partition key (see pipeline_domain_mixture)
+    # bounded: one row per distinct lang (enum-scale post-agg)
     all_w = Window.partitionBy(F.col("lang").isNotNull())
     p = F.col("cnt") / F.sum("cnt").over(all_w)
     quota = counts.select(
@@ -887,6 +889,7 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket appears in the distinct-b spine, so sum(tc)/sum(rc) over it ARE
     # nt/nr, and no 1-row crossJoin (=> BNLJ) is needed. The partition key
     # must be non-foldable (see pipeline_domain_mixture).
+    # bounded: <=1024-row LM bucket table (fixed hash width)
     tot_w = Window.partitionBy(F.col("b").isNotNull())
     llr = (
         bigrams.select("b")
@@ -1065,6 +1068,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_h"),
         F.stddev_samp("n_chars").alias("sd_h"),
     )
+    # bounded: one row per distinct lang (enum-scale post-agg)
     tot = Window.partitionBy(F.col("lang").isNotNull())
     alloc = strata.select(
         "lang",
@@ -1152,6 +1156,8 @@ def curation_quantile_normalize_scores(
         F.percent_rank().over(src_w).alias("pct"),
     )
     distinct_scores = d.select("n_chars").distinct()
+    # bounded: distinct score values — the n_chars VALUE DOMAIN (capped by
+    # max document length), not the corpus row count
     gw = Window.partitionBy(F.col("n_chars").isNotNull()).orderBy("n_chars")
     glob = distinct_scores.select(
         F.col("n_chars").alias("v"), F.cume_dist().over(gw).alias("cume")
@@ -1160,6 +1166,7 @@ def curation_quantile_normalize_scores(
         "prev_cume",
         F.coalesce(
             F.lag("cume").over(
+                # bounded: same distinct-score value-domain frame as gw
                 Window.partitionBy(F.col("v").isNotNull()).orderBy("v")
             ),
             F.lit(0.0),

@@ -536,6 +536,7 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ordered cumulative over the bounded bucket frame (constant-key
     # partition — non-foldable, see pipeline_domain_mixture)
+    # bounded: <=1e6 quantized score buckets by construction (ROUND to 6dp)
     w = (
         Window.partitionBy(F.col("s").isNotNull())
         .orderBy("s")
@@ -647,13 +648,16 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     exact = occ.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # Distributed top-20: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps merged at the driver), never pulling the
+    # vocabulary-scale exact table through one task; the rank window then
+    # runs on the bounded 20-row result.
+    top20 = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(20)
+    # bounded: 20-row frame (limit above)
     w = Window.partitionBy(F.col("token").isNotNull()).orderBy(
         F.col("exact_cnt").desc(), "token"
     )
-    top = (
-        exact.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-    )
+    top = top20.withColumn("rk", F.row_number().over(w))
     probes = top.select(
         "token",
         "rk",
@@ -1040,6 +1044,7 @@ def quality_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(~F.col("a")).alias("n_b"),
         )
     )
+    # bounded: one row per distinct event_type (enum-scale post-agg)
     tot = Window.partitionBy(F.col("event_type").isNotNull())
     p_a = (F.col("n_a") + 1.0) / (
         F.sum("n_a").over(tot) + F.count(F.lit(1)).over(tot)
@@ -1106,6 +1111,7 @@ def eval_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(~F.col("a")).alias("n_b"),
         )
     )
+    # bounded: fixed bucket grid (post-agg, one row per bucket)
     part = Window.partitionBy(F.col("bucket").isNotNull())
     ordered = part.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1173,6 +1179,7 @@ def eval_chi_squared_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(~F.col("a")).alias("n_b"),
         )
     )
+    # bounded: one row per distinct event_type (enum-scale post-agg)
     w = Window.partitionBy(F.col("event_type").isNotNull())
     ta, tb = F.sum("n_a").over(w), F.sum("n_b").over(w)
     n = F.sum(F.col("n_a") + F.col("n_b")).over(w)
@@ -1500,7 +1507,8 @@ def eval_bootstrap_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = weighted.groupBy("r").agg(
         (F.sum(F.col("w") * F.col("n_chars")) / F.sum("w")).alias("m")
     )
-    # 64-row frame; m is nullable (division) so isNotNull doesn't fold
+    # bounded: 64-row bootstrap-replicate frame; m is nullable (division)
+    # so isNotNull doesn't fold
     ordered = means.withColumn(
         "rn",
         F.row_number().over(

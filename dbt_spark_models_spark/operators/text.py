@@ -372,20 +372,28 @@ def text_significant_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: two map-side-combined count aggregates (per-source-token,
     per-token) + a broadcast of the token-global table; the scoring is
     row-local math, and top-5-per-source is a window-group-limited rank.
-    The corpus total is a window over the non-foldable constant key (no
-    1-row cross join, no BNLJ)."""
+    The corpus total a0 is a constant-key window over the BOUNDED
+    per-source ``totals`` table (#sources rows), attached to the big
+    per-(source, token) table by the existing broadcast join — no
+    unbounded single-partition window, no 1-row cross join, no BNLJ."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     tok = d.select(
         "source", F.explode(_tokens()).alias("token")
     )
     per_src = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("y"))
     totals = per_src.groupBy("source").agg(F.sum("y").alias("n"))
-    glob_tok = per_src.groupBy("token").agg(F.sum("y").alias("a"))
+    # Corpus total a0 = SUM over `totals` — a BOUNDED table (one row per
+    # source, already broadcast below), so the constant-key window runs
+    # over #sources rows and a0 rides the existing broadcast join.
+    # (Summing over per_src instead would put the unbounded sources ×
+    # distinct-tokens table through ONE window task.)
+    # bounded: one row per distinct `source` (enum-scale)
     a0_w = Window.partitionBy(F.col("source").isNotNull())
+    totals = totals.withColumn("a0", F.sum("n").over(a0_w))
+    glob_tok = per_src.groupBy("token").agg(F.sum("y").alias("a"))
     enriched = (
         per_src.join(F.broadcast(totals), "source")
         .join(F.broadcast(glob_tok), "token")
-        .withColumn("a0", F.sum("y").over(a0_w))
     )
     prior = F.col("a") * 0.01
     prior0 = F.col("a0") * 0.01

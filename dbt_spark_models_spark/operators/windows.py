@@ -554,6 +554,7 @@ def window_cumulative_distinct_users(
     joined = spine.join(new_per_day, "day", "left").select(
         "day", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new_users")
     )
+    # bounded: one row per distinct calendar day (post-agg spine)
     w = Window.partitionBy(F.col("day").isNotNull()).orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -318,3 +318,51 @@ def test_engine_bucketed_gate_join_exchange_free(spark, sf_dir):
     # exactly one exchange: the post-join re-agg, never the join inputs
     assert plan.count("Exchange (") == 1
     assert "hashpartitioning(o_orderpriority" in plan
+
+
+def test_constant_key_windows_declare_bounded_input():
+    """VERDICT r9 'What's wrong': a window partitioned on a constant-true
+    key (`col.isNotNull()`) sends its ENTIRE input through one task — fine
+    over a provably bounded frame (enum-scale post-agg, fixed bucket grid,
+    a LIMIT), a scale-killer over anything that grows with the data
+    (PageRank's node set, the per-(source, token) table).  Every such
+    window in the package must carry a `# bounded:` marker within the six
+    preceding lines stating WHY its input cannot grow with the corpus;
+    unbounded uses must be rewritten (1-row probe + F.lit, bounded
+    broadcast totals, TakeOrderedAndProject) instead of annotated."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "dbt_spark_models_spark"
+    pat = re.compile(r"Window\s*\.\s*partitionBy\(\s*F\.col\([^)]*\)\.isNotNull\(\)")
+    missing = []
+    for py in sorted(pkg.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        text = "\n".join(lines)
+        for m in pat.finditer(text):
+            lineno = text[: m.start()].count("\n")  # 0-based
+            ctx = "\n".join(lines[max(0, lineno - 6) : lineno + 1])
+            if "# bounded:" not in ctx:
+                missing.append(f"{py.name}:{lineno + 1}")
+    assert not missing, (
+        "constant-key window without a '# bounded:' input declaration "
+        f"(rewrite or document the bound): {missing}"
+    )
+
+
+def test_pagerank_has_no_window_node(spark, sf_dir):
+    """The PageRank node-count attach must stay a 1-row probe + literal
+    (VERDICT r9 #1) — the plan may not contain any Window node at all, on
+    either strategy path."""
+    conf = "spark.dbt_spark_models.pagerank.broadcastMaxNodes"
+    old = spark.conf.get(conf, None)
+    try:
+        for max_nodes in ("20000000", "1"):  # broadcast path, fallback path
+            spark.conf.set(conf, max_nodes)
+            plan = _plan(spark, "graph_pagerank_supplier_customer", sf_dir)
+            assert "Window" not in plan, (max_nodes, plan[:2000])
+    finally:
+        if old is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old)
