@@ -61,6 +61,7 @@ def query(name: str, oracle: str | None = None):
 # sketches / train+eval (quality) / streaming / funnels / text — breadth
 # of family over count.
 _ROTATION_FRONT = [
+    "cdf_incremental_gate",
     "delta_mart_gate",
     "campaign_funnels_gate",
     "gold_replica_gate",
@@ -132,6 +133,7 @@ def load_all() -> dict[str, Query]:
         engine_gate,
         deltalite_gate,
         delta_mart_gate,
+        cdf_incremental_gate,
         gold_replica_gate,
         campaign_funnels_gate,
         retrieval,

@@ -78,15 +78,25 @@ def parse_node(project: Project, node: ModelNode) -> None:
         config=config,
         ref=ref,
         source=source,
+        ref_changes=ref,  # a CDF read IS a dependency on the upstream
         var=lambda k, default=None: project.vars.get(k, default),
         is_incremental=lambda: False,
         this=node.name,
     )
     env = _env(project, ctx)
     env.from_string(node.raw_sql).render(**ctx)
+    # second parse render with is_incremental()=True: deps referenced ONLY
+    # inside the incremental branch (the ref_changes() pattern) must still
+    # land in the DAG; best-effort — a branch that needs live state to
+    # render can't run at parse time
+    try:
+        ctx_inc = {**ctx, "is_incremental": lambda: True}
+        env.from_string(node.raw_sql).render(**ctx_inc)
+    except Exception:  # noqa: BLE001
+        pass
     node.config = {**project.model_defaults, **captured_cfg}
-    node.depends_on = deps
-    node.sources = srcs
+    node.depends_on = list(dict.fromkeys(deps))
+    node.sources = list(dict.fromkeys(srcs))
 
 
 def compile_node(
@@ -97,8 +107,24 @@ def compile_node(
     vars: dict[str, Any],
     is_incremental: bool,
     this: str,
+    resolve_ref_changes=None,
 ) -> str:
-    """Compile pass: produce executable Spark SQL text."""
+    """Compile pass: produce executable Spark SQL text.
+
+    ``resolve_ref_changes(name)`` backs the ``ref_changes()`` Jinja
+    function — the Change-Data-Feed twin of ``ref()``: inside an
+    incremental run it must resolve to a relation holding the upstream
+    delta table's row changes since this model last consumed it
+    (``_change_type``/``_commit_version`` columns included). Only the
+    Runner can supply it (it owns the consumed-version bookkeeping);
+    compiling a model that calls it without a Runner is an error."""
+
+    def _no_ref_changes(name: str) -> str:
+        raise ValueError(
+            "ref_changes() needs a Runner-provided resolver (CDF "
+            "consumed-version state lives in the target's delta log)"
+        )
+
     merged_vars = {**project.vars, **vars}
 
     def var(k: str, default: Any = None) -> Any:
@@ -108,6 +134,7 @@ def compile_node(
         config=lambda **kw: "",
         ref=resolve_ref,
         source=resolve_source,
+        ref_changes=resolve_ref_changes or _no_ref_changes,
         var=var,
         is_incremental=lambda: is_incremental,
         this=this,

@@ -60,6 +60,12 @@ class Runner:
         ):
             jinja.parse_node(self.project, node)
         self._ephemeral_sql: dict[str, str] = {}
+        # ref_changes() bookkeeping: {consumer: {upstream: version}} of the
+        # upstream delta versions a run has READ but not yet recorded —
+        # persisted into the consumer's delta log only after its
+        # materialization commits (a failed run must re-consume the same
+        # change window next time, the telescoping-CDF contract)
+        self._pending_cdf: dict[str, dict[str, int]] = {}
 
     # --- name resolution -------------------------------------------------
     def _var(self, key: str, default: Any = "") -> Any:
@@ -190,7 +196,138 @@ class Runner:
             self.vars,
             is_incremental,
             ident,
+            resolve_ref_changes=lambda up: self._resolve_ref_changes(node, up),
         )
+
+    # --- CDC-driven incremental (ref_changes) ------------------------------
+    _CDF_PROP = "dbt_spark_models.cdf.lastVersion.{upstream}"
+
+    def _resolve_ref_changes(self, consumer, upstream_name: str) -> str:
+        """Resolve ``ref_changes('upstream')`` inside an incremental run:
+        a temp view over the upstream DeltaLite table's Change Data Feed
+        covering (last version this model consumed, current version] —
+        the delta-native incremental pattern (VERDICT r9 #4): a
+        downstream model updates from |changed rows| per run instead of
+        lookback re-reads of the full upstream.
+
+        The consumed-version watermark lives in the CONSUMER's delta log
+        (``dbt_spark_models.cdf.lastVersion.<upstream>`` tblproperty), so
+        it advances only when the consumer's own materialization commits;
+        a crash between the CDF read and the write replays the identical
+        window next run. A consumer built before the watermark existed
+        falls back to the full current snapshot presented as inserts
+        (correct for the changed-keys MERGE pattern, just not
+        incremental) and starts tracking from this run.
+
+        Scale: the change window is read at metadata rate from the log
+        and scanned as plain parquet over only the commits' files — at
+        100 TB a daily run touches the day's commits, never the table."""
+        from pyspark.sql import functions as F
+
+        from dbt_spark_models_spark.plans import deltalite_tables as dlt
+        from dbt_spark_models_spark.sources import deltalite
+
+        up = self.project.models.get(upstream_name) or self.project.snapshots.get(
+            upstream_name
+        )
+        if up is None:
+            raise KeyError(f"ref_changes() to unknown node {upstream_name!r}")
+        if not dlt.uses_deltalite(self.spark, up.config):
+            raise ValueError(
+                f"ref_changes({upstream_name!r}): upstream must be "
+                "file_format='delta' (the change feed lives in its log)"
+            )
+        if not dlt.uses_deltalite(self.spark, consumer.config):
+            raise ValueError(
+                f"{consumer.name}: ref_changes() consumers must be "
+                "file_format='delta' (the consumed-version watermark is a "
+                "tblproperty of the consumer's own log)"
+            )
+        up_db, up_table = self._identity(up)
+        up_path = dlt.table_path(self.spark, up_db, up_table)
+        v_now = deltalite.latest_version(up_path)
+        if v_now is None:
+            raise ValueError(
+                f"ref_changes({upstream_name!r}): upstream not built yet"
+            )
+        last = self._consumed_version(consumer, upstream_name)
+        if last is None:
+            changes = (
+                deltalite.read(self.spark, up_path)
+                .withColumn(deltalite.CHANGE_TYPE_COL, F.lit("insert"))
+                .withColumn(
+                    deltalite.COMMIT_VERSION_COL, F.lit(v_now).cast("int")
+                )
+            )
+        else:
+            changes = deltalite.read_changes(
+                self.spark, up_path, last + 1, v_now
+            )
+        import hashlib as _hashlib
+
+        view = (
+            f"cdf_{consumer.name}_{upstream_name}_"
+            + _hashlib.md5(up_path.encode()).hexdigest()[:8]
+        )
+        changes.createOrReplaceTempView(view)
+        self._pending_cdf.setdefault(consumer.name, {})[upstream_name] = v_now
+        return view
+
+    def _consumed_version(self, consumer, upstream_name: str) -> int | None:
+        from dbt_spark_models_spark.plans import deltalite_tables as dlt
+        from dbt_spark_models_spark.sources import deltalite
+
+        cons_db, cons_table = self._identity(consumer)
+        cons_path = dlt.table_path(self.spark, cons_db, cons_table)
+        if deltalite.latest_version(cons_path) is None:
+            return None
+        cfg = (
+            deltalite._replay_state(cons_path)["meta"].get("configuration")
+        ) or {}
+        v = cfg.get(self._CDF_PROP.format(upstream=upstream_name))
+        return int(v) if v is not None else None
+
+    def _record_consumed_versions(self, node, node_db, node_table) -> None:
+        """Persist the change-feed watermarks AFTER the consumer's own
+        commit succeeded. On the consumer's FIRST (non-incremental) build
+        ref_changes() was never rendered, so the watermark is seeded from
+        the raw SQL's ref_changes() targets at their just-read versions —
+        the next run then consumes only commits after this build."""
+        import re as _re
+
+        from dbt_spark_models_spark.plans import deltalite_tables as dlt
+        from dbt_spark_models_spark.sources import deltalite
+
+        pending = self._pending_cdf.pop(node.name, {})
+        if "ref_changes" in node.raw_sql:
+            for up_name in _re.findall(
+                r"ref_changes\(\s*['\"]([A-Za-z0-9_]+)['\"]", node.raw_sql
+            ):
+                if up_name in pending:
+                    continue
+                up = self.project.models.get(up_name) or self.project.snapshots.get(
+                    up_name
+                )
+                if up is None or not dlt.uses_deltalite(self.spark, up.config):
+                    continue
+                up_db, up_table = self._identity(up)
+                v = deltalite.latest_version(
+                    dlt.table_path(self.spark, up_db, up_table)
+                )
+                if v is not None:
+                    pending[up_name] = v
+        if not pending:
+            return
+        cons_path = dlt.table_path(self.spark, node_db, node_table)
+        if deltalite.latest_version(cons_path) is None:
+            return
+        current = (
+            deltalite._replay_state(cons_path)["meta"].get("configuration")
+        ) or {}
+        for up_name, v in sorted(pending.items()):
+            key = self._CDF_PROP.format(upstream=up_name)
+            if current.get(key) != str(v):
+                deltalite.set_table_property(cons_path, key, str(v))
 
     # --- lifecycle -------------------------------------------------------
     def seed(self) -> list[RunResult]:
@@ -296,11 +433,14 @@ class Runner:
                     full_refresh=node_full_refresh,
                     first_run_sql=first_sql,
                 )
+                if "ref_changes" in node.raw_sql or name in self._pending_cdf:
+                    self._record_consumed_versions(node, node_db, node_table)
                 out.append(
                     RunResult(name, "model", "success", res.action, time.time() - t0)
                 )
             except Exception as e:  # noqa: BLE001
                 failed.add(name)
+                self._pending_cdf.pop(name, None)
                 out.append(
                     RunResult(name, "model", "error", "", time.time() - t0, str(e))
                 )
