@@ -2126,7 +2126,11 @@ def optimize(
     return version
 
 
-def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
+def vacuum(
+    table_path: str,
+    retain_versions: int | None = None,
+    grace_ms: int = 600_000,
+) -> list[str]:
     """Delete unreferenced data files.
 
     Default (``retain_versions=None``): only never-committed garbage goes
@@ -2139,11 +2143,26 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
     raises on its missing files — the same trade real VACUUM makes with
     its retention window (production sets it to hours/days so running
     readers don't lose files under them; a version count keeps the gate
-    deterministic)."""
+    deterministic).
+
+    ``grace_ms`` protects IN-FLIGHT writers: data files move from the
+    staging dir into their final table location BEFORE the log commit
+    (``_write_data_files``), so in that window they are referenced by no
+    version and would read as crashed-writer garbage. Never-committed
+    files younger than the grace are kept — the same role real VACUUM's
+    time-based retention plays for uncommitted files (its default
+    refuses windows under 7 days for exactly this hazard). Files that
+    WERE committed but fell out of the retention horizon are deleted
+    regardless of age (their fate is governed by ``retain_versions``).
+    Pass ``grace_ms=0`` only when no concurrent writer can exist (tests,
+    single-process maintenance)."""
     versions = _list_versions(table_path)
     if versions:
         _assert_writable(_current_protocol(table_path), table_path)
     referenced: set[str] = set()
+    # every path ANY commit ever added/changed — committed history, as
+    # opposed to never-committed garbage (the grace_ms class)
+    ever_committed: set[str] = set()
     horizon = (
         -1
         if retain_versions is None
@@ -2156,17 +2175,23 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
                 if not line:
                     continue
                 action = json.loads(line)
-                if "add" in action and retain_versions is None:
-                    referenced.add(action["add"]["path"])
+                if "add" in action:
+                    ever_committed.add(action["add"]["path"])
                     dv = action["add"].get("deletionVector")
                     if dv:
-                        referenced.add(dv["path"])
+                        ever_committed.add(dv["path"])
+                    if retain_versions is None:
+                        referenced.add(action["add"]["path"])
+                        if dv:
+                            referenced.add(dv["path"])
                 # CDC files belong to their commit: keep them while the
                 # commit is inside the retention window (read_changes
                 # from an older start raises on the missing file, the
                 # same trade as time travel past the horizon)
-                if "cdc" in action and v >= horizon:
-                    referenced.add(action["cdc"]["path"])
+                if "cdc" in action:
+                    ever_committed.add(action["cdc"]["path"])
+                    if v >= horizon:
+                        referenced.add(action["cdc"]["path"])
     if retain_versions is None:
         # a retention-cleaned log head keeps its file references only in
         # the checkpoint parquets — without this, every file added before
@@ -2191,6 +2216,7 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
                     if a.get("deletionVector")
                 )
     removed = []
+    now_ms = int(time.time() * 1000)
     for dirpath, dirs, files in os.walk(table_path):
         # never descend into the log or a live writer's staging dir
         dirs[:] = [
@@ -2201,13 +2227,30 @@ def vacuum(table_path: str, retain_versions: int | None = None) -> list[str]:
         for f in files:
             if not f.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(dirpath, f), table_path)
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, table_path)
             rel = rel.replace(os.sep, "/")
             # a referenced deletionVector path may be a sidecar DIRECTORY
             # of shards — its parts are referenced through the directory
-            if rel not in referenced and os.path.dirname(rel) not in referenced:
-                os.remove(os.path.join(dirpath, f))
-                removed.append(rel)
+            if rel in referenced or os.path.dirname(rel) in referenced:
+                continue
+            if (
+                rel not in ever_committed
+                and os.path.dirname(rel) not in ever_committed
+            ):
+                # never committed: may belong to an in-flight writer that
+                # has moved files but not yet won its commit — grace
+                try:
+                    age = now_ms - int(os.path.getmtime(full) * 1000)
+                except OSError:
+                    continue  # racing writer renamed/removed it
+                if age < grace_ms:
+                    continue
+            try:
+                os.remove(full)
+            except OSError:
+                continue
+            removed.append(rel)
     return sorted(removed)
 
 

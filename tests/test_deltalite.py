@@ -48,8 +48,10 @@ def test_uncommitted_files_invisible(spark, tdir):
                 os.path.join(tdir, "part-deadbeef.parquet"),
             )
     assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1}
-    # vacuum deletes exactly the never-committed garbage
-    removed = deltalite.vacuum(tdir)
+    # vacuum deletes exactly the never-committed garbage (grace_ms=0:
+    # no concurrent writer in this test; the default grace would keep
+    # the fresh-mtime garbage as a possible in-flight writer's file)
+    removed = deltalite.vacuum(tdir, grace_ms=0)
     assert removed == ["part-deadbeef.parquet"]
     assert {r.k for r in deltalite.read(spark, tdir).collect()} == {1}
 

@@ -118,20 +118,24 @@ def _writer_ops(spark, path, wid, seed, n_ops=OPS_PER_WRITER):
     return model
 
 
-def _verify_schedule(spark, path, models):
-    # 1. no lost updates: each writer's range equals its serial model
-    final = {r.k: r.v for r in deltalite.read(spark, path).collect()}
-    for wid, model in models.items():
-        lo, hi = wid * 100, wid * 100 + 99
-        got = {k: v for k, v in final.items() if lo <= k <= hi}
-        assert got == model, f"writer {wid} lost updates: {got} != {model}"
-    # 2. contiguous version chain, every version replays, protocol
-    # monotone. Replay + active-file-existence checks are log/FS-level
-    # (no Spark job) so they run at EVERY version; full snapshot SCANS
-    # (which also exercise DV anti-joins) run at three sampled versions —
-    # first, middle, last — to keep a 100-schedule proof run affordable.
+def _verify_chain(spark, path, value_cols=("v",), check_files=True):
+    """Invariants 2+3, semantics-independent (shared with the DDL fuzz in
+    test_deltalite_multiwriter_ddl.py): contiguous version chain, every
+    version replays, protocol monotone, active files exist, and the
+    signed change feed telescopes to the final state. Replay +
+    active-file-existence checks are log/FS-level (no Spark job) so they
+    run at EVERY version; full snapshot SCANS (which also exercise DV
+    anti-joins) run at three sampled versions — first, middle, last — to
+    keep a 100-schedule proof run affordable. Returns the final
+    {k: values} state. ``check_files=False`` skips the file-existence
+    sweep for arenas where VACUUM legitimately dropped old snapshots'
+    files (the LAST version's files are always checked)."""
+    final = {
+        r.k: tuple(getattr(r, c) for c in value_cols)
+        for r in deltalite.read(spark, path).collect()
+    }
     versions = deltalite._list_versions(path)
-    assert versions == list(range(versions[-1] + 1)), "version gap"
+    assert versions == list(range(versions[0], versions[-1] + 1)), "version gap"
     last = (0, 0)
     for v in versions:
         state = deltalite._replay_state(path, v)
@@ -142,28 +146,42 @@ def _verify_schedule(spark, path, models):
         )
         assert cur >= last, f"protocol downgrade at v{v}"
         last = cur
-        for rel in state["active"]:
-            f = rel if os.path.isabs(rel) else os.path.join(path, rel)
-            assert os.path.exists(f), f"v{v} references missing file {rel}"
-    for v in {0, versions[-1] // 2, versions[-1]}:
-        deltalite.read(spark, path, version=v).count()
-    # 3. the signed change feed telescopes to the final state
-    feed = deltalite.read_changes(spark, path).collect()
-    state: dict[int, str] = {}
-    order = {
-        "delete": 0,
-        "update_preimage": 0,
-        "insert": 1,
-        "update_postimage": 1,
-    }
-    for r in sorted(
-        feed, key=lambda r: (r._commit_version, order[r._change_type])
-    ):
-        if r._change_type in ("insert", "update_postimage"):
-            state[r.k] = r.v
-        elif r._change_type == "delete":
-            state.pop(r.k, None)
-    assert state == final, "change feed does not telescope to final state"
+        if check_files or v == versions[-1]:
+            for rel in state["active"]:
+                f = rel if os.path.isabs(rel) else os.path.join(path, rel)
+                assert os.path.exists(f), f"v{v} references missing file {rel}"
+    if check_files:
+        for v in {versions[0], versions[len(versions) // 2], versions[-1]}:
+            deltalite.read(spark, path, version=v).count()
+        # the signed change feed telescopes to the final state
+        feed = deltalite.read_changes(
+            spark, path, starting_version=versions[0]
+        ).collect()
+        state: dict[int, tuple] = {}
+        order = {
+            "delete": 0,
+            "update_preimage": 0,
+            "insert": 1,
+            "update_postimage": 1,
+        }
+        for r in sorted(
+            feed, key=lambda r: (r._commit_version, order[r._change_type])
+        ):
+            if r._change_type in ("insert", "update_postimage"):
+                state[r.k] = tuple(getattr(r, c) for c in value_cols)
+            elif r._change_type == "delete":
+                state.pop(r.k, None)
+        assert state == final, "change feed does not telescope to final state"
+    return final
+
+
+def _verify_schedule(spark, path, models):
+    # 1. no lost updates: each writer's range equals its serial model
+    final = {k: vs[0] for k, vs in _verify_chain(spark, path).items()}
+    for wid, model in models.items():
+        lo, hi = wid * 100, wid * 100 + 99
+        got = {k: v for k, v in final.items() if lo <= k <= hi}
+        assert got == model, f"writer {wid} lost updates: {got} != {model}"
 
 
 def test_concurrent_writer_threads_torture(spark):
