@@ -542,7 +542,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set is unbounded, so that single partition dies at exactly the
     # scale where the co-partitioned fallback is supposed to kick in.)
     n_nodes = deg.count()  # 1-row probe — also the strategy selector
-    nodes = deg.withColumn("n", F.lit(float(n_nodes))).persist()
+    # nodes is a zero-cost projection over the CACHED deg — a second
+    # persist layer here costs a full cache-write pass for no reuse win
+    nodes = deg.withColumn("n", F.lit(float(n_nodes)))
     # AUTO-SELECT broadcast vs co-partitioned (VERDICT r8 #4): one 1-row
     # scalar probe (same budget class as the BPE/k-means trainers)
     # decides the join strategy for the whole loop.
