@@ -79,3 +79,109 @@ def lint_project(
                     )
                 )
     return issues
+
+
+# --- style lint (the reference CI's sqlfluff pass, `.sqlfluff:1-56`) ------
+#
+# The reference lints model SQL with sqlfluff (dialect sparksql, jinja
+# templater; workflow `dbt-jobs-pr-tests.yaml:57-64`). Reproduced here is
+# the enforceable subset that needs no full SQL parser — each rule tagged
+# with its sqlfluff code. Jinja blocks, strings, and comments are masked
+# first (`ignore_templated_areas = True`).
+
+_STYLE_MAX_LINE = 200  # [sqlfluff] max_line_length
+
+# CP01 keyword set: conservative — only words that are unambiguous SQL
+# keywords in model text (identifiers never collide thanks to \b around
+# snake_case names)
+_KEYWORDS = (
+    "select from where group order having join inner outer cross lateral "
+    "union intersect except distinct limit when then else end case with "
+    "partition over rows between unbounded preceding following and or not "
+    "exists having qualify values insert update delete merge using"
+).split()
+
+import re as _re
+
+_KW_RE = _re.compile(
+    r"\b(" + "|".join(_KEYWORDS) + r")\b"
+)
+_MASK_RE = _re.compile(
+    r"\{\{.*?\}\}|\{%-?.*?-?%\}|\{#.*?#\}|'[^']*'|\"[^\"]*\"|--[^\n]*",
+    _re.DOTALL,
+)
+
+
+def _mask(sql: str) -> str:
+    """Blank out jinja expressions/blocks/comments, quoted literals, and
+    line comments, preserving offsets (newlines kept so line numbers
+    survive)."""
+    def blank(m: _re.Match) -> str:
+        return "".join("\n" if c == "\n" else " " for c in m.group(0))
+
+    return _MASK_RE.sub(blank, sql)
+
+
+def lint_style(project: Project) -> list[LintIssue]:
+    """Style pass over every model/snapshot's raw SQL. Rules (sqlfluff
+    codes from the reference's `.sqlfluff`):
+
+    - LT05: line longer than 200 chars
+    - CP01: lowercase SQL keyword (capitalisation_policy = upper)
+    - LT04: leading-comma line (layout:type:comma = trailing)
+    - CV03: trailing comma before FROM (select_trailing_comma = forbid)
+    - CV06: final semicolon (require_final_semicolon = False)
+    - LT01-tab: hard tab in indentation (indent_unit = space)
+    """
+    issues: list[LintIssue] = []
+    for name, node in {**project.models, **project.snapshots}.items():
+        masked = _mask(node.raw_sql)
+        lines = masked.split("\n")
+        raw_lines = node.raw_sql.split("\n")
+        prev_code = ""
+        for i, (line, raw) in enumerate(zip(lines, raw_lines), start=1):
+            if len(raw) > _STYLE_MAX_LINE:
+                issues.append(
+                    LintIssue("LT05", name, f"line {i} exceeds 200 chars")
+                )
+            if "\t" in line:
+                issues.append(
+                    LintIssue("LT01", name, f"line {i} uses tab indentation")
+                )
+            for m in _KW_RE.finditer(line):
+                kw = m.group(1)
+                if kw.islower():
+                    issues.append(
+                        LintIssue(
+                            "CP01",
+                            name,
+                            f"line {i}: keyword '{kw}' should be upper-case",
+                        )
+                    )
+            # comma layout is a property of the RAW text (masking blanks a
+            # string literal but keeps its trailing comma, which would
+            # misread as leading); skip lines that are pure comment/jinja
+            raw_stripped = raw.strip()
+            code_stripped = line.strip()
+            if raw_stripped.startswith(",") and code_stripped:
+                issues.append(
+                    LintIssue(
+                        "LT04", name, f"line {i}: leading comma (use trailing)"
+                    )
+                )
+            if (
+                code_stripped.upper().startswith("FROM")
+                and prev_code.endswith(",")
+            ):
+                issues.append(
+                    LintIssue(
+                        "CV03",
+                        name,
+                        f"line {i}: trailing comma before FROM",
+                    )
+                )
+            if code_stripped:
+                prev_code = raw_stripped
+        if masked.rstrip().endswith(";"):
+            issues.append(LintIssue("CV06", name, "final semicolon"))
+    return issues

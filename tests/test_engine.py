@@ -353,3 +353,60 @@ def test_merge_strategy_upsert(spark):
     ).createOrReplaceTempView("merge_dup")
     with pytest.raises(ValueError, match="duplicate unique_key"):
         materialize(spark, "t", "SELECT * FROM merge_dup", cfg, db)
+
+
+# --- style lint (the reference CI's sqlfluff pass) -------------------------
+
+
+def _style_project(sql, name="m"):
+    from dbt_spark_models_spark.plans.project import ModelNode, Project
+
+    return Project(root=".", models={name: ModelNode(name, "inline", sql)})
+
+
+def test_style_lint_rules_fire():
+    from dbt_spark_models_spark.plans.lint import lint_style
+
+    bad = (
+        "{{ config(materialized='view') }}\n"
+        "select o_orderkey\t\n"
+        "     , o_custkey,\n"
+        "FROM {{ ref('x') }};\n"
+    )
+    rules = {i.rule for i in lint_style(_style_project(bad))}
+    assert {"CP01", "LT01", "LT04", "CV03", "CV06"} <= rules
+    long = "SELECT " + ", ".join(f"c{i}" for i in range(60)) + " FROM t"
+    assert {"LT05"} <= {i.rule for i in lint_style(_style_project(long))}
+
+
+def test_style_lint_masks_jinja_strings_comments():
+    from dbt_spark_models_spark.plans.lint import lint_style
+
+    ok = (
+        "{{ config(materialized='view') }}\n"
+        "-- a comment may say select or end with ;\n"
+        "SELECT 'from x, select' AS s,\n"
+        "       IF(a = 1,\n"
+        "          'lower when label',\n"
+        "          'other') AS label,\n"
+        "       {{ var('order_by_expr', 'lower(k)') }} AS k\n"
+        "FROM {{ ref('x') }}\n"
+    )
+    assert lint_style(_style_project(ok)) == []
+
+
+def test_example_projects_style_clean():
+    """Every bundled example project passes the style pass — the same
+    bar the reference's CI sqlfluff step sets for its model corpus."""
+    import glob
+    import os
+
+    from dbt_spark_models_spark.plans.lint import lint_style
+    from dbt_spark_models_spark.plans.project import Project
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    roots = sorted(glob.glob(os.path.join(repo_root, "examples", "*", "")))
+    assert roots
+    for root in roots:
+        issues = lint_style(Project.load(root))
+        assert not issues, (root, [(i.rule, i.node, i.message) for i in issues[:5]])
