@@ -53,13 +53,16 @@ def _shared_build(spark: SparkSession, sf_dir: str) -> dict:
     return state
 
 
+_CHANGE_FROM = "1997-01-01"  # run 3's update window: only these months
+
+
 def _build(spark: SparkSession, sf_dir: str, db: str) -> dict:
     """Run 1: full build at batch=0 (keys %4=0). Run 2: widen to batch=1
-    — MERGE inserts the %4=1 keys upstream; downstream consumes the CDF
-    window (v1 only) and merges the touched customers. Run 3: same band,
-    price_mult=2 — every upstream row updates; downstream consumes v2's
-    update images. The watermark property on the downstream log must
-    telescope 0 → 1 → 2."""
+    — MERGE inserts the %4=1 keys upstream; consumers see the CDF window
+    (v1 only). Run 3: same band, price_mult=2 restricted to orders from
+    _CHANGE_FROM on — only those months' rows update, so the
+    partition-surgical consumer must replace only those months. The
+    watermark property on each consumer's log must telescope 0 → 1 → 2."""
     from dbt_spark_models_spark.plans import Project, Runner
     from dbt_spark_models_spark.plans import deltalite_tables as dlt
     from dbt_spark_models_spark.sources import deltalite
@@ -73,16 +76,22 @@ def _build(spark: SparkSession, sf_dir: str, db: str) -> dict:
     down_path = None
     watermarks: list[int] = []
     run2_version = None
-    for batch, mult in ((0, 1), (1, 1), (1, 2)):
+    monthly_run2_version = None
+    runs = (
+        {"batch": 0, "price_mult": 1},
+        {"batch": 1, "price_mult": 1},
+        {"batch": 1, "price_mult": 2, "change_from": _CHANGE_FROM},
+    )
+    for i, run_vars in enumerate(runs):
         runner = Runner(
             spark=spark,
             project=project,
             database=db,
-            vars={"sf_dir": sf_dir, "batch": batch, "price_mult": mult},
+            vars={"sf_dir": sf_dir, **run_vars},
         )
         results = runner.run()
         if any(r.status != "success" for r in results):
-            raise RuntimeError(f"cdf run (batch={batch}) failed: {results}")
+            raise RuntimeError(f"cdf run {i + 1} failed: {results}")
         down_path = dlt.table_path(spark, db, "cust_rev_cdc")
         cfg = (
             deltalite._replay_state(down_path)["meta"].get("configuration")
@@ -90,24 +99,41 @@ def _build(spark: SparkSession, sf_dir: str, db: str) -> dict:
         watermarks.append(
             int(cfg["dbt_spark_models.cdf.lastVersion.orders_cdc"])
         )
-        if (batch, mult) == (1, 1):
+        if i == 1:
             run2_version = deltalite.latest_version(down_path)
+            monthly_run2_version = deltalite.latest_version(
+                dlt.table_path(spark, db, "monthly_rev_cdc")
+            )
     checks = runner.test()
     if any(t.status != "success" for t in checks):
         raise RuntimeError(f"cdf checks failed: {checks}")
     return {
         "db": db,
         "path": down_path,
+        "monthly_path": dlt.table_path(spark, db, "monthly_rev_cdc"),
         "run2_version": run2_version,
+        "monthly_run2_version": monthly_run2_version,
         "watermarks": watermarks,
     }
 
 
-_ORACLE_AGG = """
+_ORACLE_RUN2 = """
 SELECT o_custkey,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) * {mult} AS BIGINT)
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS revenue_cents
+FROM orders
+WHERE o_orderkey % 4 <= 1
+GROUP BY o_custkey
+"""
+
+# final state: run 3 doubled prices ONLY for orders from _CHANGE_FROM on
+_ORACLE_FINAL = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                * CASE WHEN o_orderdate >= DATE '{_CHANGE_FROM}'
+                       THEN 2 ELSE 1 END) AS BIGINT) AS revenue_cents
 FROM orders
 WHERE o_orderkey % 4 <= 1
 GROUP BY o_custkey
@@ -116,16 +142,18 @@ GROUP BY o_custkey
 
 @query(
     "engine_cdf_incremental_final",
-    oracle=_ORACLE_AGG.format(mult=2),
+    oracle=_ORACLE_FINAL,
 )
 def engine_cdf_incremental_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final downstream state after the three runs: the update-shaped
-    run 3 (price_mult 1→2) reached every customer through the CDF
-    window's update images, and the changed-keys MERGE recomputed each
-    from the current upstream snapshot. The oracle recomputes the whole
-    aggregate from scratch at mult=2; agreement proves the CDF window
-    covered exactly the upstream delta and the merge applied it exactly
-    — across ≥2 incremental runs."""
+    run 3 (price_mult 1→2, restricted to orders from _CHANGE_FROM on)
+    reached the affected customers through the CDF window's update
+    images, and the changed-keys MERGE recomputed each from the current
+    upstream snapshot — customers with both pre- and post-window orders
+    must blend the two multipliers, which only an exact change-window →
+    key recompute gets right. The oracle recomputes the whole aggregate
+    from scratch; agreement across ≥2 incremental runs proves the window
+    covered exactly the upstream delta."""
     from dbt_spark_models_spark.plans import deltalite_tables as dlt
     from dbt_spark_models_spark.sources.testdata import register_views
 
@@ -138,7 +166,7 @@ def engine_cdf_incremental_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "engine_cdf_incremental_run2_state",
-    oracle=_ORACLE_AGG.format(mult=1),
+    oracle=_ORACLE_RUN2,
 )
 def engine_cdf_incremental_run2_state(
     spark: SparkSession, sf_dir: str
@@ -182,4 +210,62 @@ def engine_cdf_watermark_telescopes(
     ]
     return spark.createDataFrame(
         rows, "run bigint, consumed_version bigint"
+    )
+
+
+@query(
+    "engine_cdf_partition_surgical",
+    oracle=f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                * CASE WHEN o_orderdate >= DATE '{_CHANGE_FROM}'
+                       THEN 2 ELSE 1 END) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_orderkey % 4 <= 1
+GROUP BY 1
+""",
+)
+def engine_cdf_partition_surgical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The partition-surgical CDF consumer
+    (``examples/cdf_incremental/models/monthly_rev_cdc.sql``): each
+    incremental run recomputes ONLY the months the change window names
+    and replaces exactly those partitions in one dynamic-partition-
+    overwrite commit — run 3 touched only months >= _CHANGE_FROM, so
+    earlier months' partitions kept their run-2 bytes (file evidence in
+    ``tests/test_cdf_incremental.py``). The oracle is the from-scratch
+    monthly aggregate over the final upstream state."""
+    from dbt_spark_models_spark.plans import deltalite_tables as dlt
+    from dbt_spark_models_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    state = _shared_build(spark, sf_dir)
+    return dlt.read(spark, state["db"], "monthly_rev_cdc").select(
+        "order_month", "n_orders", "revenue_cents"
+    )
+
+
+@query(
+    "engine_cdf_delta_applied",
+    oracle=_ORACLE_FINAL,
+)
+def engine_cdf_delta_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signed-delta CDF consumer
+    (``examples/cdf_incremental/models/cust_rev_delta_applied.sql``):
+    insert/update_postimage rows count +, delete/update_preimage rows
+    count -, and the per-key delta aggregate merges onto the previous
+    state ({{ this }}) WITHOUT ever re-reading the upstream — the
+    streaming-aggregate shape, exact for additive measures. Matching the
+    same from-scratch oracle as the changed-keys pattern proves the two
+    delta-native strategies agree with each other AND with a full
+    rebuild across the insert-shaped and update-shaped runs."""
+    from dbt_spark_models_spark.plans import deltalite_tables as dlt
+    from dbt_spark_models_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    state = _shared_build(spark, sf_dir)
+    return dlt.read(spark, state["db"], "cust_rev_delta_applied").select(
+        "o_custkey", "n_orders", "revenue_cents"
     )

@@ -177,3 +177,52 @@ def test_ref_changes_without_runner_is_loud(spark):
             proj, node, lambda n: n, lambda s, t: f"{s}.{t}", {},
             is_incremental=True, this="cust_rev_cdc",
         )
+
+
+def test_partition_surgical_keeps_untouched_month_files(spark, sf_dir):
+    """Run 3 updated only orders from _CHANGE_FROM on, so the
+    partition-surgical consumer's dynamic-overwrite commit must have
+    replaced exactly those months: earlier months keep their run-2 file
+    bytes (same add entries), later months are fully replaced."""
+    from dbt_spark_models_spark.operators.cdf_incremental_gate import (
+        _CHANGE_FROM,
+        _shared_build,
+    )
+
+    state = _shared_build(spark, sf_dir)
+    path = state["monthly_path"]
+    at_run2 = deltalite._replay_state(path, state["monthly_run2_version"])[
+        "active"
+    ]
+    now = deltalite._replay_state(path)["active"]
+
+    def month(add):
+        return (add.get("partitionValues") or {}).get("order_month", "")
+
+    cut = _CHANGE_FROM[:7] + "-01"
+    untouched = [p for p in now if month(now[p]) < cut]
+    replaced_months = {month(now[p]) for p in now if month(now[p]) >= cut}
+    assert untouched, "expected pre-window months to exist"
+    assert all(p in at_run2 for p in untouched), "pre-window files rewritten"
+    assert replaced_months, "expected post-window months to exist"
+    assert all(
+        p not in at_run2 for p in now if month(now[p]) >= cut
+    ), "post-window months kept stale files"
+
+
+def test_delta_applied_equals_changed_keys_state(spark, sf_dir):
+    """The signed-delta consumer and the changed-keys consumer are two
+    strategies over the same feed — their final states must be
+    row-identical."""
+    from dbt_spark_models_spark.operators.cdf_incremental_gate import (
+        _shared_build,
+    )
+
+    state = _shared_build(spark, sf_dir)
+    a = dlt.read(spark, state["db"], "cust_rev_cdc").select(
+        "o_custkey", "n_orders", "revenue_cents"
+    )
+    b = dlt.read(spark, state["db"], "cust_rev_delta_applied").select(
+        "o_custkey", "n_orders", "revenue_cents"
+    )
+    assert _same(a, b)
