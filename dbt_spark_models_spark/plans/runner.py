@@ -214,10 +214,12 @@ class Runner:
         (``dbt_spark_models.cdf.lastVersion.<upstream>`` tblproperty), so
         it advances only when the consumer's own materialization commits;
         a crash between the CDF read and the write replays the identical
-        window next run. A consumer built before the watermark existed
-        falls back to the full current snapshot presented as inserts
-        (correct for the changed-keys MERGE pattern, just not
-        incremental) and starts tracking from this run.
+        window next run. A lost window (no watermark, or the upstream log
+        head retention-cleaned past it) raises by default — real Delta's
+        failOnDataLoss — because substituting the full snapshot as
+        inserts double-counts for additive signed-delta consumers;
+        changed-keys consumers may opt into that substitute with model
+        config ``on_cdf_data_loss='full_snapshot'``.
 
         Scale: the change window is read at metadata rate from the log
         and scanned as plain parquet over only the commits' files — at
@@ -251,7 +253,34 @@ class Runner:
                 f"ref_changes({upstream_name!r}): upstream not built yet"
             )
         last = self._consumed_version(consumer, upstream_name)
+        lost = None
         if last is None:
+            lost = "no consumed-version watermark (built before tracking?)"
+        else:
+            # the upstream's log head may have been retention-cleaned past
+            # this consumer's watermark (Runner.maintain
+            # log_retain_versions while this consumer skipped runs): the
+            # exact change window is then unrecoverable
+            surviving = deltalite._list_versions(up_path)
+            if surviving and last + 1 < surviving[0]:
+                lost = (
+                    f"watermark {last} predates the oldest surviving "
+                    f"commit {surviving[0]} (log head retention-cleaned)"
+                )
+        if lost:
+            # Data loss is LOUD by default (real Delta's failOnDataLoss):
+            # a silent full-snapshot-as-inserts substitute is only sound
+            # for changed-keys consumers — an additive signed-delta
+            # consumer would double-count it — so the model must opt in.
+            if consumer.config.get("on_cdf_data_loss") != "full_snapshot":
+                raise ValueError(
+                    f"{consumer.name}: ref_changes({upstream_name!r}) "
+                    f"change window lost — {lost}. Rebuild with "
+                    "full_refresh, or set on_cdf_data_loss="
+                    "'full_snapshot' on the model (safe ONLY for "
+                    "changed-keys recompute consumers, NOT for additive "
+                    "delta application)"
+                )
             changes = (
                 deltalite.read(self.spark, up_path)
                 .withColumn(deltalite.CHANGE_TYPE_COL, F.lit("insert"))

@@ -226,3 +226,60 @@ def test_delta_applied_equals_changed_keys_state(spark, sf_dir):
         "o_custkey", "n_orders", "revenue_cents"
     )
     assert _same(a, b)
+
+
+def test_lost_window_is_loud_and_fallback_is_opt_in(spark, sf_dir, db):
+    """Retention-clean the upstream log past the consumer's watermark:
+    the next incremental run must FAIL with guidance (failOnDataLoss
+    semantics) — and succeed with parity once the model opts into the
+    full-snapshot substitute (sound for changed-keys recompute)."""
+    res1 = _run(spark, db, sf_dir, batch=0)
+    assert all(r.status == "success" for r in res1), res1
+    up_path = dlt.table_path(spark, db, "orders_cdc")
+    # advance the upstream several commits past the watermark, then
+    # retention-clean the head so the consumed window is gone
+    for batch in (1, 2, 3):
+        res = _run_model_only(spark, db, sf_dir, batch=batch)
+        assert all(r.status == "success" for r in res), res
+    # anchor checkpoint must sit at or below the retention horizon
+    deltalite._write_checkpoint(
+        up_path, deltalite.latest_version(up_path) - 1
+    )
+    dropped = deltalite.cleanup_expired_logs(up_path, retain_versions=1)
+    assert dropped, "expected head commits to be cleaned"
+
+    res_fail = _run(spark, db, sf_dir, batch=3)
+    down = next(r for r in res_fail if r.node == "cust_rev_cdc")
+    assert down.status == "error"
+    assert "change window lost" in down.message
+    assert "full_snapshot" in down.message
+
+    proj = _project()
+    proj.models["cust_rev_cdc"] = ModelNode(
+        "cust_rev_cdc",
+        "inline",
+        _DOWN.replace(
+            "unique_key='o_custkey'",
+            "unique_key='o_custkey', on_cdf_data_loss='full_snapshot'",
+        ),
+    )
+    res_ok = Runner(
+        spark=spark, project=proj, database=db,
+        vars={"sf_dir": sf_dir, "batch": 3},
+    ).run()
+    assert all(r.status == "success" for r in res_ok), res_ok
+    assert _same(dlt.read(spark, db, "cust_rev_cdc"), _expected(spark, db))
+    # tracking resumes: watermark re-seeded at the consumed version
+    assert _watermark(spark, db) == deltalite.latest_version(up_path)
+
+
+def _run_model_only(spark, db, sf_dir, **vars):
+    """Run only the upstream model (consumer skips runs — the scenario
+    where maintenance outpaces a consumer's watermark)."""
+    proj = _project()
+    del proj.models["cust_rev_cdc"]
+    r = Runner(
+        spark=spark, project=proj, database=db,
+        vars={"sf_dir": sf_dir, **vars},
+    )
+    return r.run()
