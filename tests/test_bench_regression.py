@@ -63,7 +63,15 @@ def test_suite_never_touches_committed_bench_detail():
     output must NOT be the committed BENCH_DETAIL.json artifact (a pytest
     run once silently overwrote the driver's round detail)."""
     src = open(os.path.join(REPO, "bench.py")).read()
-    assert '"BENCH_DETAIL.json"' not in src
-    assert "BENCH_DETAIL.run.json" in src
+    # the committed artifact may be READ (r10: the ambient self-verify
+    # compares against the committed quiet baseline) but must never be
+    # the default WRITE target
+    for line in src.splitlines():
+        if '"BENCH_DETAIL.json"' in line:
+            assert "committed" in line, (
+                "BENCH_DETAIL.json referenced outside the read-only "
+                f"baseline load: {line.strip()}"
+            )
+    assert 'json.dump' in src and '"BENCH_DETAIL.run.json"' in src
     with open(os.path.join(REPO, ".gitignore")) as f:
         assert "BENCH_DETAIL.run.json" in f.read()
