@@ -653,8 +653,10 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary-scale exact table through one task; the rank window then
     # runs on the bounded 20-row result.
     top20 = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(20)
-    # bounded: 20-row frame (limit above)
-    w = Window.partitionBy(F.col("token").isNotNull()).orderBy(
+    # bounded: 20-row frame (limit above); token is non-nullable here so
+    # isNotNull would FOLD (empty partition spec warning) — use the
+    # non-foldable arithmetic constant instead (the exact_ntile device)
+    w = Window.partitionBy(F.col("exact_cnt") % F.lit(1)).orderBy(
         F.col("exact_cnt").desc(), "token"
     )
     top = top20.withColumn("rk", F.row_number().over(w))

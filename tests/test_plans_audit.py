@@ -334,7 +334,10 @@ def test_constant_key_windows_declare_bounded_input():
     import re
 
     pkg = pathlib.Path(__file__).resolve().parent.parent / "dbt_spark_models_spark"
-    pat = re.compile(r"Window\s*\.\s*partitionBy\(\s*F\.col\([^)]*\)\.isNotNull\(\)")
+    pat = re.compile(
+        r"Window\s*\.\s*partitionBy\(\s*F\.col\([^)]*\)\s*"
+        r"(?:\.isNotNull\(\)|%\s*F\.lit\(1\))"
+    )
     missing = []
     for py in sorted(pkg.rglob("*.py")):
         lines = py.read_text().splitlines()
