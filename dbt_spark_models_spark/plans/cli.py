@@ -68,6 +68,8 @@ def main(argv: list[str] | None = None) -> int:
             project.snapshots.values()
         ):
             jinja.parse_node(project, node)
+        from dbt_spark_models_spark.plans.lint import lint_style
+
         issues = lint_project(
             project, require_owner=False, require_file_format=False
         )
@@ -75,7 +77,12 @@ def main(argv: list[str] | None = None) -> int:
         for i in strict:
             sev = "ERROR" if i in issues else "WARN"
             print(f"{sev:5} [{i.rule}] {i.node}: {i.message}")
-        return 1 if issues else 0
+        # style pass (the reference CI's sqlfluff step) — style issues
+        # fail the lint like the reference's sqlfluff-fix workflow gate
+        style = lint_style(project)
+        for i in style:
+            print(f"STYLE [{i.rule}] {i.node}: {i.message}")
+        return 1 if (issues or style) else 0
 
     from dbt_spark_models_spark.session import get_spark
 
