@@ -93,11 +93,14 @@ def _build(spark: SparkSession, sf_dir: str, db: str) -> dict:
         if any(r.status != "success" for r in results):
             raise RuntimeError(f"cdf run {i + 1} failed: {results}")
         down_path = dlt.table_path(spark, db, "cust_rev_cdc")
-        cfg = (
-            deltalite._replay_state(down_path)["meta"].get("configuration")
-        ) or {}
+        # the watermark rides each consumer commit as a SetTransaction
+        # (atomic with the data, r11; was a tblproperty before)
         watermarks.append(
-            int(cfg["dbt_spark_models.cdf.lastVersion.orders_cdc"])
+            int(
+                deltalite._replay_state(down_path)["txns"][
+                    "dbt_spark_models.cdf.orders_cdc"
+                ]
+            )
         )
         if i == 1:
             run2_version = deltalite.latest_version(down_path)

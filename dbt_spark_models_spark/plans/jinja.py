@@ -61,6 +61,7 @@ def parse_node(project: Project, node: ModelNode) -> None:
     captured_cfg: dict[str, Any] = {}
     deps: list[str] = []
     srcs: list[tuple[str, str]] = []
+    cdf_deps: list[str] = []
 
     def config(**kw: Any) -> str:
         captured_cfg.update(kw)
@@ -68,6 +69,14 @@ def parse_node(project: Project, node: ModelNode) -> None:
 
     def ref(name: str) -> str:
         deps.append(name)
+        return name
+
+    def ref_changes(name: str) -> str:
+        # a CDF read IS a dependency on the upstream — and is ALSO
+        # tracked separately so the Runner can seed consumed-version
+        # watermarks from parse info instead of a raw-SQL regex
+        deps.append(name)
+        cdf_deps.append(name)
         return name
 
     def source(schema: str, table: str) -> str:
@@ -78,7 +87,7 @@ def parse_node(project: Project, node: ModelNode) -> None:
         config=config,
         ref=ref,
         source=source,
-        ref_changes=ref,  # a CDF read IS a dependency on the upstream
+        ref_changes=ref_changes,
         var=lambda k, default=None: project.vars.get(k, default),
         is_incremental=lambda: False,
         this=node.name,
@@ -97,6 +106,7 @@ def parse_node(project: Project, node: ModelNode) -> None:
     node.config = {**project.model_defaults, **captured_cfg}
     node.depends_on = list(dict.fromkeys(deps))
     node.sources = list(dict.fromkeys(srcs))
+    node.cdf_depends_on = list(dict.fromkeys(cdf_deps))
 
 
 def compile_node(

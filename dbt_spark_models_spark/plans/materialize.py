@@ -109,11 +109,21 @@ def materialize(
     database: str | None = None,
     full_refresh: bool = False,
     first_run_sql: str | None = None,
+    cdf_txn: dict[str, int] | None = None,
 ) -> MaterializeResult:
     """Execute one model's compiled SQL under its materialization.
 
     ``sql`` is the incremental-rendered text; ``first_run_sql`` the
     non-incremental render (used when the target doesn't exist yet).
+
+    ``cdf_txn`` ({txn appId: upstream version}) carries the Runner's
+    ref_changes() consumed-version watermarks INTO the materialization
+    commit itself (DeltaLite SetTransaction actions): the watermark and
+    the data it describes are one atomic log entry, so a crash can never
+    leave committed data with a stale watermark that would replay — and
+    double-apply — the same change window (r10 ADVICE #1). Only
+    DeltaLite-backed models may carry one (ref_changes() consumers are
+    required to be ``file_format='delta'``).
     """
     mat = config.get("materialized", "view")
     ident = _qualify(database, name)
@@ -134,7 +144,13 @@ def materialize(
         # the bundled DeltaLite implementation instead of silently
         # degrading to parquet (VERDICT r8 #1).
         return _materialize_deltalite(
-            spark, name, sql, config, database, full_refresh, first_run_sql
+            spark, name, sql, config, database, full_refresh, first_run_sql,
+            cdf_txn,
+        )
+    if cdf_txn:
+        raise ValueError(
+            f"{name}: CDF watermarks need a DeltaLite commit to ride "
+            "(ref_changes() consumers must be file_format='delta')"
         )
     partition_by = config.get("partition_by")
     if isinstance(partition_by, str):
@@ -234,6 +250,7 @@ def _materialize_deltalite(
     database: str | None,
     full_refresh: bool,
     first_run_sql: str | None,
+    cdf_txn: dict[str, int] | None = None,
 ) -> MaterializeResult:
     """``file_format='delta'`` materializations on the bundled DeltaLite
     log (jar-free path). Same dbt-spark strategy semantics as the catalog
@@ -267,7 +284,7 @@ def _materialize_deltalite(
 
     def write_full(select_sql: str, action: str) -> MaterializeResult:
         df = _layout_for_write(spark.sql(select_sql), partition_by, select_sql)
-        deltalite.write(spark, df, path, "overwrite", partition_by)
+        deltalite.write(spark, df, path, "overwrite", partition_by, txn=cdf_txn)
         return finish(action)
 
     exists = deltalite.latest_version(path) is not None
@@ -282,22 +299,22 @@ def _materialize_deltalite(
         osc = config.get("on_schema_change", "ignore")
         df = _align_columns_deltalite(spark, spark.sql(sql), path, osc)
         if strategy == "append":
-            deltalite.write(spark, df, path, "append")
+            deltalite.write(spark, df, path, "append", txn=cdf_txn)
             return finish("appended")
         if strategy == "merge":
             key = config.get("unique_key")
             if not key:
                 raise ValueError(f"merge strategy for {name} needs unique_key")
             keys = [key] if isinstance(key, str) else list(key)
-            deltalite.merge(spark, df, path, keys)
+            deltalite.merge(spark, df, path, keys, txn=cdf_txn)
             return finish("merged")
         # insert_overwrite: dynamic partition overwrite with partition_by,
         # whole-table overwrite without (dbt-spark parity)
         df = _layout_for_write(df, partition_by, sql)
         if partition_by:
-            deltalite.write(spark, df, path, "overwrite_partitions")
+            deltalite.write(spark, df, path, "overwrite_partitions", txn=cdf_txn)
             return finish("overwritten_partitions")
-        deltalite.write(spark, df, path, "overwrite")
+        deltalite.write(spark, df, path, "overwrite", txn=cdf_txn)
         return finish("overwritten")
 
     raise ValueError(

@@ -74,6 +74,12 @@ class ModelNode:
     config: dict[str, Any] = field(default_factory=dict)
     depends_on: list[str] = field(default_factory=list)
     sources: list[tuple[str, str]] = field(default_factory=list)
+    # the subset of depends_on reached via ref_changes() (captured at
+    # parse time, both is_incremental branches): the Runner seeds these
+    # models' consumed-version watermarks on a non-incremental build,
+    # where the incremental branch never renders (r10 ADVICE #4 — a
+    # raw-SQL regex misses dynamic targets like ref_changes(var(...)))
+    cdf_depends_on: list[str] = field(default_factory=list)
 
 
 @dataclass

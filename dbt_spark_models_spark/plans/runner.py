@@ -27,6 +27,14 @@ from dbt_spark_models_spark.plans.project import Project
 from dbt_spark_models_spark.plans.snapshots import snapshot
 
 
+class CdfWindowLost(Exception):
+    """A ref_changes() change window is unrecoverable AND the consumer
+    opted into ``on_cdf_data_loss='full_refresh'``: the Runner catches
+    this during compile and rebuilds the model from scratch in the same
+    run, re-seeding the consumed-version watermark at the upstream's
+    current head inside the rebuild's own commit."""
+
+
 @dataclass
 class RunResult:
     node: str
@@ -200,7 +208,11 @@ class Runner:
         )
 
     # --- CDC-driven incremental (ref_changes) ------------------------------
-    _CDF_PROP = "dbt_spark_models.cdf.lastVersion.{upstream}"
+    # SetTransaction appId carrying the consumed-version watermark INSIDE
+    # the consumer's own data commit (atomic — r10 ADVICE #1); the old
+    # tblproperty key remains readable for tables written before r11
+    _CDF_TXN = "dbt_spark_models.cdf.{upstream}"
+    _CDF_PROP = "dbt_spark_models.cdf.lastVersion.{upstream}"  # legacy read
 
     def _resolve_ref_changes(self, consumer, upstream_name: str) -> str:
         """Resolve ``ref_changes('upstream')`` inside an incremental run:
@@ -211,10 +223,12 @@ class Runner:
         lookback re-reads of the full upstream.
 
         The consumed-version watermark lives in the CONSUMER's delta log
-        (``dbt_spark_models.cdf.lastVersion.<upstream>`` tblproperty), so
-        it advances only when the consumer's own materialization commits;
-        a crash between the CDF read and the write replays the identical
-        window next run. A lost window (no watermark, or the upstream log
+        as a SetTransaction (``txn`` appId
+        ``dbt_spark_models.cdf.<upstream>``) INSIDE the consumer's own
+        materialization commit — watermark and data are one atomic log
+        entry (real Delta's txn-action pattern), so a crash anywhere
+        replays the identical window next run and a committed run can
+        never be double-applied. A lost window (no watermark, or the upstream log
         head retention-cleaned past it) raises by default — real Delta's
         failOnDataLoss — because substituting the full snapshot as
         inserts double-counts for additive signed-delta consumers;
@@ -267,19 +281,47 @@ class Runner:
                     f"watermark {last} predates the oldest surviving "
                     f"commit {surviving[0]} (log head retention-cleaned)"
                 )
+            elif last < v_now:
+                # commit JSONs alone don't prove the window is readable:
+                # VACUUM's horizon is independent of log retention, so
+                # the window's cdc files (or a removed file's bytes) may
+                # be gone while every commit survives (r10 ADVICE #5)
+                gone = deltalite.changes_missing_files(
+                    up_path, last + 1, v_now
+                )
+                if gone:
+                    shown = ", ".join(gone[:3]) + (
+                        f" (+{len(gone) - 3} more)" if len(gone) > 3 else ""
+                    )
+                    lost = (
+                        f"change window ({last}, {v_now}] references "
+                        f"vacuumed files: {shown}"
+                    )
         if lost:
             # Data loss is LOUD by default (real Delta's failOnDataLoss):
             # a silent full-snapshot-as-inserts substitute is only sound
             # for changed-keys consumers — an additive signed-delta
             # consumer would double-count it — so the model must opt in.
-            if consumer.config.get("on_cdf_data_loss") != "full_snapshot":
+            policy = consumer.config.get("on_cdf_data_loss", "fail")
+            if policy == "full_refresh":
+                # opt-in recovery: abort this incremental compile; the
+                # Runner rebuilds the model from scratch THIS run (the
+                # watermark re-seeds at the upstream head inside the
+                # rebuild's own commit, so the next run telescopes on)
+                raise CdfWindowLost(
+                    f"{consumer.name}: ref_changes({upstream_name!r}) "
+                    f"window lost — {lost}; rebuilding (full_refresh)"
+                )
+            if policy != "full_snapshot":
                 raise ValueError(
                     f"{consumer.name}: ref_changes({upstream_name!r}) "
                     f"change window lost — {lost}. Rebuild with "
-                    "full_refresh, or set on_cdf_data_loss="
-                    "'full_snapshot' on the model (safe ONLY for "
-                    "changed-keys recompute consumers, NOT for additive "
-                    "delta application)"
+                    "full_refresh, set on_cdf_data_loss='full_refresh' "
+                    "for automatic from-scratch recovery, or "
+                    "on_cdf_data_loss='full_snapshot' to substitute the "
+                    "snapshot as inserts (safe ONLY for changed-keys "
+                    "recompute consumers, NOT for additive delta "
+                    "application)"
                 )
             changes = (
                 deltalite.read(self.spark, up_path)
@@ -310,53 +352,72 @@ class Runner:
         cons_path = dlt.table_path(self.spark, cons_db, cons_table)
         if deltalite.latest_version(cons_path) is None:
             return None
-        cfg = (
-            deltalite._replay_state(cons_path)["meta"].get("configuration")
-        ) or {}
+        state = deltalite._replay_state(cons_path)
+        # watermark lives as a SetTransaction in the consumer's own data
+        # commits (atomic, r11); tables written before that carry it as
+        # a tblproperty from the old separate-commit scheme — still read
+        v = (state.get("txns") or {}).get(
+            self._CDF_TXN.format(upstream=upstream_name)
+        )
+        if v is not None:
+            return int(v)
+        cfg = state["meta"].get("configuration") or {}
         v = cfg.get(self._CDF_PROP.format(upstream=upstream_name))
         return int(v) if v is not None else None
 
-    def _record_consumed_versions(self, node, node_db, node_table) -> None:
-        """Persist the change-feed watermarks AFTER the consumer's own
-        commit succeeded. On the consumer's FIRST (non-incremental) build
-        ref_changes() was never rendered, so the watermark is seeded from
-        the raw SQL's ref_changes() targets at their just-read versions —
-        the next run then consumes only commits after this build."""
+    def _cdf_upstreams(self, node) -> list[str]:
+        """Every model this node consumes via ref_changes(): the
+        parse-captured set (handles dynamic targets the regex can't, r10
+        ADVICE #4) unioned with a literal-name regex net for branches the
+        parse render couldn't execute."""
         import re as _re
 
+        names = list(getattr(node, "cdf_depends_on", ()))
+        if "ref_changes" in node.raw_sql:
+            names += _re.findall(
+                r"ref_changes\(\s*['\"]([A-Za-z0-9_]+)['\"]", node.raw_sql
+            )
+        return list(dict.fromkeys(names))
+
+    def _cdf_txn_for(self, node) -> dict[str, int] | None:
+        """SetTransaction payloads ({appId: upstream version}) to ride
+        the node's OWN materialization commit — the pending windows the
+        incremental compile read, plus seeds for ref_changes() targets a
+        non-incremental build never rendered (first build, full_refresh,
+        lost-window rebuild): those record the upstream's current head so
+        the next run telescopes from this build. Committing the watermark
+        WITH the data closes the crash window that double-applied a
+        change feed under the old post-commit property write."""
         from dbt_spark_models_spark.plans import deltalite_tables as dlt
         from dbt_spark_models_spark.sources import deltalite
 
-        pending = self._pending_cdf.pop(node.name, {})
-        if "ref_changes" in node.raw_sql:
-            for up_name in _re.findall(
-                r"ref_changes\(\s*['\"]([A-Za-z0-9_]+)['\"]", node.raw_sql
-            ):
-                if up_name in pending:
-                    continue
-                up = self.project.models.get(up_name) or self.project.snapshots.get(
-                    up_name
-                )
-                if up is None or not dlt.uses_deltalite(self.spark, up.config):
-                    continue
-                up_db, up_table = self._identity(up)
-                v = deltalite.latest_version(
-                    dlt.table_path(self.spark, up_db, up_table)
-                )
-                if v is not None:
-                    pending[up_name] = v
+        if not dlt.uses_deltalite(self.spark, node.config):
+            # only DeltaLite commits can carry the SetTransaction; a
+            # non-delta node reaching here has at most a comment-level
+            # "ref_changes" mention (the rendered path already rejects
+            # non-delta consumers loudly)
+            return None
+        pending = dict(self._pending_cdf.get(node.name, {}))
+        for up_name in self._cdf_upstreams(node):
+            if up_name in pending:
+                continue
+            up = self.project.models.get(up_name) or self.project.snapshots.get(
+                up_name
+            )
+            if up is None or not dlt.uses_deltalite(self.spark, up.config):
+                continue
+            up_db, up_table = self._identity(up)
+            v = deltalite.latest_version(
+                dlt.table_path(self.spark, up_db, up_table)
+            )
+            if v is not None:
+                pending[up_name] = v
         if not pending:
-            return
-        cons_path = dlt.table_path(self.spark, node_db, node_table)
-        if deltalite.latest_version(cons_path) is None:
-            return
-        current = (
-            deltalite._replay_state(cons_path)["meta"].get("configuration")
-        ) or {}
-        for up_name, v in sorted(pending.items()):
-            key = self._CDF_PROP.format(upstream=up_name)
-            if current.get(key) != str(v):
-                deltalite.set_table_property(cons_path, key, str(v))
+            return None
+        return {
+            self._CDF_TXN.format(upstream=k): v
+            for k, v in sorted(pending.items())
+        }
 
     # --- lifecycle -------------------------------------------------------
     def seed(self) -> list[RunResult]:
@@ -447,11 +508,26 @@ class Runner:
                         if dow == int(reload_dow):
                             node_full_refresh = True
                 incremental_now = exists and not node_full_refresh
-                inc_sql = self._compile(node, is_incremental=incremental_now)
+                try:
+                    inc_sql = self._compile(node, is_incremental=incremental_now)
+                except CdfWindowLost:
+                    # on_cdf_data_loss='full_refresh': the change window
+                    # is gone — rebuild from scratch this run; the
+                    # watermark re-seeds at the upstream head inside the
+                    # rebuild's own commit (_cdf_txn_for)
+                    node_full_refresh = True
+                    incremental_now = False
+                    self._pending_cdf.pop(name, None)
+                    inc_sql = self._compile(node, is_incremental=False)
                 first_sql = (
                     inc_sql
                     if incremental_now
                     else self._compile(node, is_incremental=False)
+                )
+                cdf_txn = (
+                    self._cdf_txn_for(node)
+                    if ("ref_changes" in node.raw_sql or name in self._pending_cdf)
+                    else None
                 )
                 res = materialize(
                     self.spark,
@@ -461,9 +537,9 @@ class Runner:
                     node_db,
                     full_refresh=node_full_refresh,
                     first_run_sql=first_sql,
+                    cdf_txn=cdf_txn,
                 )
-                if "ref_changes" in node.raw_sql or name in self._pending_cdf:
-                    self._record_consumed_versions(node, node_db, node_table)
+                self._pending_cdf.pop(name, None)
                 out.append(
                     RunResult(name, "model", "success", res.action, time.time() - t0)
                 )

@@ -928,10 +928,19 @@ def write(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     generated: dict[str, str] | None = None,
+    txn: dict[str, int] | None = None,
 ) -> int:
     """Commit ``df`` to the table. ``overwrite`` removes every currently
     active file and adds the new ones in ONE commit; ``append`` only adds.
     Returns the committed version.
+
+    ``txn`` ({appId: version}) adds SetTransaction actions to the SAME
+    commit as the data (spec ``txn`` action) — the atomicity primitive
+    behind exactly-once consumers: a watermark recorded this way can
+    never be observed without the data it describes, because they are
+    one fsync'd log entry (r10 ADVICE #1: a separate
+    set_table_property commit leaves a crash window that replays —
+    and double-applies — the same change feed).
 
     ``partition_by`` gives the table a hive-style partition layout with
     ``partitionValues`` on every add (spec §Add File and Remove File):
@@ -1107,6 +1116,10 @@ def write(
         {"commitInfo": {"operation": op_name, "timestamp": int(time.time() * 1000)}},
         _protocol_action(meta_action["metaData"], prior=_w_proto),
         meta_action,
+        *(
+            {"txn": {"appId": k, "version": int(v)}}
+            for k, v in sorted((txn or {}).items())
+        ),
     ]
     if mode == "overwrite":
         now_ms = int(time.time() * 1000)
@@ -1426,6 +1439,7 @@ def merge(
     keys: list[str],
     change_feed: bool = True,
     deletion_vectors: bool = False,
+    txn: dict[str, int] | None = None,
 ) -> int:
     """MERGE by copy-on-write rewrite, the parquet-table strategy real
     Delta uses for matched files: matched keys update every column,
@@ -1627,6 +1641,12 @@ def merge(
         {"commitInfo": {"operation": "MERGE", "timestamp": now_ms}},
         protocol,
         {"metaData": meta},
+        # SetTransaction watermarks ride the data commit (same contract
+        # as write(txn=...): exactly-once consumed-version bookkeeping)
+        *(
+            {"txn": {"appId": k, "version": int(v)}}
+            for k, v in sorted((txn or {}).items())
+        ),
         *remove_actions,
         *re_add_actions,
         *({"add": a} for a in adds),
@@ -2332,6 +2352,68 @@ def _write_cdc_files(df: DataFrame, table_path: str) -> list[dict]:
 def _commit_actions(table_path: str, version: int) -> list[dict]:
     with open(_version_file(table_path, version)) as f:
         return [json.loads(line) for line in f if line.strip()]
+
+
+def changes_missing_files(
+    table_path: str, starting_version: int, ending_version: int
+) -> list[str]:
+    """Relative paths a ``read_changes()`` over [starting_version,
+    ending_version] would scan that no longer exist on disk — the
+    CDF-side half of the data-loss check (r10 ADVICE #5): VACUUM's
+    retention horizon is independent of log retention, so a change
+    window whose commit JSONs survive can still have had its cdc files
+    (or a removed file's bytes, read back as CDF deletes) reclaimed. A
+    consumer must route a non-empty result through the same loud
+    failOnDataLoss error as a cleaned log head, instead of dying later
+    with a raw FileNotFoundError mid-scan.
+
+    Metadata-rate: one forward log fold plus one exists() per referenced
+    file — never opens data."""
+    missing: set[str] = set()
+    for _v, actions, parent_active in _walk_commits(
+        table_path, starting_version, ending_version
+    ):
+        cdc = [a["cdc"]["path"] for a in actions if "cdc" in a]
+        if cdc:
+            paths = list(cdc)
+        else:
+            # mirror read_changes' derived path exactly, including the
+            # DV-repoint skip (a remove+re-add pair with unchanged
+            # tombstone cardinality is never scanned)
+            removes = [
+                a["remove"]["path"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            add_map = {
+                a["add"]["path"]: a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            }
+
+            def _card(payload: dict | None) -> int:
+                return ((payload or {}).get("deletionVector") or {}).get(
+                    "cardinality", 0
+                )
+
+            for p in sorted(set(removes) & set(add_map)):
+                if _card(parent_active.get(p)) == _card(add_map[p]):
+                    removes.remove(p)
+                    del add_map[p]
+            paths = removes + sorted(add_map)
+            # removed rows are read through the PARENT snapshot's DV
+            # sidecars, added rows through their own add's DV
+            for payload in (
+                *(parent_active.get(p) for p in removes),
+                *add_map.values(),
+            ):
+                dv = (payload or {}).get("deletionVector") or {}
+                if dv.get("path"):
+                    paths.append(dv["path"])
+        for p in paths:
+            if not os.path.exists(os.path.join(table_path, p)):
+                missing.add(p)
+    return sorted(missing)
 
 
 def read_changes(

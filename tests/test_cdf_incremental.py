@@ -49,7 +49,8 @@ GROUP BY o_custkey
 {% endif %}
 """
 
-_WM_PROP = "dbt_spark_models.cdf.lastVersion.orders_cdc"
+_WM_TXN = "dbt_spark_models.cdf.orders_cdc"
+_WM_PROP = "dbt_spark_models.cdf.lastVersion.orders_cdc"  # legacy (pre-r11)
 
 
 def _project() -> Project:
@@ -75,9 +76,13 @@ def _run(spark, db, sf_dir, **vars):
 
 
 def _watermark(spark, db) -> int | None:
+    # the watermark is a SetTransaction INSIDE the consumer's data
+    # commits (atomic, r11); legacy tables carry the old tblproperty
     path = dlt.table_path(spark, db, "cust_rev_cdc")
-    cfg = (deltalite._replay_state(path)["meta"].get("configuration")) or {}
-    v = cfg.get(_WM_PROP)
+    state = deltalite._replay_state(path)
+    v = (state.get("txns") or {}).get(_WM_TXN)
+    if v is None:
+        v = (state["meta"].get("configuration") or {}).get(_WM_PROP)
     return int(v) if v is not None else None
 
 
@@ -283,3 +288,105 @@ def _run_model_only(spark, db, sf_dir, **vars):
         vars={"sf_dir": sf_dir, **vars},
     )
     return r.run()
+
+
+def test_watermark_rides_the_data_commit_atomically(spark, sf_dir, db):
+    """r10 ADVICE #1: the consumed-version watermark must be IN the
+    consumer's data commit (SetTransaction), not a separate property
+    commit — so no crash point can leave committed data with a stale
+    watermark. Inspect the consumer log: the head commit carries both
+    the txn action and the data actions, and NO commit is a
+    watermark-only SET TBLPROPERTIES."""
+    import json
+    import os
+
+    res1 = _run(spark, db, sf_dir, batch=0)
+    assert all(r.status == "success" for r in res1), res1
+    res2 = _run(spark, db, sf_dir, batch=1)
+    assert all(r.status == "success" for r in res2), res2
+    path = dlt.table_path(spark, db, "cust_rev_cdc")
+    for v in deltalite._list_versions(path):
+        actions = deltalite._commit_actions(path, v)
+        kinds = {k for a in actions for k in a}
+        txns = [a["txn"] for a in actions if "txn" in a]
+        # every commit of this consumer is a data commit carrying its
+        # watermark — never a watermark-only metadata commit
+        assert "add" in kinds or "cdc" in kinds, (v, kinds)
+        assert [t["appId"] for t in txns] == [_WM_TXN], (v, txns)
+    # and the legacy property key is not written at all on new tables
+    cfg = (deltalite._replay_state(path)["meta"].get("configuration")) or {}
+    assert _WM_PROP not in cfg
+
+
+def test_vacuumed_window_cdc_files_are_loud(spark, sf_dir, db):
+    """r10 ADVICE #5: VACUUM's horizon is independent of log retention —
+    a window whose commit JSONs survive but whose cdc files were
+    reclaimed must fail with the SAME actionable failOnDataLoss error,
+    not a raw FileNotFoundError mid-scan."""
+    res1 = _run(spark, db, sf_dir, batch=0)
+    assert all(r.status == "success" for r in res1), res1
+    up_path = dlt.table_path(spark, db, "orders_cdc")
+    for batch in (1, 2, 3):
+        res = _run_model_only(spark, db, sf_dir, batch=batch)
+        assert all(r.status == "success" for r in res), res
+    # reclaim bytes only: commit JSONs all survive, but the window's
+    # older commits lose their cdc files
+    removed = deltalite.vacuum(up_path, retain_versions=1, grace_ms=0)
+    assert any("_change_data/" in p for p in removed), removed
+
+    res_fail = _run(spark, db, sf_dir, batch=3)
+    down = next(r for r in res_fail if r.node == "cust_rev_cdc")
+    assert down.status == "error"
+    assert "change window lost" in down.message
+    assert "vacuumed files" in down.message
+
+
+def test_lost_window_full_refresh_policy_recovers(spark, sf_dir, db):
+    """VERDICT r10 #3: on_cdf_data_loss='full_refresh' — a lost window
+    triggers an automatic from-scratch rebuild in the same run, bit-equal
+    to the never-lost state, with the watermark re-seeded so the NEXT run
+    telescopes incrementally again. The default still fails loudly
+    (covered by test_lost_window_is_loud_and_fallback_is_opt_in)."""
+    proj = _project()
+    proj.models["cust_rev_cdc"] = ModelNode(
+        "cust_rev_cdc",
+        "inline",
+        _DOWN.replace(
+            "unique_key='o_custkey'",
+            "unique_key='o_custkey', on_cdf_data_loss='full_refresh'",
+        ),
+    )
+
+    def run(**vars):
+        return Runner(
+            spark=spark, project=proj, database=db,
+            vars={"sf_dir": sf_dir, **vars},
+        ).run()
+
+    res1 = run(batch=0)
+    assert all(r.status == "success" for r in res1), res1
+    up_path = dlt.table_path(spark, db, "orders_cdc")
+    for batch in (1, 2, 3):
+        res = _run_model_only(spark, db, sf_dir, batch=batch)
+        assert all(r.status == "success" for r in res), res
+    # break the window via Runner.maintain-style log retention cleanup
+    deltalite._write_checkpoint(
+        up_path, deltalite.latest_version(up_path) - 1
+    )
+    dropped = deltalite.cleanup_expired_logs(up_path, retain_versions=1)
+    assert dropped, "expected head commits to be cleaned"
+
+    res_rec = run(batch=3)
+    assert all(r.status == "success" for r in res_rec), res_rec
+    down = next(r for r in res_rec if r.node == "cust_rev_cdc")
+    assert down.action == "created", down  # rebuilt from scratch
+    assert _same(dlt.read(spark, db, "cust_rev_cdc"), _expected(spark, db))
+    assert _watermark(spark, db) == deltalite.latest_version(up_path)
+
+    # and the run AFTER recovery is incremental again
+    res_next = run(batch=3, price_mult=3)
+    assert all(r.status == "success" for r in res_next), res_next
+    down2 = next(r for r in res_next if r.node == "cust_rev_cdc")
+    assert down2.action == "merged", down2
+    assert _same(dlt.read(spark, db, "cust_rev_cdc"), _expected(spark, db))
+    assert _watermark(spark, db) == deltalite.latest_version(up_path)
