@@ -106,10 +106,30 @@ import re as _re
 _KW_RE = _re.compile(
     r"\b(" + "|".join(_KEYWORDS) + r")\b"
 )
+# backtick-quoted identifiers are masked too: `end` / `order` are QUOTED
+# identifiers, never keywords (r10 ADVICE #2)
 _MASK_RE = _re.compile(
-    r"\{\{.*?\}\}|\{%-?.*?-?%\}|\{#.*?#\}|'[^']*'|\"[^\"]*\"|--[^\n]*",
+    r"\{\{.*?\}\}|\{%-?.*?-?%\}|\{#.*?#\}|'[^']*'|\"[^\"]*\"|`[^`]*`|--[^\n]*",
     _re.DOTALL,
 )
+_NOQA_RE = _re.compile(r"--\s*noqa(?::\s*([A-Z0-9,\s]+))?", _re.IGNORECASE)
+
+
+def _noqa(raw_line: str) -> set[str] | None:
+    """sqlfluff's inline escape: ``-- noqa`` waives every rule on the
+    line, ``-- noqa: CP01,LT05`` only the listed codes. Returns the
+    waived-code set (empty set = waive all), or None when absent."""
+    m = _NOQA_RE.search(raw_line)
+    if not m:
+        return None
+    if not m.group(1):
+        return set()
+    return {c.strip().upper() for c in m.group(1).split(",") if c.strip()}
+
+
+def _waived(raw_line: str, code: str) -> bool:
+    codes = _noqa(raw_line)
+    return codes is not None and (not codes or code in codes)
 
 
 def _mask(sql: str) -> str:
@@ -140,38 +160,58 @@ def lint_style(project: Project) -> list[LintIssue]:
         raw_lines = node.raw_sql.split("\n")
         prev_code = ""
         for i, (line, raw) in enumerate(zip(lines, raw_lines), start=1):
-            if len(raw) > _STYLE_MAX_LINE:
+            if len(raw) > _STYLE_MAX_LINE and not _waived(raw, "LT05"):
                 issues.append(
                     LintIssue("LT05", name, f"line {i} exceeds 200 chars")
                 )
-            if "\t" in line:
+            if "\t" in line and not _waived(raw, "LT01"):
                 issues.append(
                     LintIssue("LT01", name, f"line {i} uses tab indentation")
                 )
             for m in _KW_RE.finditer(line):
                 kw = m.group(1)
-                if kw.islower():
-                    issues.append(
-                        LintIssue(
-                            "CP01",
-                            name,
-                            f"line {i}: keyword '{kw}' should be upper-case",
-                        )
+                if not kw.islower():
+                    continue
+                # identifier, not keyword (r10 ADVICE #2): a qualified
+                # name (t.end / end.ts) or an alias right after AS — a
+                # column named `values`/`rows`/`end` must not fail CI
+                # that sqlfluff (which parses) would pass
+                before = line[: m.start(1)].rstrip()
+                after = line[m.end(1) :]
+                if before.endswith(".") or after.startswith("."):
+                    continue
+                prev_word = before.rsplit(None, 1)[-1].upper() if before else ""
+                if prev_word == "AS":
+                    continue
+                if _waived(raw, "CP01"):
+                    continue
+                issues.append(
+                    LintIssue(
+                        "CP01",
+                        name,
+                        f"line {i}: keyword '{kw}' should be upper-case",
                     )
-            # comma layout is a property of the RAW text (masking blanks a
-            # string literal but keeps its trailing comma, which would
-            # misread as leading); skip lines that are pure comment/jinja
+                )
+            # LT04 reads the RAW text (masking blanks a string literal in
+            # place, so a separator after the literal would misread as
+            # leading); CV03 reads the MASKED text so a trailing
+            # `-- comment,` can't fake a comma (r10 ADVICE #2)
             raw_stripped = raw.strip()
             code_stripped = line.strip()
-            if raw_stripped.startswith(",") and code_stripped:
+            if (
+                raw_stripped.startswith(",")
+                and code_stripped
+                and not _waived(raw, "LT04")
+            ):
                 issues.append(
                     LintIssue(
                         "LT04", name, f"line {i}: leading comma (use trailing)"
                     )
                 )
             if (
-                code_stripped.upper().startswith("FROM")
+                _re.match(r"FROM\b", code_stripped, _re.IGNORECASE)
                 and prev_code.endswith(",")
+                and not _waived(raw, "CV03")
             ):
                 issues.append(
                     LintIssue(
@@ -181,7 +221,9 @@ def lint_style(project: Project) -> list[LintIssue]:
                     )
                 )
             if code_stripped:
-                prev_code = raw_stripped
+                # masked text: a trailing `-- comment,` can't taint the
+                # comma check (r10 ADVICE #2)
+                prev_code = code_stripped
         if masked.rstrip().endswith(";"):
             issues.append(LintIssue("CV06", name, "final semicolon"))
     return issues

@@ -2009,16 +2009,28 @@ def _dv_repoint_actions(
     return removes, re_adds, touched
 
 
+DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # real OPTIMIZE default ballpark
+
+
 def optimize(
     spark: SparkSession,
     table_path: str,
-    n_files: int = 1,
+    n_files: int | None = None,
     zorder_by: tuple[str, ...] | None = None,
     zorder_bits: int = 6,
     min_file_size: int | None = None,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
 ) -> int:
-    """Compact the active file set into ``n_files`` files in ONE commit —
-    the small-files op every long-lived streaming-append table needs.
+    """Compact the active file set in ONE commit — the small-files op
+    every long-lived streaming-append table needs.
+
+    Output sizing is BIN-PACKED by default (r10 VERDICT watch #1):
+    ``n_files=None`` computes the output count as
+    ``ceil(selected active bytes / target_file_size)`` — a 100 TB table
+    compacts across ceil(bytes/128MiB) tasks instead of funnelling
+    through one, and a small table still folds to a single file. Pass
+    ``n_files`` explicitly to pin the count (tests, ZORDER bucket
+    shaping).
     With ``zorder_by=(x, y, ...)`` the rows are clustered by the Morton
     interleave of the n (integer) columns' low ``zorder_bits`` bits:
     each output file covers one contiguous Z-range, so its min/max stats
@@ -2074,6 +2086,12 @@ def optimize(
     else:
         prior = sorted(active)
         snap = read(spark, table_path, version=snap_version)
+    if n_files is None:
+        # size-targeted bin-packing: enough output files that each lands
+        # near target_file_size; never zero, never a single-task rewrite
+        # of a big table
+        selected_bytes = sum(active[p].get("size", 0) for p in prior)
+        n_files = max(1, -(-selected_bytes // max(1, target_file_size)))
     if zorder_by is not None:
         cols = list(zorder_by)
         k = len(cols)
@@ -2122,7 +2140,10 @@ def optimize(
             drop_partition_cols=("__zb",),
         )
     else:
-        part = snap.coalesce(1)
+        # coalesce (not repartition): shuffle-free — each task reads a
+        # run of small files and writes one compacted file, exactly what
+        # OPTIMIZE's bin-packing does on a cluster
+        part = snap.coalesce(n_files)
         if mapping:
             part = _to_physical(part, mapping)
         adds = _write_data_files(part, table_path, pcols)

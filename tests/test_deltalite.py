@@ -1856,3 +1856,34 @@ def test_optimize_zorder_single_pass_job_count(spark, tdir):
         j2 = jobs_for(2, os.path.join(d2, "t2"))
         j8 = jobs_for(8, os.path.join(d2, "t8"))
     assert j2 == j8, f"job count grew with n_files: {j2} vs {j8}"
+
+
+def test_optimize_default_binpacks_to_target_file_size(spark, tdir):
+    """n_files=None (the Runner.maintain shape): output count =
+    ceil(active bytes / target_file_size) — a big table never funnels
+    through one task, a small one still folds to a single file — with
+    content identical and per-add stats intact (r10 VERDICT watch #1)."""
+    import math
+
+    rows = [(i, "x" * 50) for i in range(2000)]
+    for start in range(0, 2000, 250):
+        deltalite.write(
+            spark,
+            _df(spark, rows[start : start + 250]).coalesce(1),
+            tdir,
+            "overwrite" if start == 0 else "append",
+        )
+    state = deltalite._replay_state(tdir)
+    total = sum(a["size"] for a in state["active"].values())
+    assert len(state["active"]) == 8
+    target = total // 3 + 1  # ceil(total/target) == 3
+    v = deltalite.optimize(spark, tdir, target_file_size=target)
+    after = deltalite._replay_state(tdir)["active"]
+    assert len(after) == math.ceil(total / target) == 3
+    assert all(a.get("stats") for a in after.values()), "stats lost"
+    assert deltalite.read(spark, tdir).count() == 2000
+    assert v == deltalite.latest_version(tdir)
+    # small-table default: everything fits one 128MiB target file
+    deltalite.optimize(spark, tdir)
+    assert len(deltalite._replay_state(tdir)["active"]) == 1
+    assert deltalite.read(spark, tdir).count() == 2000

@@ -395,6 +395,42 @@ def test_style_lint_masks_jinja_strings_comments():
     assert lint_style(_style_project(ok)) == []
 
 
+def test_style_lint_identifier_collisions_not_flagged():
+    """r10 ADVICE #2: identifiers that merely collide with keywords —
+    qualified names (t.end), alias position (AS end), backtick-quoted
+    (`order`), and keyword-prefixed names (from_date) — must pass, and a
+    trailing `-- comment,` on the line before FROM must not fake CV03."""
+    from dbt_spark_models_spark.plans.lint import lint_style
+
+    ok = (
+        "{{ config(materialized='view') }}\n"
+        "SELECT t.end AS end_ts,\n"
+        "       w.rows AS n_rows,\n"
+        "       x AS end,\n"
+        "       `order` AS order_quoted,\n"
+        "       from_date,\n"
+        "       2 AS two  -- note: a, b\n"
+        "FROM {{ ref('x') }}\n"
+    )
+    assert lint_style(_style_project(ok)) == []
+
+
+def test_style_lint_noqa_escape():
+    """sqlfluff's inline escape: `-- noqa: CP01` waives only that code
+    on the line; removing it restores the finding."""
+    from dbt_spark_models_spark.plans.lint import lint_style
+
+    bad = (
+        "{{ config(materialized='view') }}\n"
+        "SELECT end AS e,  -- noqa: CP01\n"
+        "       1 AS one\n"
+        "FROM {{ ref('x') }}\n"
+    )
+    assert lint_style(_style_project(bad)) == []
+    still = bad.replace("  -- noqa: CP01", "")
+    assert {"CP01"} == {i.rule for i in lint_style(_style_project(still))}
+
+
 def test_example_projects_style_clean():
     """Every bundled example project passes the style pass — the same
     bar the reference's CI sqlfluff step sets for its model corpus."""
