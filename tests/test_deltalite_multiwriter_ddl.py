@@ -361,3 +361,219 @@ def test_vacuum_grace_unit(spark, tmp_path):
     deltalite.write(spark, _df(spark, [(2, "b")]), path, "overwrite")
     removed = deltalite.vacuum(path, retain_versions=0)
     assert set(removed) == v0_files
+
+
+# --- r11 (VERDICT r10 #6): separate-JVM arena + crash-recovery --------------
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ddl_ops(spark, path, wid, seed, n_ops=6):
+    """One writer's random walk over the WIDENED op alphabet — the
+    process-arena twin of the per-op thread tests above. Every op is
+    retried through the put-if-absent race like a production job would.
+    Returns the count of ops performed (the universal invariants are
+    verified by the parent; per-writer models can't hold under
+    RESTORE)."""
+    r = random.Random(seed * 1009 + wid)
+    done = 0
+    for i in range(n_ops):
+        op = r.choice(
+            ("append", "append", "optimize", "restore", "evolve", "vacuum")
+        )
+        try:
+            if op == "append":
+                rows = [(wid * 1000 + i, r.choice("abcdef"))]
+                _retry(
+                    lambda rr=rows: deltalite.write(
+                        spark, _df(spark, rr), path, "append"
+                    )
+                )
+            elif op == "optimize":
+                _retry(lambda: deltalite.optimize(spark, path))
+            elif op == "restore":
+                vs = deltalite._list_versions(path)
+                target = r.choice(vs[-3:])  # stay near the head
+                _retry(lambda t=target: deltalite.restore(spark, path, t))
+            elif op == "evolve":
+                rows = [(wid * 1000 + i, r.choice("abcdef"), wid)]
+                _retry(
+                    lambda rr=rows: deltalite.write(
+                        spark,
+                        _df(spark, rr, f"k int, v string, w{wid} int"),
+                        path,
+                        "append",
+                    )
+                )
+            else:  # vacuum with a horizon, default grace protects peers
+                _retry(lambda: deltalite.vacuum(path, retain_versions=3))
+            done += 1
+        except ValueError:
+            # semantic refusals under concurrent DDL (e.g. appending an
+            # old schema shape after a peer's restore) are legal outcomes
+            # of the race — correctness is the parent's chain verify
+            continue
+    return done
+
+
+_DDL_CHILD = r"""
+import sys, json
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo!r} + "/tests")
+import tempfile
+from dbt_spark_models_spark.session import get_spark
+import test_deltalite_multiwriter_ddl as ddl
+spark = get_spark("dlmw-ddl-child", shuffle_partitions=2,
+                  extra_conf={{"spark.sql.warehouse.dir":
+                               tempfile.mkdtemp(prefix="wh-dlmw-ddl-")}})
+n = ddl._ddl_ops(spark, {path!r}, {wid}, {seed}, n_ops=5)
+print("DONE " + json.dumps(n), flush=True)
+spark.stop()
+"""
+
+
+def test_ddl_process_arena(spark):
+    """Three separate JVMs race the widened DDL alphabet (appends,
+    OPTIMIZE, RESTORE, schema evolution, VACUUM-with-horizon) on one
+    table — the literal multi-job deployment. Universal invariants:
+    contiguous chain, every surviving version replays, protocol
+    monotone, the LATEST snapshot's files all exist and read clean."""
+    import subprocess
+
+    for schedule in range(N_SCHEDULES):
+        with tempfile.TemporaryDirectory(prefix="dlmw-ddlproc-") as tdir:
+            path = _seed_table(spark, tdir)
+            procs = [
+                subprocess.Popen(
+                    [
+                        sys.executable,
+                        "-c",
+                        _DDL_CHILD.format(
+                            repo=REPO,
+                            path=path,
+                            wid=w,
+                            seed=SEED_BASE + schedule,
+                        ),
+                    ],
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                    cwd=REPO,
+                )
+                for w in range(3)
+            ]
+            outs = [p.communicate(timeout=480)[0] for p in procs]
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, out[-3000:]
+                assert any(ln.startswith("DONE ") for ln in out.splitlines()), (
+                    out[-3000:]
+                )
+            # vacuum may legitimately have dropped pre-horizon snapshot
+            # files; the latest snapshot must be fully present
+            mw._verify_chain(spark, path, check_files=False)
+            active = deltalite._replay_state(path)["active"]
+            for rel in active:
+                assert os.path.exists(os.path.join(path, rel)), rel
+            deltalite.read(spark, path).count()
+
+
+_STAGE_CHILD = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+import tempfile
+from dbt_spark_models_spark.session import get_spark
+from dbt_spark_models_spark.sources import deltalite
+spark = get_spark("dlmw-stage-child", shuffle_partitions=2,
+                  extra_conf={{"spark.sql.warehouse.dir":
+                               tempfile.mkdtemp(prefix="wh-dlmw-stage-")}})
+df = spark.createDataFrame([({marker}, "staged")], "k int, v string").coalesce(1)
+adds = deltalite._write_data_files(df, {path!r})
+print("STAGED " + adds[0]["path"], flush=True)
+time.sleep(600)  # killed by the parent before any commit
+"""
+
+
+def test_writer_killed_after_staging(spark):
+    """Crash-recovery schedule (VERDICT r10 #6): a writer is SIGKILLed
+    after moving its data files into the table but before winning a
+    commit — the exact window the vacuum grace protects. Proof
+    obligations: concurrent committed rows are never lost, the orphaned
+    staged file is invisible to readers, a default-grace vacuum leaves
+    it alone (it could still be an in-flight writer), and an aged orphan
+    is eventually reclaimed as true garbage."""
+    import signal
+    import subprocess
+
+    for schedule in range(N_SCHEDULES):
+        with tempfile.TemporaryDirectory(prefix="dlmw-kill-") as tdir:
+            path = _seed_table(spark, tdir)
+            child = subprocess.Popen(
+                [
+                    sys.executable,
+                    "-c",
+                    _STAGE_CHILD.format(repo=REPO, path=path, marker=999_999),
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                cwd=REPO,
+            )
+            staged_rel = None
+            try:
+                for line in child.stdout:
+                    if line.startswith("STAGED "):
+                        staged_rel = line.split(" ", 1)[1].strip()
+                        break
+                assert staged_rel, "child never staged"
+                child.send_signal(signal.SIGKILL)
+            finally:
+                child.kill()
+                child.wait(timeout=60)
+            assert os.path.exists(os.path.join(path, staged_rel))
+
+            # concurrent writers commit THROUGH the crash window
+            models: dict[int, dict] = {}
+
+            def writer(wid):
+                def go():
+                    r = random.Random(SEED_BASE + schedule * 13 + wid)
+                    model = {}
+                    for i in range(4):
+                        rows = [(wid * 100 + i, r.choice("xyz"))]
+                        _retry(
+                            lambda rr=rows: deltalite.write(
+                                spark, _df(spark, rr), path, "append"
+                            )
+                        )
+                        model.update(rows)
+                    models[wid] = model
+
+                return go
+
+            _run_threads([writer(w) for w in range(2)])
+
+            # the orphan is invisible and grace-protected while fresh
+            rows = {
+                r.k: r.v for r in deltalite.read(spark, path).collect()
+            }
+            assert 999_999 not in rows
+            removed = deltalite.vacuum(path, retain_versions=2)
+            assert staged_rel not in removed, "grace failed: ate in-flight file"
+            assert os.path.exists(os.path.join(path, staged_rel))
+            # aged past the grace it is true garbage and is reclaimed
+            orphan_abs = os.path.join(path, staged_rel)
+            old = time.time() - 3600
+            os.utime(orphan_abs, (old, old))
+            removed = deltalite.vacuum(path, retain_versions=2)
+            assert staged_rel in removed
+            assert not os.path.exists(orphan_abs)
+            # no committed row lost anywhere in the schedule
+            final = mw._verify_chain(spark, path, check_files=False)
+            flat = {k: v[0] for k, v in final.items()}
+            for wid, model in models.items():
+                got = {
+                    k: v
+                    for k, v in flat.items()
+                    if wid * 100 <= k <= wid * 100 + 99
+                }
+                assert got == model, (wid, got, model)
