@@ -34,6 +34,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--exclude", nargs="*", default=None)
     ap.add_argument("--vars", default="{}", help="JSON dict")
     ap.add_argument("--full-refresh", action="store_true")
+    ap.add_argument(
+        "--threads", type=int, default=None,
+        help="dbt-style DAG parallelism: N>=2 runs independent models "
+        "concurrently (ready-set scheduler; default serial)",
+    )
+    ap.add_argument(
+        "--pools", default="{}",
+        help='JSON dict {airflow_pool: max_concurrent} honored by --threads',
+    )
     args = ap.parse_args(argv)
 
     from dbt_spark_models_spark.plans import Project, Runner
@@ -104,8 +113,12 @@ def main(argv: list[str] | None = None) -> int:
             print()
         return 0
 
+    pools = json.loads(args.pools)
     if args.command == "run":
-        results = runner.run(args.select, args.exclude, args.full_refresh)
+        results = runner.run(
+            args.select, args.exclude, args.full_refresh,
+            threads=args.threads, pools=pools,
+        )
     elif args.command == "seed":
         results = runner.seed()
     elif args.command == "snapshot":
@@ -114,7 +127,9 @@ def main(argv: list[str] | None = None) -> int:
         results = runner.test()
     else:
         results = runner.build(
-            select=args.select, exclude=args.exclude, full_refresh=args.full_refresh
+            select=args.select, exclude=args.exclude,
+            full_refresh=args.full_refresh,
+            threads=args.threads, pools=pools,
         )
 
     from dbt_spark_models_spark.plans.manifest import write_run_results
