@@ -690,50 +690,63 @@ class Runner:
                         sems[pool].release()
         return out
 
-    def snapshot(self, run_ts: str | None = None) -> list[RunResult]:
-        out = []
-        for name, node in self.project.snapshots.items():
-            t0 = time.time()
-            try:
-                sql = self._compile(node, is_incremental=False)
-                snap_db, snap_table = self._identity(node)
-                self._ensure_db(snap_db)
-                from dbt_spark_models_spark.plans import deltalite_tables as dlt
+    def _snapshot_node(self, name: str, run_ts: str | None) -> RunResult:
+        node = self.project.snapshots[name]
+        t0 = time.time()
+        try:
+            sql = self._compile(node, is_incremental=False)
+            snap_db, snap_table = self._identity(node)
+            self._ensure_db(snap_db)
+            from dbt_spark_models_spark.plans import deltalite_tables as dlt
 
-                if dlt.uses_deltalite(self.spark, node.config):
-                    # the reference's 54 snapshot blocks all target delta —
-                    # one atomic commit per batch, history = time travel
-                    from dbt_spark_models_spark.plans.snapshots import (
-                        snapshot_deltalite,
-                    )
+            if dlt.uses_deltalite(self.spark, node.config):
+                # the reference's 54 snapshot blocks all target delta —
+                # one atomic commit per batch, history = time travel
+                from dbt_spark_models_spark.plans.snapshots import (
+                    snapshot_deltalite,
+                )
 
-                    snapshot_deltalite(
-                        self.spark,
-                        dlt.table_path(self.spark, snap_db, snap_table),
-                        self.spark.sql(sql),
-                        node.config,
-                        run_ts=run_ts,
-                    )
-                    dlt.attach(self.spark, snap_db, snap_table)
-                    action = "snapshot_deltalite"
-                else:
-                    res = snapshot(
-                        self.spark,
-                        snap_table,
-                        self.spark.sql(sql),
-                        node.config,
-                        snap_db,
-                        run_ts=run_ts,
-                    )
-                    action = res.action
-                out.append(
-                    RunResult(name, "snapshot", "success", action, time.time() - t0)
+                snapshot_deltalite(
+                    self.spark,
+                    dlt.table_path(self.spark, snap_db, snap_table),
+                    self.spark.sql(sql),
+                    node.config,
+                    run_ts=run_ts,
                 )
-            except Exception as e:  # noqa: BLE001
-                out.append(
-                    RunResult(name, "snapshot", "error", "", time.time() - t0, str(e))
+                dlt.attach(self.spark, snap_db, snap_table)
+                action = "snapshot_deltalite"
+            else:
+                res = snapshot(
+                    self.spark,
+                    snap_table,
+                    self.spark.sql(sql),
+                    node.config,
+                    snap_db,
+                    run_ts=run_ts,
                 )
-        return out
+                action = res.action
+            return RunResult(
+                name, "snapshot", "success", action, time.time() - t0
+            )
+        except Exception as e:  # noqa: BLE001
+            return RunResult(name, "snapshot", "error", "", time.time() - t0, str(e))
+
+    def snapshot(
+        self, run_ts: str | None = None, threads: int | None = None
+    ) -> list[RunResult]:
+        """One SCD2 batch per snapshot node. Snapshots read committed
+        models and write only their own table, so they are mutually
+        independent — ``threads=N`` maps them over a pool (the Airflow
+        deployment ran them as parallel tasks the same way)."""
+        names = list(self.project.snapshots)
+        if threads is not None and threads > 1 and len(names) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=threads) as ex:
+                return list(
+                    ex.map(lambda n: self._snapshot_node(n, run_ts), names)
+                )
+        return [self._snapshot_node(n, run_ts) for n in names]
 
     def test(self) -> list[RunResult]:
         """Singular data tests (query must return 0 rows, reference
@@ -803,7 +816,7 @@ class Runner:
         return [
             *self.seed(),
             *self.run(**kw),
-            *self.snapshot(run_ts=run_ts),
+            *self.snapshot(run_ts=run_ts, threads=kw.get("threads")),
             *self.test(),
         ]
 
@@ -813,11 +826,15 @@ class Runner:
         end_date: str,
         select: list[str] | None = None,
         date_var: str = "run_date",
+        threads: int | None = None,
+        pools: dict[str, int] | None = None,
     ) -> list[RunResult]:
         """Day-by-day re-run with a shifted date var (reference
         ``backfill.sh:41-46``): each iteration renders models with
         ``var(date_var)`` = that day, so incremental insert_overwrite
-        replaces exactly that day's partitions."""
+        replaces exactly that day's partitions. Days stay SERIAL (day N's
+        incremental state feeds day N+1); ``threads`` parallelizes the
+        DAG within each day."""
         import datetime as _dt
 
         out: list[RunResult] = []
@@ -827,7 +844,9 @@ class Runner:
         try:
             while day <= end:
                 self.vars = {**saved, date_var: day.isoformat()}
-                out.extend(self.run(select=select))
+                out.extend(
+                    self.run(select=select, threads=threads, pools=pools)
+                )
                 day += _dt.timedelta(days=1)
         finally:
             self.vars = saved

@@ -169,3 +169,43 @@ def test_priority_weight_breaks_ready_ties(spark, sf_dir):
     res = r.run(threads=2, pools={"mart": 1})
     assert all(x.status == "success" for x in res), res
     assert tracer.spans["mid_b"][0] < tracer.spans["mid_a"][0], tracer.spans
+
+
+_SNAP = """
+{{{{ config(strategy='check', unique_key='k', check_cols=['n'],
+          file_format='delta') }}}}
+SELECT k, n, cents FROM {{{{ ref('{src}') }}}}
+"""
+
+
+def test_snapshot_phase_threads_matches_serial(spark, sf_dir):
+    """Snapshots are mutually independent — snapshot(threads=2) must
+    produce row-identical SCD2 state to the serial phase."""
+
+    def proj():
+        p = _diamond()
+        p.snapshots = {
+            "snap_a": ModelNode(
+                "snap_a", "inline", _SNAP.format(src="mid_a"), kind="snapshot"
+            ),
+            "snap_b": ModelNode(
+                "snap_b", "inline", _SNAP.format(src="mid_b"), kind="snapshot"
+            ),
+        }
+        return p
+
+    states = {}
+    for label, threads in (("ser", None), ("par", 2)):
+        db = _fresh_db(spark, f"par_snap_{label}")
+        r = Runner(spark=spark, project=proj(), database=db,
+                   vars={"sf_dir": sf_dir})
+        assert all(x.status == "success" for x in r.run(threads=threads))
+        snaps = r.snapshot(run_ts="2024-03-01 00:00:00", threads=threads)
+        assert all(x.status == "success" for x in snaps), snaps
+        states[label] = {
+            name: dlt.read(spark, db, name).drop("dbt_updated_at")
+            for name in ("snap_a", "snap_b")
+        }
+    for name in ("snap_a", "snap_b"):
+        a, b = states["ser"][name], states["par"][name]
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
