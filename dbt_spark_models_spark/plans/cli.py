@@ -43,6 +43,24 @@ def main(argv: list[str] | None = None) -> int:
         "--pools", default="{}",
         help='JSON dict {airflow_pool: max_concurrent} honored by --threads',
     )
+    ap.add_argument(
+        "--changed-only", action="store_true",
+        help="select models whose source file changed vs --base-ref, is "
+        "modified in the working tree, or is untracked (reference "
+        "infra/dbtjoom changed-file selection)",
+    )
+    ap.add_argument("--base-ref", default="origin/master")
+    ap.add_argument(
+        "--select-dependencies", choices=["fill_gaps", "all_children"],
+        default=None,
+        help="expand --changed-only: fill_gaps adds intermediates between "
+        "changed nodes; all_children selects their descendants",
+    )
+    ap.add_argument(
+        "--failed-only", action="store_true",
+        help="restrict to nodes whose last run_results status was not "
+        "success (retry pattern)",
+    )
     args = ap.parse_args(argv)
 
     from dbt_spark_models_spark.plans import Project, Runner
@@ -114,10 +132,36 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     pools = json.loads(args.pools)
+    names = None
+    if args.changed_only or args.failed_only:
+        # caller-resolved exact selection: changed/failed filters compose
+        # with --select/--exclude by intersection, and the final list is
+        # NOT re-gap-filled (reference find_nodes semantics)
+        from dbt_spark_models_spark.plans import graph
+
+        chosen: set[str] | None = None
+        if args.changed_only:
+            chosen = set(
+                graph.select_changed(
+                    project, args.base_ref, args.select_dependencies
+                )
+            )
+        if args.failed_only:
+            failed = {
+                n
+                for n in graph.failed_models(project, args.target_dir)
+                if n in project.models
+            }
+            chosen = failed if chosen is None else chosen & failed
+        if args.select or args.exclude:
+            chosen &= set(graph.select_nodes(project, args.select, args.exclude))
+        names = [n for n in graph.build_order(project) if n in chosen]
+        if not names:
+            print("changed/failed selection matched no models")
     if args.command == "run":
         results = runner.run(
             args.select, args.exclude, args.full_refresh,
-            threads=args.threads, pools=pools,
+            threads=args.threads, pools=pools, names=names,
         )
     elif args.command == "seed":
         results = runner.seed()
@@ -129,7 +173,7 @@ def main(argv: list[str] | None = None) -> int:
         results = runner.build(
             select=args.select, exclude=args.exclude,
             full_refresh=args.full_refresh,
-            threads=args.threads, pools=pools,
+            threads=args.threads, pools=pools, names=names,
         )
 
     from dbt_spark_models_spark.plans.manifest import write_run_results

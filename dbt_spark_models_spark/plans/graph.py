@@ -116,3 +116,103 @@ def select_nodes(
         else:
             chosen.discard(base)
     return [n for n in order if n in chosen]
+
+
+def changed_models(project: Project, base_ref: str = "origin/master") -> set[str]:
+    """Model/snapshot names whose SOURCE FILE differs from ``base_ref``,
+    is modified in the working tree, or is untracked — the reference's
+    changed-file detection (``infra/dbtjoom/utils.py:28-34``: index vs
+    origin/master + unstaged + untracked), mapped onto nodes by file
+    path (``infra/dbtjoom/find.py:49-51`` ``is_changed``). Nodes without
+    an on-disk path (inline tests) never match. Git failures (no repo,
+    unknown ref) contribute nothing rather than raising — CI decides
+    whether an empty selection is an error."""
+    import os
+    import subprocess
+
+    root = os.path.abspath(project.root)
+    changed: set[str] = set()
+    for cmd in (
+        ["git", "diff", "--name-only", base_ref],
+        ["git", "diff", "--name-only"],
+        ["git", "ls-files", "--others", "--exclude-standard"],
+    ):
+        try:
+            out = subprocess.run(
+                cmd, cwd=root, capture_output=True, text=True, check=True
+            ).stdout
+        except Exception:  # noqa: BLE001 — missing git/ref: contribute nothing
+            continue
+        changed.update(ln.strip() for ln in out.splitlines() if ln.strip())
+    # run from a subdirectory of the git repo: git paths are repo-relative;
+    # resolve both sides to absolute paths for the comparison
+    try:
+        top = subprocess.run(
+            ["git", "rev-parse", "--show-toplevel"],
+            cwd=root, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        top = root
+    changed_abs = {os.path.abspath(os.path.join(top, p)) for p in changed}
+    out_names: set[str] = set()
+    for name, node in {**project.models, **project.snapshots}.items():
+        p = node.path
+        if not p or p == "inline":
+            continue
+        if os.path.abspath(os.path.join(root, p)) in changed_abs or (
+            os.path.isabs(p) and os.path.abspath(p) in changed_abs
+        ):
+            out_names.add(name)
+    return out_names
+
+
+def select_changed(
+    project: Project,
+    base_ref: str = "origin/master",
+    dependencies: str | None = None,
+) -> list[str]:
+    """``--changed-only`` selection in topo order (reference
+    ``find_nodes(changed_only=True, select_dependencies=...)``,
+    ``infra/dbtjoom/find.py:93-106``):
+
+    - ``dependencies=None``: exactly the changed models;
+    - ``'fill_gaps'``: changed models plus every intermediate node on a
+      dependency path between two of them;
+    - ``'all_children'``: the changed models' transitive DESCENDANTS
+      (reference parity: ``find_children_models`` collects each node's
+      children only, never the node itself — a changed node appears in
+      the result only when it descends from ANOTHER changed node; the
+      CI pairs this with the changed set itself when it wants both)."""
+    changed = {n for n in changed_models(project, base_ref) if n in project.models}
+    if dependencies == "fill_gaps":
+        chosen = gap_fill(project, changed)
+    elif dependencies == "all_children":
+        chosen = set()
+        for n in changed:
+            chosen |= children_closure(project, {n}) - {n}
+    else:
+        chosen = changed
+    return [n for n in build_order(project) if n in chosen]
+
+
+def failed_models(project: Project, target_dir: str | None = None) -> set[str]:
+    """Node names whose LAST run_results status was not success — the
+    reference's retry selection (``find_nodes(failed_only=True)``,
+    ``infra/dbtjoom/find.py:108-110`` over dbt's run_results.json)."""
+    import json
+    import os
+
+    path = os.path.join(
+        target_dir or os.path.join(project.root, "target"), "run_results.json"
+    )
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        payload = json.load(f)
+    out: set[str] = set()
+    for res in payload.get("results", []):
+        if res.get("status") == "success":
+            continue
+        uid = res.get("unique_id", "")
+        out.add(uid.rsplit(".", 1)[-1])
+    return out

@@ -554,8 +554,14 @@ class Runner:
         full_refresh: bool = False,
         threads: int | None = None,
         pools: dict[str, int] | None = None,
+        names: list[str] | None = None,
     ) -> list[RunResult]:
         """Execute selected models in dependency order.
+
+        ``names`` bypasses graph selection with an EXACT, caller-resolved
+        model list (the CLI's --changed-only / --failed-only selections,
+        which must not re-apply select_nodes' automatic gap-filling);
+        the list is re-sorted into topo order.
 
         ``threads=N`` (N ≥ 2) opts into the in-process DAG-parallel
         scheduler (VERDICT r10 #1): a ready-set executor over the topo
@@ -577,7 +583,14 @@ class Runner:
         At 100 TB each model is one Spark job; local threads just keep N
         jobs in flight so the cluster scheduler (FAIR mode) overlaps
         their stages — driver-side cost is negligible."""
-        order = graph.select_nodes(self.project, select, exclude)
+        if names is not None:
+            unknown = [n for n in names if n not in self.project.models]
+            if unknown:
+                raise KeyError(f"run(names=...): unknown models {unknown}")
+            wanted = set(names)
+            order = [n for n in graph.build_order(self.project) if n in wanted]
+        else:
+            order = graph.select_nodes(self.project, select, exclude)
         if threads is not None and threads > 1:
             return self._run_parallel(order, full_refresh, threads, pools or {})
         failed: set[str] = set()
