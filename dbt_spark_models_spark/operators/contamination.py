@@ -115,13 +115,15 @@ def text_contamination_ngram_overlap(
     )
     eval_ngrams = (
         shingled.filter(F.col("source") == _EVAL_SOURCE)
-        .select(F.explode("shingles").alias("shingle"))
+        .select(F.explode(F.array_distinct("shingles")).alias("shingle"))
         .distinct()
     )
-    cand = (
-        shingled.filter(F.col("source") != _EVAL_SOURCE)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .distinct()
+    # per-doc distinct shingles are DOC-LOCAL: array_distinct before the
+    # explode replaces the corpus-wide (doc_id, shingle) DISTINCT exchange
+    # with row-local dedup — the only shuffle left is the final per-doc
+    # groupBy (map-side combined)
+    cand = shingled.filter(F.col("source") != _EVAL_SOURCE).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("shingle")
     )
     joined = cand.join(
         F.broadcast(eval_ngrams.withColumn("hit", F.lit(1))), "shingle", "left"
@@ -165,10 +167,15 @@ def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; pass 1 is one map-side-combined groupBy on the token — the same
     plan shape at 100 TB."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    words = d.select(
-        "doc_id", F.explode(_tokens()).alias("word")
+    # tokenization feeds both the vocabulary build and the scoring pass —
+    # persist the tokenized frame so the regex split runs once; vocab
+    # additionally feeds its own broadcast AND the total, so the (small)
+    # aggregate persists too instead of re-exploding the corpus
+    toks = d.select("doc_id", _tokens().alias("tokens")).persist()
+    words = toks.select("doc_id", F.explode("tokens").alias("word"))
+    vocab = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).persist()
     )
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
     neg_lp = -F.log(F.col("cnt") / F.col("n"))
     scored = words.join(F.broadcast(vocab), "word").crossJoin(F.broadcast(total))
@@ -328,9 +335,17 @@ def pipeline_pretraining_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    # the tokenization feeds FOUR plan branches (repetition gate counts,
+    # the gated row set itself, eval n-grams, candidate shingles); Spark
+    # evaluates each branch from scratch, re-running the regex split over
+    # the corpus 4×. Materialize it once — locally a disk-spillable
+    # persist; at 100 TB this is the "write the tokenized table, then
+    # build the pipeline over it" stage a production run does anyway
+    # (the same judgment as dedup_minhash_lsh's shingle persist).
     toks = (
         d.select("doc_id", "lang", "source", "n_chars", "text",
                  _tokens().alias("tokens"))
+        .persist()
     )
     with_bigrams = toks.filter(F.size("tokens") >= 10).withColumn(
         "bgs",
@@ -591,12 +606,15 @@ def contamination_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes the same md5-derived bit positions, so the
     driver's hash gate verifies the filter's exact semantics, FPs included.
 
-    Representation note: the registry query models the bitset as a
-    distinct-positions table (joinable, bounded by m rows) because a
-    DataFrame join against ≤ m keys IS the broadcast-bitset probe in
-    relational form; ``tests/test_bloom_bitset.py`` builds the packed
-    ``array<long>`` bitmap via ``bit_or`` aggregation and proves the two
-    representations decide membership identically.
+    Representation note: the registry query now runs the packed
+    ``map<word, bits>`` bitmap built by map-side ``bit_or`` aggregation —
+    the form ``tests/test_bloom_bitset.py`` proves membership-identical
+    to the historical distinct-positions join table. The probe is a
+    row-local ``forall`` over the k bit positions against the ≤ m/64-entry
+    broadcast map: the k-way posexplode, the broadcast hash join, and the
+    (doc, gram) re-aggregation the join form needed all disappear, and
+    the eval side is scanned ONCE (the k hash positions come from one
+    row-local array, not k unioned scans).
     """
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     shingled = (
@@ -604,35 +622,52 @@ def contamination_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("tokens") >= _N)
         .select("doc_id", "source", F.expr(_shingles_expr()).alias("shingles"))
     )
-    eval_grams = (
+    # m-bit bitset as ≤ m/64 packed words: bit_or is map-side combined, so
+    # the driver/broadcast only ever sees the ≤ 8 KB bitmap, never grams
+    bitmap = (
         shingled.filter(F.col("source") == _EVAL_SOURCE)
-        .select(F.explode("shingles").alias("g"))
+        .select(F.explode(F.array_distinct("shingles")).alias("g"))
         .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos_spark(F.col("g"), j) for j in range(_BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        .select(
+            F.expr("pos DIV 64").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("m")
+        )
     )
-    bloom = None
-    for j in range(_BLOOM_K):
-        part = eval_grams.select(_bloom_pos_spark(F.col("g"), j).alias("pos"))
-        bloom = part if bloom is None else bloom.unionAll(part)
-    bloom = bloom.distinct()
-
-    cand = (
-        shingled.filter(F.col("source") != _EVAL_SOURCE)
-        .select("doc_id", F.explode("shingles").alias("g"))
-        .distinct()
+    # per-doc distinct shingles are DOC-LOCAL: array_distinct before the
+    # explode replaces the corpus-wide (doc_id, g) DISTINCT exchange with
+    # row-local dedup
+    cand = shingled.filter(F.col("source") != _EVAL_SOURCE).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("g")
     )
-    # k probe positions per gram, row-local (posexplode of a k-array beats
-    # k unioned scans of the candidate side)
-    probes = cand.select(
-        "doc_id",
-        "g",
-        F.explode(
-            F.array(*[_bloom_pos_spark(F.col("g"), j) for j in range(_BLOOM_K)])
-        ).alias("pos"),
+    # row-local k-hash membership test against the broadcast bitmap — the
+    # k probe positions are one array, each tested with a shift/AND
+    posarr = F.array(
+        *[_bloom_pos_spark(F.col("g"), j) for j in range(_BLOOM_K)]
     )
     per_gram = (
-        probes.join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left")
-        .groupBy("doc_id", "g")
-        .agg((F.count("hit") == _BLOOM_K).alias("bloom_positive"))
+        cand.withColumn("parr", posarr)
+        .crossJoin(F.broadcast(bitmap))
+        .select(
+            "doc_id",
+            F.expr(
+                "forall(parr, p -> (coalesce(m[p DIV 64], 0L)"
+                " & shiftleft(1L, CAST(p % 64 AS INT))) != 0)"
+            ).alias("bloom_positive"),
+        )
     )
     return per_gram.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),

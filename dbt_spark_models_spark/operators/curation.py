@@ -969,6 +969,10 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the positives removes accidental hits (over-sampling 8 → keep 2
     absorbs the loss), and the top-k window is keyed per customer."""
     li = load_tables(spark, sf_dir, ("orders", "lineitem", "part"))
+    # pur feeds TWO plan branches (the customer universe and the anti-join
+    # right side); without a persist Spark re-runs the orders⋈lineitem +
+    # distinct subtree for each — at 100 TB this is the "materialize the
+    # positives table" step a contrastive pipeline runs anyway
     pur = (
         li["orders"]
         .join(
@@ -977,6 +981,7 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "l_partkey")
         .distinct()
+        .persist()
     )
     n_parts = li["part"].count()  # catalog-size constant (1-row probe)
     custs = pur.select("o_custkey").distinct()

@@ -257,13 +257,17 @@ def dedup_minhash_lsh(
     # same aggregate — one shuffle computes 16 minhashes AND the set size,
     # instead of re-running the tokenize+shingle pipeline for a second
     # groupBy
+    # minh feeds two branches (band signatures + the per-doc sizes used
+    # for Jaccard); persisting the ≤1-row-per-doc aggregate saves the
+    # second scan-and-aggregate of the shingle cache the sizes branch
+    # would otherwise re-run
     minh = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("sz"),
         *[
             F.min((F.lit(a) * F.col("tid") + F.lit(b)) % _MOD).alias(f"mh{i}")
             for i, (a, b) in enumerate(_PERMS)
         ]
-    )
+    ).persist()
     # bands as row-local concat + posexplode (no shuffle)
     band_cols = [
         F.concat_ws(

@@ -309,16 +309,20 @@ def curation_bradley_terry_strengths(
         norm = raw.agg(
             F.count(F.lit(1)).alias("k"), F.sum("w_raw").alias("s")
         )
-        w = (
-            raw.crossJoin(F.broadcast(norm))
-            .select(
-                "i",
-                F.greatest(
-                    F.round(F.col("w_raw") * F.col("k") / F.col("s"), 9),
-                    F.lit(eps),
-                ).alias("w"),
-            )
-            .localCheckpoint(eager=True)
+        # LAZY across iterations: every w_t here is a ≤|items|-row frame
+        # derived from the checkpointed mat, so the unrolled 3-round plan
+        # is shallow and tiny; chaining it lazily lets ReuseExchange share
+        # the per-round broadcast builds instead of paying one serial
+        # driver action (job submit + broadcast + collect) per round the
+        # eager localCheckpoint form used to burn (~6 extra driver
+        # round-trips for zero data-size benefit — mat already cut the
+        # corpus lineage above).
+        w = raw.crossJoin(F.broadcast(norm)).select(
+            "i",
+            F.greatest(
+                F.round(F.col("w_raw") * F.col("k") / F.col("s"), 9),
+                F.lit(eps),
+            ).alias("w"),
         )
     totals = mat.groupBy("i").agg(
         F.sum("w_ij").alias("wins"), F.sum("n_ij").alias("n_matches")

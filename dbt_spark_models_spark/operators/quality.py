@@ -3132,14 +3132,17 @@ def eval_corpus_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
     components are non-trivial and engine-reproducible. The generation
     eval every translation/summarization pipeline reports.
 
-    Scale — BLEU as keyed aggregation, no alignment pass: per-doc n-gram
-    multisets come from row-local array transforms (index lambdas build
-    bigrams without a second explode pass), clipping is a keyed LEFT
-    join of hypothesis-gram counts to reference-gram counts on
-    (doc, gram) — an equi-join whose build side is the doc's own grams,
-    never a corpus-wide vocabulary — and corpus precision is one SUM of
-    exact integer counts. Everything after the per-doc joins is
-    arithmetic on a 1-row frame."""
+    Scale — BLEU as keyed aggregation, no alignment pass: the corpus is
+    tokenized ONCE and every n-gram (hyp/ref × uni/bi) flows through a
+    single explode tagged with (n, role) flags, so clipping needs no
+    hyp⋈ref join at all — one (doc, n, gram) count aggregate yields ch
+    and cr side by side, ``least(ch, cr)`` is row-local, and corpus
+    precision is one SUM of exact integer counts per n. The corpus
+    lengths and doc count ride the same aggregate (h = Σch, r = Σcr at
+    n=1; a per-doc n=0 seed row counts docs), so the whole query is one
+    corpus scan, one keyed shuffle, and 1-row arithmetic — the former
+    shape re-ran the tokenization subtree five times and paid two keyed
+    joins for the clipping."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     pairs = (
         d.withColumn("ref", _tokens())
@@ -3154,57 +3157,60 @@ def eval_corpus_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bigrams = "transform(sequence(1, size({c}) - 1), i -> concat({c}[i - 1], ' ', {c}[i]))"
-
-    def gram_counts(col: str, n: int, out: str) -> DataFrame:
-        src = (
-            F.col(col)
-            if n == 1
-            else F.expr(bigrams.format(c=col))
-        )
-        return (
-            pairs.select("doc_id", F.explode(src).alias("gram"))
-            .groupBy("doc_id", "gram")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
-
-    def precision(n: int):
-        h = gram_counts("hyp", n, "ch")
-        r = gram_counts("ref", n, "cr")
-        j = h.join(r, ["doc_id", "gram"], "left")
-        return j.agg(
-            F.sum(F.least(F.col("ch"), F.coalesce(F.col("cr"), F.lit(0)))).alias(
-                "clipped"
-            ),
-            F.sum("ch").alias("total"),
-        )
-
-    p1 = precision(1).select(
-        (F.col("clipped") / F.col("total")).alias("p1v")
+    tag = (
+        "transform({src}, g -> struct({n} AS n, {h} AS h, {r} AS r, g AS gram))"
     )
-    p2 = precision(2).select(
-        (F.col("clipped") / F.col("total")).alias("p2v")
+    grams = pairs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat("
+                # one seed row per doc: n_docs = sum(ch) of the n=0 group
+                + "array(struct(0 AS n, 1 AS h, 0 AS r, '' AS gram)), "
+                + tag.format(src="hyp", n=1, h=1, r=0)
+                + ", "
+                + tag.format(src="ref", n=1, h=0, r=1)
+                + ", "
+                + tag.format(src=bigrams.format(c="hyp"), n=2, h=1, r=0)
+                + ", "
+                + tag.format(src=bigrams.format(c="ref"), n=2, h=0, r=1)
+                + ")"
+            )
+        ).alias("x"),
     )
-    lens = pairs.agg(
-        F.sum(F.size("ref")).alias("r"),
-        F.sum(F.size("hyp")).alias("h"),
-        F.count(F.lit(1)).alias("n_docs"),
+    counts = grams.groupBy("doc_id", F.col("x.n").alias("n"), F.col("x.gram")).agg(
+        F.sum("x.h").alias("ch"), F.sum("x.r").alias("cr")
+    )
+    # ref-only grams have ch=0: least(0, cr)=0 and 0 into Σch — the sums
+    # equal the old hyp-side LEFT-join form exactly (integer arithmetic)
+    pre = counts.groupBy("n").agg(
+        F.sum(F.least(F.col("ch"), F.col("cr"))).alias("clipped"),
+        F.sum("ch").alias("total"),
+        F.sum("cr").alias("rtot"),
+    )
+    one = pre.agg(
+        F.max(F.when(F.col("n") == 0, F.col("total"))).alias("n_docs"),
+        F.max(
+            F.when(F.col("n") == 1, F.col("clipped") / F.col("total"))
+        ).alias("p1v"),
+        F.max(
+            F.when(F.col("n") == 2, F.col("clipped") / F.col("total"))
+        ).alias("p2v"),
+        F.max(F.when(F.col("n") == 1, F.col("rtot"))).alias("r"),
+        F.max(F.when(F.col("n") == 1, F.col("total"))).alias("h"),
     )
     # Standard BP cap: 1 when the hypothesis corpus is longer than the
     # reference (here h < r always — hyp truncated to 80% — but the cap
     # keeps the helper correct if the pairing is reused, ADVICE r7 #3).
     bp = F.least(F.lit(1.0), F.exp(1 - F.col("r") / F.col("h")))
-    return (
-        lens.crossJoin(F.broadcast(p1))
-        .crossJoin(F.broadcast(p2))
-        .select(
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.round("p1v", 6).alias("p1"),
-            F.round("p2v", 6).alias("p2"),
-            F.round(bp, 6).alias("brevity_penalty"),
-            F.round(
-                bp * F.exp(0.5 * (F.log("p1v") + F.log("p2v"))), 6
-            ).alias("bleu2"),
-        )
+    return one.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("p1v", 6).alias("p1"),
+        F.round("p2v", 6).alias("p2"),
+        F.round(bp, 6).alias("brevity_penalty"),
+        F.round(
+            bp * F.exp(0.5 * (F.log("p1v") + F.log("p2v"))), 6
+        ).alias("bleu2"),
     )
 
 

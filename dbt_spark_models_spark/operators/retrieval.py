@@ -109,16 +109,27 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tie-break → the ranking is a total order identical on any
     engine."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # tokens feed three branches (query-term postings, doc lengths, corpus
+    # stats); persist so the regex tokenization runs once per corpus scan
+    # instead of once per branch
     toks = d.select(
         "doc_id",
         F.filter(
             F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
             lambda x: F.length(x) > 0,
         ).alias("tokens"),
-    )
+    ).persist()
+    # the query set is a LITERAL, so the term filter is known at plan
+    # time: pushing it below the tf aggregate means the postings shuffle
+    # carries only query-term postings (a few terms) instead of the whole
+    # inverted index — tf and df for the surviving terms are unchanged,
+    # because both aggregate per (doc, term) / term and the filter is
+    # per-term. This replaces TWO full-corpus postings shuffles (tf was
+    # also re-built from scratch for the df branch) with one tiny one.
+    all_terms = sorted({t for _, terms in _QUERIES for t in terms})
     postings = toks.select(
         "doc_id", F.explode("tokens").alias("term")
-    )
+    ).filter(F.col("term").isin(all_terms))
     tf = postings.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.filter(F.size("tokens") > 0).select(
         "doc_id", F.size("tokens").cast("long").alias("dl")
