@@ -1116,6 +1116,11 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
+        # e feeds THREE branches (degrees + both wedge-join sides):
+        # persist the thinned edge list so the lineitem⋈orders + distinct
+        # subtree runs once — the materialized edge table a production
+        # link-prediction job builds anyway
+        .persist()
     )
     deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
     a = e.select("s", F.col("c").alias("u"))
@@ -1126,9 +1131,22 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("u", "w")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    # degrees are |customers|-bounded (the docstring's broadcast design):
+    # explicit broadcasts keep the wedge output unshuffled instead of the
+    # two sort-merge exchanges the planner picked from stale estimates
     scored = (
-        cn.join(deg.select(F.col("c").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("c").alias("w"), F.col("d").alias("dw")), "w")
+        cn.join(
+            F.broadcast(
+                deg.select(F.col("c").alias("u"), F.col("d").alias("du"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("c").alias("w"), F.col("d").alias("dw"))
+            ),
+            "w",
+        )
         .select(
             "u",
             "w",

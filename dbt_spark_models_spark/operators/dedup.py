@@ -634,6 +634,8 @@ def dedup_chunk_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     tok = d.select("doc_id", _tokens().alias("tokens")).filter(
         F.size("tokens") >= _CHUNK
     )
+    # chunks feeds the shared-chunk index AND the per-doc rejoin: persist
+    # so the tokenize + md5 chunking runs once, not once per branch
     chunks = tok.select(
         "doc_id",
         F.explode(
@@ -643,7 +645,7 @@ def dedup_chunk_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
                 f" ' ')))"
             )
         ).alias("chunk_hash"),
-    )
+    ).persist()
     shared = (
         chunks.groupBy("chunk_hash")
         .agg(F.countDistinct("doc_id").alias("nd"))

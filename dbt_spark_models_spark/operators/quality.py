@@ -624,13 +624,19 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     occ = d.select(F.explode(_tokens()).alias("token"))
     js = F.array(*[F.lit(j) for j in range(_CMS_DEPTH)])
+    # ONE tokenize + token-count aggregate feeds everything: the sketch
+    # cells sum the per-token counts (identical cell totals — grouping
+    # occurrences by (j, bucket) is the same integers as grouping counts),
+    # so the 4 md5 hashes run once per VOCAB entry instead of once per
+    # corpus occurrence, and the corpus is tokenized once, not twice
+    exact = (
+        occ.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt")).persist()
+    )
     cells = (
-        occ.select(
-            F.explode(js).alias("j"),
-            F.col("token"),
-        )
+        exact.select(F.explode(js).alias("j"), "token", "exact_cnt")
         .select(
             "j",
+            "exact_cnt",
             (
                 F.conv(
                     F.substring(
@@ -645,9 +651,8 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
         .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("exact_cnt").alias("c"))
     )
-    exact = occ.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
     # Distributed top-20: orderBy+limit compiles to TakeOrderedAndProject
     # (per-partition heaps merged at the driver), never pulling the
     # vocabulary-scale exact table through one task; the rank window then

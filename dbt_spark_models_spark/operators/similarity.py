@@ -1250,30 +1250,28 @@ def eval_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     all combined map-side to 2·|labels|·64 cells; the cosine is row-local
     math over that tiny table."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
-    halves = (
+    # both halves' centroids in ONE (label, i) aggregate: a conditional
+    # AVG per half computes the same per-(label, half, i) means the old
+    # (label, half, i) groupBy + equi-self-join produced, but with one
+    # map-side-combined shuffle and no join — the self-join form also
+    # re-ran the 64× posexplode aggregate once per side
+    x = F.col("x").cast("double")
+    cent = (
         e.select(
             "label",
             (F.col("vec_id") % 2).alias("half"),
             F.posexplode("embedding").alias("i", "x"),
         )
-        .groupBy("label", "half", "i")
-        .agg(F.avg(F.col("x").cast("double")).alias("c"))
-    )
-    a = halves.filter(F.col("half") == 0).select(
-        "label", "i", F.col("c").alias("ca")
-    )
-    b = halves.filter(F.col("half") == 1).select(
-        F.col("label").alias("label_b"), F.col("i").alias("i_b"),
-        F.col("c").alias("cb"),
-    )
-    dots = (
-        a.join(b, (a["label"] == b["label_b"]) & (a["i"] == b["i_b"]))
-        .groupBy("label")
+        .groupBy("label", "i")
         .agg(
-            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
-            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
-            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+            F.avg(F.when(F.col("half") == 0, x)).alias("ca"),
+            F.avg(F.when(F.col("half") == 1, x)).alias("cb"),
         )
+    )
+    dots = cent.groupBy("label").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+        F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
     )
     cos = F.col("dot") / (F.col("na") * F.col("nb"))
     return dots.select(
