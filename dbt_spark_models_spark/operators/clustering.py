@@ -554,13 +554,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = _pagerank_loop(
         edges, nodes, parts, broadcast_ranks=n_nodes <= max_bc
     )
-    out = ranks.select(
+    # edges MUST stay persisted past this return: the 6-round rank chain
+    # is LAZY (checkpoint is a no-op below _PR_CKPT_EVERY rounds), so the
+    # returned plan references the edge subtree once per round — an
+    # unpersist here (pre-r11) dropped the cache at plan-construction
+    # time and the consumer's action re-ran lineitem⋈orders+distinct 6×.
+    # The blocks live until the session evicts/clears them, the same
+    # lifetime as deg's.
+    return ranks.select(
         "node",
         F.col("d").cast("long").alias("degree"),
         F.round("r", 6).alias("pagerank"),
     )
-    edges.unpersist()
-    return out
 
 
 def _pagerank_loop(

@@ -542,8 +542,10 @@ def gold_orders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``models/spark/gold/gold_orders.sql:21-65``: ROW_NUMBER-dedup CTEs
     staged before a chain of enrichment joins): orders widened with
     customer → nation → region attributes, a lineitem rollup, and
-    first-touch event attribution (keep-first window over the event
-    stream).
+    first-touch event attribution (keep-first over the event stream as a
+    MIN_BY aggregation — the ROW_NUMBER window form shuffled every event
+    into per-user sort partitions; the aggregate ships one candidate row
+    per user per map task).
 
     Scale: the fact⋈fact join (orders⋈lineitem-rollup) shuffles on
     orderkey — bucketable at write; every dimension join is an explicit
@@ -552,8 +554,6 @@ def gold_orders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(
         spark, sf_dir, ("orders", "customer", "nation", "region", "lineitem", "events")
     )
-    from pyspark.sql import Window
-
     li_rollup = t["lineitem"].groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
         # fully-decimal revenue: price/discount are exact 2-decimal values,
@@ -573,12 +573,20 @@ def gold_orders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.max("l_shipdate").cast("date").alias("last_shipdate"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # first-touch as MIN_BY over the (ts, event_id) struct order — the
+    # same row the ROW_NUMBER()=1 window picked (event_id is the unique
+    # tie-break), but as a partially-aggregated groupBy: each map task
+    # ships ONE candidate row per user instead of sorting and shuffling
+    # the entire event stream into per-user window partitions (guide
+    # §2.3 "aggregate before you shuffle")
     first_event = (
         t["events"]
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("first_event_type"))
+        .groupBy("user_id")
+        .agg(
+            F.min_by(
+                "event_type", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("first_event_type")
+        )
     )
     return (
         t["orders"]

@@ -393,16 +393,21 @@ def similarity_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFr
     only; full-precision vectors are fetched just for final re-ranking of
     the top candidates."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
-    absmax = F.array_max(
-        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
-    )
+    # absmax as a MATERIALIZED row column, not a named expression: a bare
+    # expression alias still inlines into the per-element lambda, where
+    # the interpreted HOF path re-evaluates it per element (O(dim²)/row)
     codes = F.transform(
         F.col("embedding"),
-        lambda x: F.round(x.cast("double") * (F.lit(127.0) / absmax), 0).cast(
-            "double"
-        ),
+        lambda x: F.round(
+            x.cast("double") * (F.lit(127.0) / F.col("amax")), 0
+        ).cast("double"),
     )
-    q8 = e.select("vec_id", codes.alias("codes"))
+    q8 = e.withColumn(
+        "amax",
+        F.array_max(
+            F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+        ),
+    ).select("vec_id", codes.alias("codes"))
     norm = F.sqrt(
         F.aggregate(F.col("codes"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
@@ -715,18 +720,14 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus once — the assignment pass is exactly ``similarity_ivf_assign``'s
     plan."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    # absmax MATERIALIZED as a row column before the code transform: HOF
+    # lambdas are interpreted without common-subexpression elimination, so
+    # an array_max nested in the per-element lambda re-scans the 64-wide
+    # array per ELEMENT (O(dim²) per vector); hoisted it runs once per row
     codes = F.transform(
         F.col("embedding"),
         lambda x: F.round(
-            x.cast("double")
-            * (
-                F.lit(127.0)
-                / F.array_max(
-                    F.transform(
-                        F.col("embedding"), lambda y: F.abs(y.cast("double"))
-                    )
-                )
-            ),
+            x.cast("double") * (F.lit(127.0) / F.col("amax")),
             0,
         ).cast("double"),
     )
@@ -739,7 +740,13 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     v = (
-        e.select("vec_id", codes.alias("c"))
+        e.withColumn(
+            "amax",
+            F.array_max(
+                F.transform(F.col("embedding"), lambda y: F.abs(y.cast("double")))
+            ),
+        )
+        .select("vec_id", codes.alias("c"))
         .withColumn("vv", dot(F.col("c"), F.col("c")))
         .persist()
     )
@@ -1086,18 +1093,13 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAM. The HAVING/count guard keeps semantics identical when a codebook
     cell empties (both engines drop it)."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    # absmax hoisted to a row column (see similarity_kmeans_train): the
+    # nested form re-ran the array_max per element inside the interpreted
+    # HOF lambda — O(dim²) per vector for the identical arithmetic
     codes = F.transform(
         F.col("embedding"),
         lambda x: F.round(
-            x.cast("double")
-            * (
-                F.lit(127.0)
-                / F.array_max(
-                    F.transform(
-                        F.col("embedding"), lambda y: F.abs(y.cast("double"))
-                    )
-                )
-            ),
+            x.cast("double") * (F.lit(127.0) / F.col("amax")),
             0,
         ).cast("double"),
     )
@@ -1109,7 +1111,12 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    c8 = e.select("vec_id", codes.alias("c"))
+    c8 = e.withColumn(
+        "amax",
+        F.array_max(
+            F.transform(F.col("embedding"), lambda y: F.abs(y.cast("double")))
+        ),
+    ).select("vec_id", codes.alias("c"))
     sub = (
         c8.select(
             "vec_id",

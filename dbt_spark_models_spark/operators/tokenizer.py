@@ -94,11 +94,17 @@ def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: F.length(x) > 0
     )
+    # ONE corpus tokenization, cached as the delimiter-encoded state
+    # string only (doc_id never reaches the output, so caching it would
+    # just widen every round's scan). Round r's pair count materializes
+    # state_r FROM the cached state_{r-1} (a row-local replace), and ONLY
+    # THEN is state_{r-1} dropped — the pre-r11 loop unpersisted the
+    # parent before the child ever ran, so every round re-ran the regex
+    # tokenization of the whole corpus from parquet.
     cur = (
-        d.select("doc_id", tk.alias("tk"))
+        d.select(tk.alias("tk"))
         .filter(F.size("tk") >= 2)
         .select(
-            "doc_id",
             F.concat(
                 F.lit("<"), F.array_join("tk", "><"), F.lit(">")
             ).alias("state"),
@@ -110,6 +116,7 @@ def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (a, b) -> struct(a AS l_tok, b AS r_tok))"
     )
     merges: list[tuple[int, str, str, int]] = []
+    prev = None
     for rnd in range(1, _BPE_ROUNDS + 1):
         counted = (
             cur.select(
@@ -126,18 +133,31 @@ def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = counted.orderBy(
             F.col("pair_count").desc(), "l_tok", "r_tok"
         ).first()
+        # cur is materialized now; its parent's cache can finally go
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         merges.append((rnd, top["l_tok"], top["r_tok"], top["pair_count"]))
-        nxt = cur.withColumn(
-            "state",
-            F.replace(
-                F.col("state"),
-                F.lit(f"<{top['l_tok']}><{top['r_tok']}>"),
-                F.lit(f"<{top['l_tok']}{_GLUE}{top['r_tok']}>"),
-            ),
-        ).persist()
-        cur.unpersist()
-        cur = nxt
-    cur.unpersist()
+        if rnd < _BPE_ROUNDS:
+            nxt = cur.withColumn(
+                "state",
+                F.replace(
+                    F.col("state"),
+                    F.lit(f"<{top['l_tok']}><{top['r_tok']}>"),
+                    F.lit(f"<{top['l_tok']}{_GLUE}{top['r_tok']}>"),
+                ),
+            )
+            if rnd < _BPE_ROUNDS - 1:
+                # state_r is read twice (round r+1's count AND state_{r+1}'s
+                # build) -> cache it; the penultimate round's output is read
+                # exactly once, so the final count streams the replace
+                # straight off the parent's cache instead of paying a cache
+                # write nothing ever reads back
+                nxt = nxt.persist()
+            prev = cur
+            cur = nxt
+        else:
+            cur.unpersist()  # no-op when the final state was never persisted
     return spark.createDataFrame(
         merges,
         "merge_round INT, l_tok STRING, r_tok STRING, pair_count BIGINT",
