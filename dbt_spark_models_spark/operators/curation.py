@@ -317,9 +317,12 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram, and the fraction of bigram occurrences that are duplicates.
     High values flag boilerplate/spam that per-token stats miss.
 
-    Scale: bigram expansion is row-local; both ratios come from ONE
-    groupBy(doc_id, bigram) + one groupBy(doc_id) re-aggregate — the
-    second shuffle is on the already-reduced count table."""
+    Scale: the ENTIRE computation is doc-local — per-doc bigram counts
+    are a run-length pass over the doc's own sorted bigram array, so the
+    query is one corpus scan with ZERO exchanges (the pre-r11 form paid
+    two: a groupBy(doc_id, bigram) count and a groupBy(doc_id)
+    re-aggregate, shuffling every distinct bigram of every document for
+    per-document answers)."""
     from dbt_spark_models_spark.sources.testdata import spread
 
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
@@ -331,29 +334,45 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_tokens", F.size("tokens"))
         .filter(F.col("n_tokens") >= 2)
     )
-    bigrams = sized.select(
+    # per-doc bigram multiset as a SORTED array; equal bigrams are then
+    # adjacent, so max count / duplicated mass fall out of one run-length
+    # aggregate — identical integers to the old groupBy counts
+    runs = F.expr(
+        """
+        aggregate(
+          sort_array(transform(sequence(1, size(tokens) - 1),
+                     i -> concat(element_at(tokens, i), ' ',
+                                 element_at(tokens, i + 1)))),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+                       'maxrun', 0L, 'dup', 0L),
+          (acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev,
+            named_struct('prev', x, 'run', acc.run + 1L,
+                         'maxrun', acc.maxrun, 'dup', acc.dup),
+            named_struct('prev', x, 'run', 1L,
+                         'maxrun', greatest(acc.maxrun, acc.run),
+                         'dup', acc.dup
+                                + IF(acc.run > 1L, acc.run, 0L))),
+          acc -> named_struct(
+            'maxrun', greatest(acc.maxrun, acc.run),
+            'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L))
+        )
+        """
+    )
+    return sized.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - 1).cast("long").alias("n_bigrams"),
+        runs.alias("rl"),
+    ).select(
         "doc_id",
         "n_tokens",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tokens) - 1),"
-                " i -> concat(element_at(tokens, i), ' ',"
-                " element_at(tokens, i + 1)))"
-            )
-        ).alias("bigram"),
-    )
-    counted = bigrams.groupBy("doc_id", "n_tokens", "bigram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    return counted.groupBy("doc_id").agg(
-        F.max("n_tokens").cast("long").alias("n_tokens"),
-        F.sum("cnt").cast("long").alias("n_bigrams"),
-        F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_bigram_share"),
-        F.round(
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
-            / F.sum("cnt"),
-            4,
-        ).alias("dup_bigram_fraction"),
+        "n_bigrams",
+        F.round(F.col("rl.maxrun") / F.col("n_bigrams"), 4).alias(
+            "top_bigram_share"
+        ),
+        F.round(F.col("rl.dup") / F.col("n_bigrams"), 4).alias(
+            "dup_bigram_fraction"
+        ),
     )
 
 

@@ -249,33 +249,43 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_norm = F.sqrt(
         F.aggregate(F.col("c_emb"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    scored = (
-        e.withColumn("e_norm", _norm_spark("embedding"))
-        .crossJoin(F.broadcast(centroids.withColumn("c_norm", c_norm)))
-        .select(
-            "vec_id",
-            "label",
-            "c_label",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("embedding"),
-                        F.col("c_emb"),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("e_norm") * F.col("c_norm")),
-                6,
-            ).alias("cosine"),
+    # ALL centroids packed into one broadcast row; the per-vector nearest
+    # cell is then a row-local argmin over the packed array (negated
+    # rounded cosine + c_label tie-break = the exact (cosine DESC,
+    # c_label) order of the old ROW_NUMBER window) — the pre-r11 plan
+    # materialized the |labels|× expanded score table and SHUFFLED it
+    # into per-vector window partitions just to keep one row each
+    cent_row = centroids.withColumn("c_norm", c_norm).agg(
+        F.collect_list(F.struct("c_label", "c_emb", "c_norm")).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda t: F.struct(
+                (
+                    -F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("embedding"),
+                                t["c_emb"],
+                                lambda x, y: x.cast("double") * y,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        / (F.col("e_norm") * t["c_norm"]),
+                        6,
+                    )
+                ).alias("negcos"),
+                t["c_label"].alias("c_label"),
+            ),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("c_label"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("label", F.col("c_label").alias("assigned_cell"))
+        e.withColumn("e_norm", _norm_spark("embedding"))
+        .crossJoin(F.broadcast(cent_row))
+        .select("label", best["c_label"].alias("assigned_cell"))
+        .groupBy("label", "assigned_cell")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
 
@@ -446,10 +456,9 @@ def similarity_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-def _ivf_cell_scored(e: DataFrame) -> DataFrame:
-    """(vec_id, embedding, c_label, c_cosine) — every vector scored
-    against every per-label centroid (tiny broadcast); the shared front
-    half of IVF assignment and multi-probe cell selection."""
+def _ivf_centroids(e: DataFrame) -> DataFrame:
+    """(c_label, c_emb, c_norm): per-label mean vectors — the IVF coarse
+    codebook shared by assignment and multi-probe scoring."""
     pos = (
         e.select("label", F.posexplode("embedding").alias("i", "x"))
         .groupBy("label", "i")
@@ -464,9 +473,19 @@ def _ivf_cell_scored(e: DataFrame) -> DataFrame:
     c_norm = F.sqrt(
         F.aggregate(F.col("c_emb"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    return centroids.withColumn("c_norm", c_norm)
+
+
+def _ivf_cell_scored(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, c_label, c_cosine) — every vector scored
+    against every per-label centroid (tiny broadcast); the front half of
+    multi-probe cell selection (assignment itself uses the packed-row
+    argmin in :func:`_ivf_assigned`, which never materializes the
+    |cells|× expansion)."""
+    centroids = _ivf_centroids(e)
     return (
         e.withColumn("e_norm", _norm_spark("embedding"))
-        .crossJoin(F.broadcast(centroids.withColumn("c_norm", c_norm)))
+        .crossJoin(F.broadcast(centroids))
         .select(
             "vec_id",
             "embedding",
@@ -494,6 +513,13 @@ def _ivf_assigned(e: DataFrame, sub_bits: int = 0) -> DataFrame:
     (rounded to 6dp + label tie-break for determinism). Returns
     (vec_id, embedding, cell).
 
+    The codebook is packed into ONE broadcast row and the nearest cell is
+    a row-local argmin over it (negated rounded cosine + c_label
+    tie-break = the exact (c_cosine DESC, c_label) ROW_NUMBER order the
+    pre-r11 form used) — assignment costs one corpus scan with zero
+    exchanges, instead of shuffling the |cells|× expanded score table
+    into per-vector window partitions.
+
     ``sub_bits`` is the cell-count SIZING KNOB (see SCALE.md): per-label
     cells alone cap out at k≈n_labels, far too coarse at 100 TB. Each
     extra sub-bit splits every cell in two via the shared sign-LSH planes
@@ -501,14 +527,36 @@ def _ivf_assigned(e: DataFrame, sub_bits: int = 0) -> DataFrame:
     n_labels·2^sub_bits and expected cell size N/(n_labels·2^sub_bits) —
     pick sub_bits so a cell fits one executor's search budget. sub_bits=0
     keeps oracle parity for the registry queries."""
-    cell_scored = _ivf_cell_scored(e)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cosine").desc(), F.col("c_label")
+    cent_row = _ivf_centroids(e).agg(
+        F.collect_list(F.struct("c_label", "c_emb", "c_norm")).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda t: F.struct(
+                (
+                    -F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("embedding"),
+                                t["c_emb"],
+                                lambda x, y: x.cast("double") * y,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        / (F.col("e_norm") * t["c_norm"]),
+                        6,
+                    )
+                ).alias("negcos"),
+                t["c_label"].alias("c_label"),
+            ),
+        )
     )
     assigned = (
-        cell_scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("c_label").alias("cell"))
+        e.withColumn("e_norm", _norm_spark("embedding"))
+        .crossJoin(F.broadcast(cent_row))
+        .select("vec_id", "embedding", best["c_label"].alias("cell"))
     )
     if sub_bits > 0:
         assigned = assigned.withColumn(
