@@ -221,12 +221,26 @@ def main() -> None:
         4-5 executions before the JIT settles, and reporting their
         still-warming time misreads a cold JIT as a plan regression. A
         JVM GC before the timed runs keeps heap pressure accumulated by
-        EARLIER queries' executions from being billed to this one."""
+        EARLIER queries' executions from being billed to this one.
+
+        MEASUREMENT FIX (r11, guide §1): queries that ``persist()`` a
+        multi-branch intermediate register its plan in Spark's
+        CacheManager, and a RE-BUILT identical plan (the next run of the
+        same query) silently reuses the cached blocks — so timed runs 2+
+        were reading the warmup's cache, not computing from parquet
+        (measured: similarity_ivf_topk 1.5 s cached vs 2.5 s honest).
+        ``clearCache()`` before EVERY timed run makes each timed
+        execution compute from the parquet inputs, paying its own persist
+        population cost; within-run branch reuse (the thing persist is
+        for) still counts. The cleared-cache numbers are the committed
+        baseline from r11 on; pre-r11 rounds' numbers carry the reuse
+        bias and are not directly comparable (see OPTIMIZATION_r11.md)."""
         q = registry[name]
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for attempt in range(max_runs):
+            spark.catalog.clearCache()
             t0 = time.time()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -228,46 +228,42 @@ def dedup_minhash_lsh(
     )
     # hash each TOKEN once (each char read once, not 3× per overlapping
     # shingle), combine token hashes per shingle arithmetically, and
-    # dedupe row-locally with array_distinct — no shuffle until the
-    # minhash aggregate
+    # dedupe row-locally with array_distinct. The shingle set STAYS an
+    # in-row array end to end (r11, guide §2.4): the 16 minhashes and the
+    # set size are row-local folds over the document's own array, so the
+    # pre-r11 explode (|shingles| rows/doc) and the groupBy(doc_id)
+    # re-aggregation exchange never happen.
     th = tok.select(
         "doc_id",
         F.expr(f"transform(tokens, t -> { _polyhash_spark('t') })").alias("hts"),
     )
-    shingle = th.select(
-        "doc_id",
-        F.explode(
+    # base feeds three plan branches (band signatures + both sides of the
+    # candidate verification); Spark evaluates each branch from scratch,
+    # re-tokenizing and re-hashing every document. Materialize it once —
+    # locally a disk-spillable persist; at 100 TB this is the "write the
+    # doc→shingle-set table, then join against it" stage a production
+    # pipeline runs anyway. LRU eviction reclaims it; results unchanged.
+    base = (
+        th.select(
+            "doc_id",
             F.expr(
                 "array_distinct(transform(sequence(1, size(hts) - 2),"
                 f" i -> (hts[i-1] * 1000003 + hts[i] * 31 + hts[i+1]) % {_MOD}))"
-            )
-        ).alias("tid"),
+            ).alias("tids"),
+        )
+        .select(
+            "doc_id",
+            "tids",
+            F.size("tids").cast("long").alias("sz"),
+            *[
+                F.array_min(
+                    F.expr(f"transform(tids, t -> ({a} * t + {b}) % {_MOD})")
+                ).alias(f"mh{i}")
+                for i, (a, b) in enumerate(_PERMS)
+            ],
+        )
+        .persist()
     )
-    # the shingle relation feeds three plan branches (minhash agg + both
-    # sides of candidate verification); Spark evaluates each branch from
-    # scratch, re-tokenizing and re-hashing every document. Materialize it
-    # once — locally a disk-spillable persist; at 100 TB this is the
-    # "write the shingle table, then join against it" stage a production
-    # pipeline runs anyway. LRU eviction reclaims it; results unchanged.
-    shingle = shingle.persist()
-    hashed = shingle
-    # all 16 minhashes in ONE aggregate pass (no 16× row expansion, no
-    # second shuffle): min((a_i*tid + b_i) % p) as 16 parallel agg columns
-    # piggyback the per-doc shingle count (needed later for Jaccard) on the
-    # same aggregate — one shuffle computes 16 minhashes AND the set size,
-    # instead of re-running the tokenize+shingle pipeline for a second
-    # groupBy
-    # minh feeds two branches (band signatures + the per-doc sizes used
-    # for Jaccard); persisting the ≤1-row-per-doc aggregate saves the
-    # second scan-and-aggregate of the shingle cache the sizes branch
-    # would otherwise re-run
-    minh = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("sz"),
-        *[
-            F.min((F.lit(a) * F.col("tid") + F.lit(b)) % _MOD).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_PERMS)
-        ]
-    ).persist()
     # bands as row-local concat + posexplode (no shuffle)
     band_cols = [
         F.concat_ws(
@@ -279,7 +275,7 @@ def dedup_minhash_lsh(
         )
         for b in range(_N_BANDS)
     ]
-    bands = minh.select(
+    bands = base.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "band_sig")
     )
     a = bands.alias("a")
@@ -294,23 +290,28 @@ def dedup_minhash_lsh(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = minh.select("doc_id", "sz")
-    s1 = shingle.alias("s1")
-    s2 = shingle.alias("s2")
-    verified = (
-        cand.join(s1, F.col("s1.doc_id") == F.col("doc_a"))
-        .join(
-            s2,
-            (F.col("s2.doc_id") == F.col("doc_b"))
-            & (F.col("s2.tid") == F.col("s1.tid")),
-            "left",
+    # verification is ROW-LOCAL per candidate pair: join the two cached
+    # shingle ARRAYS and intersect in place (same device as
+    # jaccard_prefix_join) — no posting re-join multiplies candidates by
+    # shingles-per-doc, and the per-(doc,tid) shuffle of the pre-r11
+    # LEFT-join count disappears. n_common = |intersection| exactly
+    # (tids are distinct).
+    ba = base.select(F.col("doc_id").alias("da"), F.col("tids").alias("ta"),
+                     F.col("sz").alias("sza"))
+    bb = base.select(F.col("doc_id").alias("db"), F.col("tids").alias("tb"),
+                     F.col("sz").alias("szb"))
+    scored = (
+        cand.join(ba, F.col("da") == F.col("doc_a"))
+        .join(bb, F.col("db") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_common"),
+            "sza",
+            "szb",
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.col("s2.tid")).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    jac = F.col("n_common") / (F.col("sza") + F.col("szb") - F.col("n_common"))
     # with_exact adds the UNROUNDED ratio for downstream consumers that
     # threshold it (eval_split_leakage at j>=0.9): thresholding the
     # 4-decimal display value would keep a pair with true j in
@@ -318,11 +319,7 @@ def dedup_minhash_lsh(
     cols = ["doc_a", "doc_b", F.round(jac, 4).alias("jaccard")]
     if with_exact:
         cols.append(jac.alias("jaccard_exact"))
-    return (
-        verified.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
-        .select(*cols)
-    )
+    return scored.select(*cols)
 
 
 @query(
@@ -471,22 +468,32 @@ _SIMHASH_DUCK_CTES = f"""tok AS (
 
 
 def simhash_fingerprints(d: DataFrame) -> DataFrame:
-    """(doc_id, simhash16) via the single-agg formulation (the MinHash
-    trick): all 16 bit-majority sums are conditional-sum columns of ONE
-    ``groupBy(doc_id)``, so the plan is one map-side-combined shuffle of
-    (doc_id, 16 ints) — not 16 exploded rows per token hash shuffled into
-    a (doc_id, bit) agg."""
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    """(doc_id, simhash16) computed entirely ROW-LOCALLY: the bit-majority
+    votes are per-document sums over the document's own distinct-token
+    hash array, so the whole fingerprint pass is one corpus scan with
+    ZERO exchanges — the pre-r11 form exploded tokens and ran a
+    groupBy(doc_id) with 16 conditional sums, paying a hash aggregate and
+    a per-doc exchange for numbers each row can compute by itself. The
+    empty-token filter reproduces the explode form's behavior of dropping
+    tokenless documents."""
+    toks_sql = "filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+    hts = d.select(
+        "doc_id",
+        F.expr(
+            f"transform(array_distinct({toks_sql}),"
+            f" t -> {_polyhash_spark('t')})"
+        ).alias("hts"),
+    ).filter(F.size("hts") >= 1)
+    votes = hts.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"aggregate(hts, CAST(0 AS BIGINT),"
+                f" (acc, h) -> acc + IF(((h >> {b}) & 1) = 1, 1L, -1L))"
+            ).alias(f"v{b}")
+            for b in range(16)
+        ],
     )
-    hashed = tok.select("doc_id", F.expr(_polyhash_spark("token")).alias("th"))
-    bit_votes = [
-        F.sum(
-            F.when(F.expr(f"(th >> {b}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(16)
-    ]
-    votes = hashed.groupBy("doc_id").agg(*bit_votes)
     fingerprint = None
     for b in range(16):
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
