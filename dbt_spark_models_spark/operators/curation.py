@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dbt_spark_models_spark.operators import query
-from dbt_spark_models_spark.sources.testdata import load_tables
+from dbt_spark_models_spark.sources.testdata import load_tables, spread
 
 
 @query(
@@ -984,68 +984,88 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale-critical trick: candidates are GENERATED ARITHMETICALLY
     (customer × 8 salted hashes mapped into the contiguous part-key
     space), never by crossing customers with the catalog — cost is
-    O(customers × 8) rows regardless of catalog size. An anti-join against
-    the positives removes accidental hits (over-sampling 8 → keep 2
-    absorbs the loss), and the top-k window is keyed per customer."""
+    O(customers × 8) rows regardless of catalog size.
+
+    Plan (r11, guide §2.4): ONE exchange total. The corpus pass reduces
+    straight to the per-customer bought-set (map-side-combined
+    ``collect_set``), and everything downstream is ROW-LOCAL: the 8
+    salted candidates are an in-row array, deduped by part keeping the
+    min hash, anti-filtered against the row's own bought-set, and ranked
+    by (h, partkey) with a bounded fold — replacing the pre-r11 chain of
+    distinct + candidate groupBy + anti-join + ranking window (4 extra
+    exchanges of customer×8 rows). The bought-set stays bounded by a
+    customer's own purchase history, never by catalog size."""
     li = load_tables(spark, sf_dir, ("orders", "lineitem", "part"))
-    # pur feeds TWO plan branches (the customer universe and the anti-join
-    # right side); without a persist Spark re-runs the orders⋈lineitem +
-    # distinct subtree for each — at 100 TB this is the "materialize the
-    # positives table" step a contrastive pipeline runs anyway
-    pur = (
-        li["orders"]
-        .join(
-            li["lineitem"],
-            li["orders"]["o_orderkey"] == li["lineitem"]["l_orderkey"],
-        )
-        .select("o_custkey", "l_partkey")
-        .distinct()
-        .persist()
-    )
     n_parts = li["part"].count()  # catalog-size constant (1-row probe)
-    custs = pur.select("o_custkey").distinct()
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("o_custkey").cast("string"),
-                    F.lit(":neg:"),
-                    F.col("i").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    cand = (
-        custs.select(
-            "o_custkey", F.explode(F.sequence(F.lit(1), F.lit(8))).alias("i")
+    # the ONLY data-sized exchange: per-customer distinct purchase set
+    # (collect_set dedups; partial aggregation combines map-side)
+    bought = (
+        li["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .join(
+            li["orders"].select("o_orderkey", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        # +1 lands candidates in the REAL part-key space 1..n_parts —
-        # h % n alone emits a nonexistent partkey 0 that trivially
-        # survives the anti-join and can never sample the max key
-        # (ADVICE r3)
+        .groupBy("o_custkey")
+        .agg(F.collect_set("l_partkey").alias("bought"))
+    )
+
+    def h(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_custkey").cast("string"), F.lit(f":neg:{i}")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    # +1 lands candidates in the REAL part-key space 1..n_parts — h % n
+    # alone emits a nonexistent partkey 0 that trivially survives the
+    # bought-filter and can never sample the max key (ADVICE r3)
+    cands = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    h(i).alias("h"),
+                    (h(i) % F.lit(n_parts) + 1).alias("pk"),
+                )
+                for i in range(1, 9)
+            ]
+        )
+    )
+    # bounded fold over the 8 sorted candidates: keep the first (=min-h)
+    # occurrence of each part, skip bought parts, stop at 2 survivors —
+    # exactly the groupBy-min + anti-join + ROW_NUMBER<=2 semantics
+    kept = F.expr(
+        "aggregate(cands, CAST(array() AS ARRAY<STRUCT<h: BIGINT, pk: BIGINT>>),"
+        " (acc, x) -> CASE WHEN size(acc) >= 2 THEN acc"
+        "  WHEN array_contains(bought, x.pk) THEN acc"
+        "  WHEN exists(acc, a -> a.pk = x.pk) THEN acc"
+        "  ELSE array_append(acc, x) END)"
+    )
+    # rebalance before the hash-heavy candidate projection: the bought-set
+    # aggregate's output is tiny in BYTES, so AQE coalesces it to 1-2
+    # partitions — correct for shuffle cost, wrong for the md5-bound
+    # projection that follows (it serialized on 2 cores). The round-robin
+    # exchange moves ~16 B/customer and buys full-width CPU; at 100 TB the
+    # aggregate output is large enough that AQE never over-coalesces and
+    # this is a cheap rebalance of key+set rows.
+    parallelism = spark.sparkContext.defaultParallelism
+    return (
+        bought.repartition(parallelism)
+        .withColumn("cands", cands)
+        .select("o_custkey", F.posexplode(kept).alias("pos", "x"))
         .select(
             "o_custkey",
-            (h % F.lit(n_parts) + 1).alias("neg_partkey"),
-            h.alias("h"),
+            F.col("x.pk").alias("neg_partkey"),
+            (F.col("pos") + 1).alias("rk"),
         )
-        .groupBy("o_custkey", "neg_partkey")
-        .agg(F.min("h").alias("h"))
-    )
-    neg = cand.join(
-        pur,
-        (cand["o_custkey"] == pur["o_custkey"])
-        & (cand["neg_partkey"] == pur["l_partkey"]),
-        "left_anti",
-    )
-    w = Window.partitionBy("o_custkey").orderBy("h", "neg_partkey")
-    return (
-        neg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 2)
-        .select("o_custkey", "neg_partkey", "rk")
     )
 
 
