@@ -511,8 +511,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", "o_custkey")
         .distinct()
     )
-    sup = F.concat(F.lit("s"), F.col("l_suppkey"))
-    cus = F.concat(F.lit("c"), F.col("o_custkey"))
+    # Node ids are BIGINTs inside the loop (r11, guide §2.3 "narrower
+    # types"): supplier k ↦ 2k, customer k ↦ 2k+1 — an injective encoding
+    # of the former "s{k}"/"c{k}" string labels, reconstructed only in the
+    # final projection. Every per-round exchange, broadcast and hash-join
+    # keys on an 8-byte long instead of a variable-length string. The
+    # graph is isomorphic, so degrees and rank sums are the same multisets
+    # per node; per-round float summation ORDER is the only difference —
+    # the ~1e-15 class the oracle's ROUND(.., 6) contract already absorbs.
+    sup = F.col("l_suppkey").cast("long") * 2
+    cus = F.col("o_custkey").cast("long") * 2 + 1
     # Edges are cached in whatever layout the distinct left them in — on
     # the broadcast path edge partitioning is IRRELEVANT to the join, so
     # pre-partitioning on src would be a wasted full shuffle of the big
@@ -562,7 +570,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The blocks live until the session evicts/clears them, the same
     # lifetime as deg's.
     return ranks.select(
-        "node",
+        # decode the long node id back to the public "s{k}"/"c{k}" label
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("s")).otherwise(F.lit("c")),
+            F.expr("CAST(node DIV 2 AS STRING)"),
+        ).alias("node"),
         F.col("d").cast("long").alias("degree"),
         F.round("r", 6).alias("pagerank"),
     )

@@ -624,10 +624,14 @@ def contamination_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # m-bit bitset as ≤ m/64 packed words: bit_or is map-side combined, so
     # the driver/broadcast only ever sees the ≤ 8 KB bitmap, never grams
+    # NOTE (r11): no corpus-wide DISTINCT before the bit_or — OR is
+    # idempotent, so duplicate grams across eval docs set the same bits;
+    # the row-local array_distinct bounds per-doc duplication and the
+    # distinct exchange (a full shuffle of every eval gram string)
+    # disappears. The filter's bits are identical.
     bitmap = (
         shingled.filter(F.col("source") == _EVAL_SOURCE)
         .select(F.explode(F.array_distinct("shingles")).alias("g"))
-        .distinct()
         .select(
             F.explode(
                 F.array(

@@ -46,27 +46,29 @@ _SCORED_SQL = """toks AS (
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared quantized quality score (same feature math as
-    ``text_quality_linear_score`` / ``eval_classifier_auc``)."""
+    ``text_quality_linear_score`` / ``eval_classifier_auc``).
+
+    r11: the three token counts come from the Arrow kernel
+    (``token_count_stats``, guide §4.2) instead of interpreted per-token
+    HOF lambdas; the score arithmetic stays in the JVM over those exact
+    integer counts, so the quantized value is bit-identical."""
+    from dbt_spark_models_spark.operators.text import token_count_stats
+
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
-    return (
-        d.withColumn("tokens", _tokens())
-        .filter(n_tok > 0)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.round(
-                F.log(F.lit(1) + n_tok) * 0.5
-                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
-                - (
-                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
-                    / n_tok
-                )
-                * 3.0,
-                6,
-            ).alias("s"),
-        )
+    stats = token_count_stats(
+        d.select("doc_id", "lang", "source", _tokens().alias("tokens"))
+    )
+    n_tok = F.col("n_tok")
+    return stats.filter(n_tok > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round(
+            F.log(F.lit(1) + n_tok) * 0.5
+            + (F.col("n_distinct") / n_tok) * 1.5
+            - (F.col("n_digit") / n_tok) * 3.0,
+            6,
+        ).alias("s"),
     )
 
 
@@ -281,57 +283,56 @@ def curation_bradley_terry_strengths(
             F.lit(0).alias("win"),
         )
     )
-    # the ONLY pass over the corpus ends here: mat is ≤ |items|² rows.
-    # localCheckpoint cuts the lineage so the MM iterations (which
-    # reference mat twice per round) never re-scan the documents table.
-    mat = (
+    # the ONLY pass over the corpus ends here: mat is ≤ |items|² rows
+    # (items = SOURCES, a fixed enum — bounded at any corpus size), pulled
+    # to the driver as one probe. The MM fixed-point then runs in plain
+    # Python over that tiny matrix — the pre-r11 in-plan form burned ~25
+    # sub-millisecond stages (per-round broadcasts + joins + a
+    # localCheckpoint job) of pure driver latency for the same arithmetic.
+    # Rounding uses HALF_UP over the double's shortest decimal repr,
+    # exactly Spark's round(double) (Python repr == Java Double.toString:
+    # both emit the shortest round-trip string); sums of counts are exact
+    # integers; the one order-sensitive float sum (Σ n/(wi+wj)) has the
+    # same ~1e-15 drift class the per-iteration ROUND(.., 9) contract
+    # already absorbs between Spark and DuckDB.
+    mat_rows = (
         edges.groupBy("i", "j")
         .agg(F.sum("win").alias("w_ij"), F.count(F.lit(1)).alias("n_ij"))
-        .localCheckpoint(eager=True)
+        .collect()  # bounded: ≤ |sources|² rows
     )
-    w = mat.select("i").distinct().withColumn("w", F.lit(1.0))
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round(x: float, nd: int) -> float:
+        q = Decimal(1).scaleb(-nd)
+        return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+    mat = [(r["i"], r["j"], int(r["w_ij"]), int(r["n_ij"])) for r in mat_rows]
+    items = sorted({i for i, _, _, _ in mat})
     eps = float(_BT_EPS)
+    w = {i: 1.0 for i in items}
     for _ in range(_BT_ITERS):
-        wi = w.select(F.col("i"), F.col("w").alias("w_i"))
-        wj = w.select(F.col("i").alias("j"), F.col("w").alias("w_j"))
-        raw = (
-            mat.join(F.broadcast(wi), "i")
-            .join(F.broadcast(wj), "j")
-            .groupBy("i")
-            .agg(
-                F.round(
-                    F.sum("w_ij")
-                    / F.sum(F.col("n_ij") / (F.col("w_i") + F.col("w_j"))),
-                    9,
-                ).alias("w_raw")
+        raw = {}
+        for i in items:
+            num = sum(w_ij for mi, mj, w_ij, _ in mat if mi == i)
+            den = sum(
+                n_ij / (w[mi] + w[mj])
+                for mi, mj, _, n_ij in mat
+                if mi == i
             )
-        )
-        norm = raw.agg(
-            F.count(F.lit(1)).alias("k"), F.sum("w_raw").alias("s")
-        )
-        # LAZY across iterations: every w_t here is a ≤|items|-row frame
-        # derived from the checkpointed mat, so the unrolled 3-round plan
-        # is shallow and tiny; chaining it lazily lets ReuseExchange share
-        # the per-round broadcast builds instead of paying one serial
-        # driver action (job submit + broadcast + collect) per round the
-        # eager localCheckpoint form used to burn (~6 extra driver
-        # round-trips for zero data-size benefit — mat already cut the
-        # corpus lineage above).
-        w = raw.crossJoin(F.broadcast(norm)).select(
-            "i",
-            F.greatest(
-                F.round(F.col("w_raw") * F.col("k") / F.col("s"), 9),
-                F.lit(eps),
-            ).alias("w"),
-        )
-    totals = mat.groupBy("i").agg(
-        F.sum("w_ij").alias("wins"), F.sum("n_ij").alias("n_matches")
-    )
-    return w.join(totals, "i").select(
-        F.col("i").alias("item"),
-        F.round(F.col("w"), 6).alias("strength"),
-        F.col("wins").cast("long").alias("wins"),
-        F.col("n_matches").cast("long").alias("n_matches"),
+            raw[i] = _round(num / den, 9)
+        k, s = len(raw), sum(raw.values())
+        w = {i: max(_round(r * k / s, 9), eps) for i, r in raw.items()}
+    wins = {i: 0 for i in items}
+    n_matches = {i: 0 for i in items}
+    for mi, _, w_ij, n_ij in mat:
+        wins[mi] += w_ij
+        n_matches[mi] += n_ij
+    return spark.createDataFrame(
+        [
+            (i, _round(w[i], 6), wins[i], n_matches[i])
+            for i in items
+        ],
+        "item string, strength double, wins bigint, n_matches bigint",
     )
 
 

@@ -40,6 +40,32 @@ from dbt_spark_models_spark.sources.testdata import load_tables, spread
 _W = {"bias": -2.0, "len": 0.5, "stop": 2.5, "dist": 1.5, "cpt": -0.1, "dig": -3.0}
 
 
+def _token_stats(d: DataFrame, *keep: str) -> DataFrame:
+    """(keep..., n_tok, n_distinct, n_digit) for non-empty-token docs —
+    the shared corpus pass behind every quality-score query, computed by
+    the Arrow kernel (``text.token_count_stats``, guide §4.2) instead of
+    interpreted per-token HOF lambdas. The counts are exact integers, so
+    every downstream JVM score expression is bit-identical to the
+    pre-r11 form."""
+    from dbt_spark_models_spark.operators.text import token_count_stats
+
+    return token_count_stats(
+        d.select(*keep, _tokens().alias("tokens"))
+    ).filter(F.col("n_tok") > 0)
+
+
+def _s_quality():
+    """The shared UNROUNDED quality-score expression over the _token_stats
+    columns: ln(1+n)·0.5 + (distinct/n)·1.5 − (digit/n)·3.0 — identical
+    arithmetic (and operation order) to the former inline HOF form."""
+    n_tok = F.col("n_tok")
+    return (
+        F.log(F.lit(1) + n_tok) * 0.5
+        + (F.col("n_distinct") / n_tok) * 1.5
+        - (F.col("n_digit") / n_tok) * 3.0
+    )
+
+
 @query(
     "text_quality_linear_score",
     oracle=f"""
@@ -80,26 +106,27 @@ def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     training externalized: scoring is pure column math, so at 100 TB it
     fuses into the scan (one WholeStageCodegen pass, no shuffle, no UDF).
     Swapping learned weights in means changing literals, not the plan."""
+    from dbt_spark_models_spark.operators.text import token_count_stats
+
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    toks = _tokens()
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_tok = F.size("tokens")
+    # token counts via the Arrow kernel (guide §4.2) — exact integers, so
+    # the JVM feature arithmetic is bit-identical to the former
+    # interpreted per-token HOF form
+    n_tok = F.col("n_tok")
     feats = (
-        d.withColumn("tokens", toks)
+        token_count_stats(
+            d.select("doc_id", "lang", "n_chars", _tokens().alias("tokens")),
+            stopwords=_STOPWORDS,
+        )
         .filter(n_tok > 0)
         .select(
             "doc_id",
             "lang",
             F.log(F.lit(1) + n_tok).alias("f_len"),
-            (
-                F.size(F.filter("tokens", lambda x: F.array_contains(stop_arr, x)))
-                / n_tok
-            ).alias("f_stop"),
-            (F.size(F.array_distinct("tokens")) / n_tok).alias("f_dist"),
+            (F.col("n_stop") / n_tok).alias("f_stop"),
+            (F.col("n_distinct") / n_tok).alias("f_dist"),
             (F.col("n_chars") / n_tok).alias("f_cpt"),
-            (
-                F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$"))) / n_tok
-            ).alias("f_dig"),
+            (F.col("n_digit") / n_tok).alias("f_dig"),
         )
     )
     score = (
@@ -404,17 +431,20 @@ def train_logreg_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist once across rounds; 100 TB cost = 5 scans of a cached narrow
     projection, or 1 scan with the rounds fused via treeAggregate-style
     partial batching if the cache doesn't fit."""
+    from dbt_spark_models_spark.operators.text import token_count_stats
+
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
+    # token counts via the Arrow kernel (guide §4.2) — exact integers, so
+    # the JVM feature arithmetic below is bit-identical to the former
+    # interpreted per-token HOF form
+    n_tok = F.col("n_tok")
     feats = (
-        d.withColumn("tokens", _tokens())
+        token_count_stats(d.select("lang", _tokens().alias("tokens")))
         .filter(n_tok > 0)
         .select(
             F.log(F.lit(1) + n_tok).alias("f1"),
-            (F.size(F.array_distinct("tokens")) / n_tok).alias("f2"),
-            (
-                F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$"))) / n_tok
-            ).alias("f3"),
+            (F.col("n_distinct") / n_tok).alias("f2"),
+            (F.col("n_digit") / n_tok).alias("f3"),
             F.when(F.col("lang").isin("en", "es"), 1.0).otherwise(0.0).alias("y"),
         )
         .persist()
@@ -513,23 +543,9 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     where a global rank of every document would single-partition sort
     the corpus."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
-    scored = (
-        d.withColumn("tokens", _tokens())
-        .filter(n_tok > 0)
-        .select(
-            F.round(
-                F.log(F.lit(1) + n_tok) * 0.5
-                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
-                - (
-                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
-                    / n_tok
-                )
-                * 3.0,
-                6,
-            ).alias("s"),
-            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
-        )
+    scored = _token_stats(d, "lang").select(
+        F.round(_s_quality(), 6).alias("s"),
+        F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
     )
     buckets = scored.groupBy("s").agg(
         F.sum("y").alias("n_pos"), F.sum(1 - F.col("y")).alias("n_neg")
@@ -740,35 +756,9 @@ def eval_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces it exactly.
     """
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
-    scored = (
-        d.withColumn("tokens", _tokens())
-        .filter(n_tok > 0)
-        .select(
-            (
-                1.0
-                / (
-                    1.0
-                    + F.exp(
-                        -F.round(
-                            F.log(F.lit(1) + n_tok) * 0.5
-                            + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
-                            - (
-                                F.size(
-                                    F.filter(
-                                        "tokens", lambda x: x.rlike("^[0-9]+$")
-                                    )
-                                )
-                                / n_tok
-                            )
-                            * 3.0,
-                            6,
-                        )
-                    )
-                )
-            ).alias("p"),
-            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
-        )
+    scored = _token_stats(d, "lang").select(
+        (1.0 / (1.0 + F.exp(-F.round(_s_quality(), 6)))).alias("p"),
+        F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
     )
     return (
         scored.groupBy(
@@ -1992,23 +1982,9 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded bucket frame (non-foldable constant partition key) — no
     global per-document sort at any size."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
-    scored = (
-        d.withColumn("tokens", _tokens())
-        .filter(n_tok > 0)
-        .select(
-            F.round(
-                F.log(F.lit(1) + n_tok) * 0.5
-                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
-                - (
-                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
-                    / n_tok
-                )
-                * 3.0,
-                6,
-            ).alias("s"),
-            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
-        )
+    scored = _token_stats(d, "lang").select(
+        F.round(_s_quality(), 6).alias("s"),
+        F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
     )
     buckets = scored.groupBy("s").agg(
         F.sum("y").alias("n_pos"), F.count(F.lit(1)).alias("n")
@@ -2092,27 +2068,13 @@ def eval_ndcg_quality_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     heaps merged on the driver), so no global sort of the corpus
     happens; the DCG sums then run over k rows."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
-    scored = (
-        d.withColumn("tokens", _tokens())
-        .filter(n_tok > 0)
-        .select(
-            "doc_id",
-            F.round(
-                F.log(F.lit(1) + n_tok) * 0.5
-                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
-                - (
-                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
-                    / n_tok
-                )
-                * 3.0,
-                6,
-            ).alias("s"),
-            F.when(F.col("lang") == "en", 2)
-            .when(F.col("lang") == "es", 1)
-            .otherwise(0)
-            .alias("rel"),
-        )
+    scored = _token_stats(d, "doc_id", "lang").select(
+        "doc_id",
+        F.round(_s_quality(), 6).alias("s"),
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang") == "es", 1)
+        .otherwise(0)
+        .alias("rel"),
     )
     k = 20
     gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rnk") + 1)
@@ -2251,21 +2213,10 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize-then-bucket discipline as AUC/AP — no per-document state
     ever leaves the mappers."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
-    s_expr = (
-        F.log(F.lit(1) + n_tok) * 0.5
-        + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
-        - (F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$"))) / n_tok)
-        * 3.0
-        - 2.0
-    )
-    scored = (
-        d.withColumn("tokens", _tokens())
-        .filter(n_tok > 0)
-        .select(
-            F.round(1.0 / (1.0 + F.exp(-s_expr)), 3).alias("p"),
-            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
-        )
+    s_expr = _s_quality() - 2.0
+    scored = _token_stats(d, "lang").select(
+        F.round(1.0 / (1.0 + F.exp(-s_expr)), 3).alias("p"),
+        F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
     )
     bins = scored.groupBy("p").agg(
         F.count(F.lit(1)).alias("n"), F.avg(F.col("y") * 1.0).alias("obar")
@@ -2343,35 +2294,9 @@ def eval_expected_calibration_error(
     agg. No global statistics, no sort, no second pass over the corpus.
     """
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
-    scored = (
-        d.withColumn("tokens", _tokens())
-        .filter(n_tok > 0)
-        .select(
-            (
-                1.0
-                / (
-                    1.0
-                    + F.exp(
-                        -F.round(
-                            F.log(F.lit(1) + n_tok) * 0.5
-                            + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
-                            - (
-                                F.size(
-                                    F.filter(
-                                        "tokens", lambda x: x.rlike("^[0-9]+$")
-                                    )
-                                )
-                                / n_tok
-                            )
-                            * 3.0,
-                            6,
-                        )
-                    )
-                )
-            ).alias("p"),
-            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
-        )
+    scored = _token_stats(d, "lang").select(
+        (1.0 / (1.0 + F.exp(-F.round(_s_quality(), 6)))).alias("p"),
+        F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
     )
     bins = scored.groupBy(
         F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin")
@@ -2438,25 +2363,11 @@ def eval_mrr_first_relevant(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The oracle states the same semantics with ROW_NUMBER, which DuckDB
     evaluates exactly on the small gate corpus.)"""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
-    scored = (
-        d.withColumn("tokens", _tokens())
-        .filter(n_tok > 0)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.round(
-                F.log(F.lit(1) + n_tok) * 0.5
-                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
-                - (
-                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
-                    / n_tok
-                )
-                * 3.0,
-                6,
-            ).alias("s"),
-        )
+    scored = _token_stats(d, "doc_id", "lang", "source").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round(_s_quality(), 6).alias("s"),
     )
     rel = F.col("source").isin("src0", "src1", "src2", "src3")
     # argmax: the best relevant doc per lang = max (s, -doc_id) lexicographic
@@ -2793,31 +2704,9 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local arithmetic and one exact-decimal agg — no sort, no second
     corpus pass, no per-sample state."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
-    scored = (
-        d.withColumn("tokens", _tokens())
-        .filter(n_tok > 0)
-        .select(
-            (F.col("doc_id") % 50).alias("problem_id"),
-            F.when(
-                F.round(
-                    F.log(F.lit(1) + n_tok) * 0.5
-                    + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
-                    - (
-                        F.size(
-                            F.filter("tokens", lambda x: x.rlike("^[0-9]+$"))
-                        )
-                        / n_tok
-                    )
-                    * 3.0,
-                    6,
-                )
-                > 2.7,
-                1,
-            )
-            .otherwise(0)
-            .alias("ok"),
-        )
+    scored = _token_stats(d, "doc_id").select(
+        (F.col("doc_id") % 50).alias("problem_id"),
+        F.when(F.round(_s_quality(), 6) > 2.7, 1).otherwise(0).alias("ok"),
     )
     probs = (
         scored.groupBy("problem_id")
@@ -2903,35 +2792,9 @@ def eval_confusion_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     on exact counts (NULLIF guards empty cells, ANSI-safe both engines).
     """
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
-    scored = (
-        d.withColumn("tokens", _tokens())
-        .filter(n_tok > 0)
-        .select(
-            (
-                1.0
-                / (
-                    1.0
-                    + F.exp(
-                        -F.round(
-                            F.log(F.lit(1) + n_tok) * 0.5
-                            + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
-                            - (
-                                F.size(
-                                    F.filter(
-                                        "tokens", lambda x: x.rlike("^[0-9]+$")
-                                    )
-                                )
-                                / n_tok
-                            )
-                            * 3.0,
-                            6,
-                        )
-                    )
-                )
-            ).alias("p"),
-            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
-        )
+    scored = _token_stats(d, "lang").select(
+        (1.0 / (1.0 + F.exp(-F.round(_s_quality(), 6)))).alias("p"),
+        F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
     )
     fanned = scored.select(
         F.explode(F.array(F.lit(0.3), F.lit(0.5), F.lit(0.7))).alias("tau"),
@@ -3016,23 +2879,9 @@ def eval_spearman_rank_correlation(
     inside 2⁵³ at gate scale), so cross-engine summation order cannot
     drift the result."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
-    scored = (
-        d.withColumn("tokens", _tokens())
-        .filter(n_tok > 0)
-        .select(
-            F.col("n_chars").alias("y_val"),
-            F.round(
-                F.log(F.lit(1) + n_tok) * 0.5
-                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
-                - (
-                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
-                    / n_tok
-                )
-                * 3.0,
-                6,
-            ).alias("x_val"),
-        )
+    scored = _token_stats(d, "n_chars").select(
+        F.col("n_chars").alias("y_val"),
+        F.round(_s_quality(), 6).alias("x_val"),
     )
 
     def midranks(df: DataFrame, col: str, out: str) -> DataFrame:
@@ -3288,23 +3137,9 @@ def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg over that frame joined to the 1-row AUC. No per-pair comparison
     (naive DeLong is O(m·n)), no global per-document sort."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    n_tok = F.size("tokens")
-    scored = (
-        d.withColumn("tokens", _tokens())
-        .filter(n_tok > 0)
-        .select(
-            F.round(
-                F.log(F.lit(1) + n_tok) * 0.5
-                + (F.size(F.array_distinct("tokens")) / n_tok) * 1.5
-                - (
-                    F.size(F.filter("tokens", lambda x: x.rlike("^[0-9]+$")))
-                    / n_tok
-                )
-                * 3.0,
-                6,
-            ).alias("s"),
-            F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
-        )
+    scored = _token_stats(d, "lang").select(
+        F.round(_s_quality(), 6).alias("s"),
+        F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
     )
     buckets = scored.groupBy("s").agg(
         F.sum("y").alias("p"),

@@ -588,15 +588,20 @@ def gold_orders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("first_event_type")
         )
     )
+    # join order (r11, guide §2.3 "project before the exchange"): the
+    # fact⋈fact rollup join comes FIRST, while the orders rows are still
+    # narrow — the shuffle onto l_orderkey carries 4 order columns instead
+    # of orders already widened with customer/nation/region strings; the
+    # broadcast dimension joins are executor-local and attach afterwards.
     return (
         t["orders"]
+        .join(li_rollup, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(t["customer"]),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
-        .join(li_rollup, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(first_event), F.col("user_id") == F.col("c_custkey"), "left")
         .select(
             "o_orderkey",

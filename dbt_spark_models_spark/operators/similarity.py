@@ -9,9 +9,16 @@ Beyond-reference surface (BASELINE.json north star). Three tiers:
 - IVF cells: per-label centroids as a coarse quantizer; vectors are
   assigned to the nearest centroid (the inverted-file cell).
 
-All vector math is JVM-side (``zip_with`` + ``aggregate`` fold) — no Python
-UDFs in the hot path. Hyperplanes are integer-valued so the float math is
-bit-identical across engines (float×small-int is exact in float64).
+Vector math runs either JVM-side (``zip_with`` + ``aggregate`` fold) or —
+for the quantization-family kernels, where interpreted HOF lambdas cost
+~ms per row — as Arrow-batched numpy inside ``mapInArrow`` (guide §4.2:
+whole batches to vectorized native code; never row-at-a-time Python).
+Every Arrow kernel reproduces the JVM expression bit-for-bit: all values
+are integers in float64 (|code| ≤ 127, dim 64 ⇒ every product/sum < 2^53,
+exact under any summation order), scaling uses the same hoisted
+``x * (127.0/amax)`` operation order, and rounding is explicit half-up
+exactly like Spark's ``round(double)``. Hyperplanes are integer-valued so
+the float math is bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -31,6 +38,94 @@ _DIM = 64
 # ~1e4-vector test corpus; a 1e11-doc corpus wants 24-28 bits (the helpers
 # below all take n_planes explicitly).
 _N_PLANES = 8
+
+
+def _q8_codes_arrow(e: DataFrame, with_vv: bool = False) -> DataFrame:
+    """(vec_id, c[, vv]) — int8 max-abs quantization codes as an
+    Arrow-batched numpy kernel (guide §4.2). Bit-identical to the JVM
+    expression ``transform(embedding, x -> round(double(x) * (127.0 /
+    amax)))``: same float32→float64 casts, same hoisted per-row scale,
+    explicit half-up rounding (``floor(y+0.5)`` / ``ceil(y-0.5)``, the
+    double-rounding Spark's ``round`` performs), and ``vv = Σ c²`` is a
+    sum of exact small integers in float64 (order-independent). One
+    corpus pass, zero exchanges, and ~100× less per-row overhead than
+    the interpreted HOF-lambda path it replaces."""
+    schema = "vec_id bigint, c array<double>" + (
+        ", vv double" if with_vv else ""
+    )
+
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in it:
+            n = b.num_rows
+            if n == 0:
+                continue
+            emb = b.column(1)
+            arr = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, -1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                amax = np.abs(arr).max(axis=1)
+                y = arr * (127.0 / amax)[:, None]
+            c = np.where(y >= 0.0, np.floor(y + 0.5), np.ceil(y - 0.5))
+            dim = c.shape[1]
+            off = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+            cols = [
+                b.column(0),
+                pa.ListArray.from_arrays(
+                    off, pa.array(c.ravel(), type=pa.float64())
+                ),
+            ]
+            names = ["vec_id", "c"]
+            if with_vv:
+                cols.append(pa.array((c * c).sum(axis=1)))
+                names.append("vv")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return e.select("vec_id", "embedding").mapInArrow(batches, schema)
+
+
+def _km_assign_arrow(v: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, c, cid, d2) — nearest-centroid assignment over the
+    (vec_id, c, vv) code table as one numpy matmul per Arrow batch.
+    ``cents`` is the ≤K-entry [(cid, [centroid floats]), ...] list held at
+    the driver; it is sorted by cid here so ``argmin``'s first-minimum
+    tie-break IS the (d2, cid) struct-min order of the JVM form. All
+    quantities are integers in float64 ⇒ d2 is exact and equal to the
+    sequential-fold value bit-for-bit."""
+    cents = sorted(cents)
+    cids = [int(cid) for cid, _ in cents]
+    cmat = [list(map(float, ce)) for _, ce in cents]
+    schema = "vec_id bigint, c array<double>, cid bigint, d2 double"
+
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.asarray(cmat, dtype=np.float64)
+        cid_arr = np.asarray(cids, dtype=np.int64)
+        cc = (C * C).sum(axis=1)
+        for b in it:
+            n = b.num_rows
+            if n == 0:
+                continue
+            carr = np.asarray(
+                b.column(1).flatten(), dtype=np.float64
+            ).reshape(n, -1)
+            vv = np.asarray(b.column(2), dtype=np.float64)
+            d2 = vv[:, None] + cc[None, :] - 2.0 * (carr @ C.T)
+            best = d2.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    b.column(1),
+                    pa.array(cid_arr[best]),
+                    pa.array(d2[np.arange(n), best]),
+                ],
+                names=["vec_id", "c", "cid", "d2"],
+            )
+
+    return v.select("vec_id", "c", "vv").mapInArrow(batches, schema)
 
 
 def _plane(j: int, dim: int = _DIM) -> list[int]:
@@ -403,49 +498,63 @@ def similarity_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFr
     only; full-precision vectors are fetched just for final re-ranking of
     the top candidates."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
-    # absmax as a MATERIALIZED row column, not a named expression: a bare
-    # expression alias still inlines into the per-element lambda, where
-    # the interpreted HOF path re-evaluates it per element (O(dim²)/row)
-    codes = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(
-            x.cast("double") * (F.lit(127.0) / F.col("amax")), 0
-        ).cast("double"),
+    # quantization codes via the Arrow numpy kernel (bit-identical to the
+    # former interpreted HOF expressions — see _q8_codes_arrow)
+    q8 = _q8_codes_arrow(e)
+    # the query set is DEFINED as a bounded handful (vec_id < 5): collect
+    # it once and score the whole corpus against the query matrix with one
+    # numpy matmul per Arrow batch — the JVM form paid an interpreted
+    # 64-element fold per (query, candidate) pair. dot products are exact
+    # integers in float64; norms are IEEE sqrt, identical to the JVM; the
+    # display rounding stays in the JVM so round-half-up semantics are
+    # untouched.
+    qrows = sorted(
+        (r["vec_id"], list(r["c"]))
+        for r in q8.filter(F.col("vec_id") < 5).collect()  # bounded: 5 rows
     )
-    q8 = e.withColumn(
-        "amax",
-        F.array_max(
-            F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
-        ),
-    ).select("vec_id", codes.alias("codes"))
-    norm = F.sqrt(
-        F.aggregate(F.col("codes"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    q = (
-        q8.filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("codes").alias("qc"),
-            norm.alias("q_norm"),
-        )
-    )
+
+    def scored_batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        Q = np.asarray([c for _, c in qrows], dtype=np.float64)
+        qids = np.asarray([i for i, _ in qrows], dtype=np.int64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        nq = len(qids)
+        for b in it:
+            n = b.num_rows
+            if n == 0:
+                continue
+            c = np.asarray(b.column(1).flatten(), dtype=np.float64).reshape(
+                n, -1
+            )
+            vid = np.asarray(b.column(0), dtype=np.int64)
+            dots = c @ Q.T  # (n, nq) exact integer doubles
+            nn = np.sqrt((c * c).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.tile(qids, n)),
+                    pa.array(np.repeat(vid, nq)),
+                    pa.array(dots.ravel()),
+                    pa.array(np.repeat(qn[None, :], n, axis=0).ravel()),
+                    pa.array(np.repeat(nn, nq)),
+                ],
+                names=["q_id", "neighbor_id", "dot", "qn", "nn"],
+            )
+
     scored = (
-        F.broadcast(q)
-        .join(q8.alias("c"), F.col("c.vec_id") != F.col("q_id"))
+        q8.mapInArrow(
+            scored_batches,
+            "q_id bigint, neighbor_id bigint, dot double, qn double,"
+            " nn double",
+        )
+        .filter(F.col("neighbor_id") != F.col("q_id"))
         .select(
             "q_id",
-            F.col("c.vec_id").alias("neighbor_id"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qc"), F.col("c.codes"), lambda x, y: x * y
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("q_norm") * norm),
-                4,
-            ).alias("qcos"),
+            "neighbor_id",
+            F.round(F.col("dot") / (F.col("qn") * F.col("nn")), 4).alias(
+                "qcos"
+            ),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("qcos").desc(), "neighbor_id")
@@ -768,80 +877,52 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus once — the assignment pass is exactly ``similarity_ivf_assign``'s
     plan."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
-    # absmax MATERIALIZED as a row column before the code transform: HOF
-    # lambdas are interpreted without common-subexpression elimination, so
-    # an array_max nested in the per-element lambda re-scans the 64-wide
-    # array per ELEMENT (O(dim²) per vector); hoisted it runs once per row
-    codes = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(
-            x.cast("double") * (F.lit(127.0) / F.col("amax")),
-            0,
-        ).cast("double"),
+    # quantization codes + |c|² via the Arrow numpy kernel — bit-identical
+    # to the former interpreted HOF expressions at ~100× less per-row cost
+    # (guide §4.2); persisted because the K seed probe, every assignment
+    # round, and the final aggregate all re-scan it
+    v = _q8_codes_arrow(e, with_vv=True).persist()
+    # The K-row centroid table lives at the DRIVER between rounds (bounded
+    # ≤K rows per probe, the same budget class as BPE's 1-row argmax): each
+    # round stamps the centroids into the assignment kernel's closure, so a
+    # round costs exactly ONE job (the map-side-combined 64-sum groupBy
+    # pulled as K rows) — no per-round broadcast build, no crossJoin, no
+    # eager localCheckpoint job. |c|² and d2 are integer-exact in float64,
+    # so the numpy matmul reproduces the JVM fold bitwise.
+    seeds = (
+        v.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").cast("long").alias("cid"), "c")
+        .collect()  # bounded: K rows (deterministic seed centroids)
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    v = (
-        e.withColumn(
-            "amax",
-            F.array_max(
-                F.transform(F.col("embedding"), lambda y: F.abs(y.cast("double")))
-            ),
-        )
-        .select("vec_id", codes.alias("c"))
-        .withColumn("vv", dot(F.col("c"), F.col("c")))
-        .persist()
-    )
-    cents = v.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").cast("long").alias("cid"), F.col("c").alias("ce")
-    )
+    cents = [(r["cid"], [float(x) for x in r["c"]]) for r in seeds]
     assigned = None
     for it in range(3):
-        # all K centroids (with their precomputed |c|^2) packed into ONE
-        # broadcast row -> assignment is a row-local argmin, no shuffle
-        cent_row = (
-            cents.withColumn("cc", dot(F.col("ce"), F.col("ce")))
-            .agg(F.collect_list(F.struct("cid", "ce", "cc")).alias("cents"))
-        )
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda t: F.struct(
-                    (
-                        F.col("vv") + t["cc"] - 2 * dot(F.col("c"), t["ce"])
-                    ).alias("d2"),
-                    t["cid"].alias("cid"),
-                ),
-            )
-        )
-        assigned = v.crossJoin(F.broadcast(cent_row)).select(
-            "vec_id", "c", best["cid"].alias("cid"), best["d2"].alias("d2")
-        )
+        assigned = _km_assign_arrow(v, cents)
         if it < 2:
             # one hash agg, 64 sum columns: partial (map-side) combine means
-            # only K rows per input partition hit the shuffle
+            # only K rows per input partition hit the shuffle; the K-row
+            # result is the bounded probe that feeds the next round's
+            # literal centroids (FLOOR(sum/count) on integer-exact doubles,
+            # identical to the former in-plan F.floor division)
             sums = assigned.groupBy("cid").agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
                     F.sum(F.element_at("c", i + 1)).alias(f"s{i}")
                     for i in range(_KM_DIM)
                 ],
-            )
-            cents = sums.select(
-                "cid",
-                F.array(
-                    *[
-                        F.floor(F.col(f"s{i}") / F.col("n")).cast("double")
+            ).collect()  # bounded: K rows
+            import math
+
+            cents = [
+                (
+                    r["cid"],
+                    [
+                        float(math.floor(r[f"s{i}"] / r["n"]))
                         for i in range(_KM_DIM)
-                    ]
-                ).alias("ce"),
-            ).localCheckpoint()
+                    ],
+                )
+                for r in sums
+            ]
     return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("vec_id").cast("long").alias("min_vec_id"),
@@ -1141,15 +1222,165 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAM. The HAVING/count guard keeps semantics identical when a codebook
     cell empties (both engines drop it)."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
-    # absmax hoisted to a row column (see similarity_kmeans_train): the
-    # nested form re-ran the array_max per element inside the interpreted
-    # HOF lambda — O(dim²) per vector for the identical arithmetic
-    codes = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(
-            x.cast("double") * (F.lit(127.0) / F.col("amax")),
-            0,
-        ).cast("double"),
+
+    # (vec_id, s, sub, vv): quantize + split into the S subspaces in ONE
+    # Arrow numpy pass (guide §4.2) — replaces the interpreted HOF codes +
+    # explode + slice + fold chain, bit-identically (integers in float64,
+    # half-up rounding, same hoisted scale order). Persisted: both
+    # assignment rounds, the query side, and the encode output re-scan it.
+    def sub_batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in it:
+            n = b.num_rows
+            if n == 0:
+                continue
+            arr = np.asarray(b.column(1).flatten(), dtype=np.float64).reshape(
+                n, -1
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                amax = np.abs(arr).max(axis=1)
+                y = arr * (127.0 / amax)[:, None]
+            c = np.where(y >= 0.0, np.floor(y + 0.5), np.ceil(y - 0.5))
+            subs = c.reshape(n, _PQ_S, _PQ_D)
+            vid = np.asarray(b.column(0), dtype=np.int64)
+            off = pa.array(
+                np.arange(n * _PQ_S + 1, dtype=np.int32) * _PQ_D
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(vid, _PQ_S)),
+                    pa.array(
+                        np.tile(np.arange(_PQ_S, dtype=np.int32), n)
+                    ),
+                    pa.ListArray.from_arrays(
+                        off, pa.array(subs.ravel(), type=pa.float64())
+                    ),
+                    pa.array((subs * subs).sum(axis=2).ravel()),
+                ],
+                names=["vec_id", "s", "sub", "vv"],
+            )
+
+    sub = (
+        e.select("vec_id", "embedding")
+        .mapInArrow(
+            sub_batches, "vec_id bigint, s int, sub array<double>, vv double"
+        )
+        .persist()
+    )
+
+    def assign_arrow(codebooks: dict) -> DataFrame:
+        """Nearest-codebook-entry assignment per (vector, subspace) row as
+        one numpy matmul per Arrow batch. ``codebooks`` maps s -> sorted
+        [(cid, ce)], held at the driver (bounded: S*K = 128 rows, the
+        same probe class as the K-means seed collect). argmin's
+        first-minimum tie-break over cid-sorted entries IS the (d2, cid)
+        struct-min order; d2 is integer-exact in float64."""
+        import numpy as np
+
+        Cs = {
+            s: (
+                np.asarray([cid for cid, _ in ents], dtype=np.int64),
+                np.asarray([ce for _, ce in ents], dtype=np.float64),
+            )
+            for s, ents in codebooks.items()
+        }
+
+        def batches(it):
+            import pyarrow as pa
+
+            ccs = {s: (C * C).sum(axis=1) for s, (_, C) in Cs.items()}
+            for b in it:
+                n = b.num_rows
+                if n == 0:
+                    continue
+                subs = np.asarray(
+                    b.column(2).flatten(), dtype=np.float64
+                ).reshape(n, _PQ_D)
+                vv = np.asarray(b.column(3), dtype=np.float64)
+                s_arr = np.asarray(b.column(1), dtype=np.int32)
+                cid_out = np.empty(n, dtype=np.int64)
+                d2_out = np.empty(n, dtype=np.float64)
+                for s, (cids, C) in Cs.items():
+                    m = s_arr == s
+                    if not m.any():
+                        continue
+                    d2 = (
+                        vv[m][:, None]
+                        + ccs[s][None, :]
+                        - 2.0 * (subs[m] @ C.T)
+                    )
+                    best = d2.argmin(axis=1)
+                    cid_out[m] = cids[best]
+                    d2_out[m] = d2[np.arange(d2.shape[0]), best]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        b.column(0),
+                        b.column(1),
+                        b.column(2),
+                        pa.array(cid_out),
+                        pa.array(d2_out),
+                    ],
+                    names=["vec_id", "s", "sub", "cid", "d2"],
+                )
+
+        return sub.mapInArrow(
+            batches,
+            "vec_id bigint, s int, sub array<double>, cid bigint, d2 double",
+        )
+
+    # seed codebooks: the K smallest vec_ids' sub-vectors (bounded probe)
+    seed_rows = sub.filter(F.col("vec_id") < _PQ_K).collect()  # ≤ S*K rows
+    codebooks: dict = {}
+    for r in seed_rows:
+        codebooks.setdefault(r["s"], []).append(
+            (int(r["vec_id"]), [float(x) for x in r["sub"]])
+        )
+    for s in codebooks:
+        codebooks[s] = sorted(codebooks[s])
+    assigned = None
+    import math
+
+    for it in range(2):
+        assigned = assign_arrow(codebooks)
+        if it < 1:
+            # single (s, cid)-keyed hash agg with 8 per-dim SUMs: map-side
+            # combine ships only S*K rows per partition; the S*K-row result
+            # is the bounded probe that seeds the next round's codebooks
+            # (FLOOR(sum/count) on integer-exact doubles, identical to the
+            # former in-plan F.floor division)
+            sums = assigned.groupBy("s", "cid").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("sub", i + 1)).alias(f"s{i}")
+                    for i in range(_PQ_D)
+                ],
+            ).collect()  # bounded: S*K rows
+            codebooks = {}
+            for r in sums:
+                codebooks.setdefault(r["s"], []).append(
+                    (
+                        int(r["cid"]),
+                        [
+                            float(math.floor(r[f"s{i}"] / r["n"]))
+                            for i in range(_PQ_D)
+                        ],
+                    )
+                )
+            for s in codebooks:
+                codebooks[s] = sorted(codebooks[s])
+    # per-query ADC distance table: ≤ S*K rows per query, built from the
+    # driver-held codebook (createDataFrame of the bounded table) joined to
+    # the bounded query sub-vectors — same join shape as before, same
+    # integer-exact qd2 arithmetic (JVM fold over 8 elements)
+    cents_df = spark.createDataFrame(
+        [
+            (s, cid, ce, float(sum(x * x for x in ce)))
+            for s, ents in codebooks.items()
+            for cid, ce in ents
+        ],
+        "s int, cid bigint, ce array<double>, cc double",
     )
 
     def dot(a, b):
@@ -1159,84 +1390,9 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    c8 = e.withColumn(
-        "amax",
-        F.array_max(
-            F.transform(F.col("embedding"), lambda y: F.abs(y.cast("double")))
-        ),
-    ).select("vec_id", codes.alias("c"))
-    sub = (
-        c8.select(
-            "vec_id",
-            F.explode(F.sequence(F.lit(0), F.lit(_PQ_S - 1))).alias("s"),
-            "c",
-        )
-        .select(
-            "vec_id",
-            "s",
-            F.slice(F.col("c"), F.col("s") * _PQ_D + 1, _PQ_D).alias("sub"),
-        )
-        .withColumn("vv", dot(F.col("sub"), F.col("sub")))
-        .persist()
-    )
-    cents = sub.filter(F.col("vec_id") < _PQ_K).select(
-        "s", F.col("vec_id").cast("long").alias("cid"), F.col("sub").alias("ce")
-    )
-    assigned = None
-    for it in range(2):
-        # each subspace's 16-centroid codebook packed into ONE row keyed by
-        # s -> broadcast HASH join (equi on s), then a row-local argmin:
-        # no window shuffle and no 16x candidate row blowup per round
-        cent_rows = (
-            cents.withColumn("cc", dot(F.col("ce"), F.col("ce")))
-            .groupBy("s")
-            .agg(F.collect_list(F.struct("cid", "ce", "cc")).alias("cents"))
-        )
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda t: F.struct(
-                    (
-                        F.col("vv") + t["cc"] - 2 * dot(F.col("sub"), t["ce"])
-                    ).alias("d2"),
-                    t["cid"].alias("cid"),
-                ),
-            )
-        )
-        assigned = sub.join(F.broadcast(cent_rows), "s").select(
-            "vec_id",
-            "s",
-            "sub",
-            best["cid"].alias("cid"),
-            best["d2"].alias("d2"),
-        )
-        if it < 1:
-            # single (s, cid)-keyed hash agg with 8 per-dim SUMs: map-side
-            # combine ships only S*K rows per partition, vs the old 8x
-            # posexplode shuffling every element row
-            sums = assigned.groupBy("s", "cid").agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("sub", i + 1)).alias(f"s{i}")
-                    for i in range(_PQ_D)
-                ],
-            )
-            cents = sums.select(
-                "s",
-                "cid",
-                F.array(
-                    *[
-                        F.floor(F.col(f"s{i}") / F.col("n")).cast("double")
-                        for i in range(_PQ_D)
-                    ]
-                ).alias("ce"),
-            ).localCheckpoint()
     qd = (
         sub.filter(F.col("vec_id") < 5)
-        .join(
-            F.broadcast(cents.withColumn("cc", dot(F.col("ce"), F.col("ce")))),
-            "s",
-        )
+        .join(F.broadcast(cents_df), "s")
         .select(
             F.col("vec_id").alias("q_id"),
             "s",

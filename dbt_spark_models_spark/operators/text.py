@@ -32,6 +32,89 @@ def _tokens(col="text"):
     return F.filter(F.split(F.lower(F.col(col)), "[^a-z0-9]+"), lambda x: F.length(x) > 0)
 
 
+def token_count_stats(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    stopwords: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Per-row token-count statistics as an Arrow-batched kernel
+    (guide §4.2): every non-``tokens`` column passes through unchanged and
+    three exact integer counts are appended — ``n_tok`` (array length),
+    ``n_distinct`` (distinct tokens, via vectorized dictionary-encode +
+    segment sort), ``n_digit`` (tokens containing no ``[a-z]`` char —
+    EXACTLY ``rlike('^[0-9]+$')`` for these tokenizers, whose alphabet is
+    ``[a-z0-9]+`` by construction). The interpreted HOF form this replaces
+    (``size(array_distinct(...))`` + ``size(filter(x -> rlike))``) paid a
+    per-token lambda invocation; the counts are integers, so downstream
+    JVM arithmetic over them is bit-identical."""
+    base = [f for f in df.schema.fields if f.name != tokens_col]
+    names = [f.name for f in base]
+    idx = [i for i, f in enumerate(df.schema.fields) if f.name != tokens_col]
+    tok_i = next(
+        i for i, f in enumerate(df.schema.fields) if f.name == tokens_col
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in base
+    ) + ", n_tok bigint, n_distinct bigint, n_digit bigint" + (
+        ", n_stop bigint" if stopwords is not None else ""
+    )
+    stop_list = list(stopwords) if stopwords is not None else None
+
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in it:
+            n = b.num_rows
+            if n == 0:
+                continue
+            toks = b.column(tok_i)
+            flat = toks.flatten()
+            lens = np.asarray(
+                pc.list_value_length(toks), dtype=np.int64
+            )
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            if len(flat):
+                has_alpha = np.asarray(
+                    pc.match_substring_regex(flat, "[a-z]")
+                )
+                n_digit = np.bincount(
+                    doc_idx, weights=~has_alpha, minlength=n
+                ).astype(np.int64)
+                codes = np.asarray(
+                    pc.dictionary_encode(flat).indices, dtype=np.int64
+                )
+                order = np.lexsort((codes, doc_idx))
+                sd, sc = doc_idx[order], codes[order]
+                new = np.ones(len(sd), dtype=np.int64)
+                new[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+                n_distinct = np.bincount(
+                    sd, weights=new, minlength=n
+                ).astype(np.int64)
+                if stop_list is not None:
+                    in_stop = np.asarray(
+                        pc.is_in(flat, value_set=pa.array(stop_list))
+                    )
+                    n_stop = np.bincount(
+                        doc_idx, weights=in_stop, minlength=n
+                    ).astype(np.int64)
+            else:
+                n_digit = np.zeros(n, dtype=np.int64)
+                n_distinct = np.zeros(n, dtype=np.int64)
+                n_stop = np.zeros(n, dtype=np.int64)
+            extra = [pa.array(lens), pa.array(n_distinct), pa.array(n_digit)]
+            enames = ["n_tok", "n_distinct", "n_digit"]
+            if stop_list is not None:
+                extra.append(pa.array(n_stop))
+                enames.append("n_stop")
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in idx] + extra, names=names + enames
+            )
+
+    return df.mapInArrow(batches, schema)
+
+
 @query(
     "text_quality_scores",
     oracle=f"""
