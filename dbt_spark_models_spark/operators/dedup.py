@@ -653,10 +653,13 @@ def dedup_chunk_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("chunk_hash"),
     ).persist()
+    # "appears in >1 distinct doc" ⟺ min(doc_id) != max(doc_id): two plain
+    # min/max aggregates partial-combine map-side, where COUNT(DISTINCT)
+    # planned an Expand + second aggregate (r11, guide §2.3)
     shared = (
         chunks.groupBy("chunk_hash")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("chunk_hash", F.lit(1).alias("hit"))
     )
     return (

@@ -69,18 +69,31 @@ FROM per
 def nested_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merchant_order status-history idiom: build array<struct<s,t>>,
     then ELEMENT_AT(TRANSFORM(FILTER(st, e -> e.s == 0), x -> x.t), 1)
-    (reference ``models/spark/mongo/merchant_order.sql:23-26``)."""
-    per = _order_status_arrays(spark, sf_dir)
-    status0 = F.filter("st", lambda e: e.getField("s") == 0)
-    return per.select(
-        "l_orderkey",
-        F.size("st").alias("n_status"),
-        F.try_element_at(
-            F.transform(status0, lambda x: x.getField("t")), F.lit(1)
-        ).alias("first_status0_ts"),
-        F.size(status0).alias("n_status0"),
-        F.element_at("st", -1).getField("t").alias("last_status_ts"),
-        F.element_at("st", 1).getField("s").alias("first_status_code"),
+    (reference ``models/spark/mongo/merchant_order.sql:23-26``).
+
+    Plan (r11, guide §2.3 "aggregate before you shuffle"): the five
+    traversal outputs are ORDINARY aggregates over the (unique-per-order)
+    line number — struct-min/max picks the first/last element the sorted
+    array held — so the partially-aggregated groupBy ships one row per
+    order per map task instead of collect_list shipping every element,
+    and the per-row interpreted array HOFs disappear. Values identical:
+    l_linenumber is unique within an order, so min/max over (ln, ...)
+    structs select exactly the array's first/last entries."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    s = (F.col("l_linenumber") % 3).alias("s")
+    ln = F.col("l_linenumber")
+    t = F.col("l_shipdate")
+    s0 = F.when(s == 0, F.struct(ln.alias("ln"), t.alias("t")))
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("int").alias("n_status"),
+        F.min(s0).getField("t").alias("first_status0_ts"),
+        F.sum(F.when(s == 0, 1).otherwise(0)).cast("int").alias("n_status0"),
+        F.max(F.struct(ln.alias("ln"), t.alias("t")))
+        .getField("t")
+        .alias("last_status_ts"),
+        F.min(F.struct(ln.alias("ln"), s.alias("s")))
+        .getField("s")
+        .alias("first_status_code"),
     )
 
 
