@@ -1132,19 +1132,41 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
             t["lineitem"].l_orderkey == t["orders"].o_orderkey,
         )
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
-        .distinct()
-        # e feeds THREE branches (degrees + both wedge-join sides):
-        # persist the thinned edge list so the lineitem⋈orders + distinct
-        # subtree runs once — the materialized edge table a production
-        # link-prediction job builds anyway
+    )
+    # Adjacency-list wedge generation (r11, guide §2.4 "remove shuffles
+    # outright"): ONE supplier-keyed exchange builds the sorted neighbor
+    # array per supplier — collect_set dedups (s, c) in the aggregate
+    # (map-side partials dedup too), replacing the former corpus-wide
+    # DISTINCT exchange — and candidate pairs are then generated row-
+    # locally from each array (j > i via posexplode + slice) instead of
+    # the e⋈e self-join that exchanged the edge list twice more. Degrees
+    # come from exploding the deduped arrays (exactly the distinct edge
+    # set). Per-supplier cost is still deg², the same wedge bound as the
+    # join (hub middle-nodes get capped/sharded at scale either way, the
+    # triangle count's discipline); the array additionally holds one
+    # supplier's neighborhood in memory — |neighbors(s)|, the same row a
+    # hub cap bounds.
+    adj = (
+        e.groupBy("s")
+        .agg(F.sort_array(F.collect_set("c")).alias("cs"))
+        # adj feeds TWO branches (degrees + wedge pairs): persist so the
+        # lineitem⋈orders subtree and its aggregate run once
         .persist()
     )
-    deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
-    a = e.select("s", F.col("c").alias("u"))
-    b = e.select("s", F.col("c").alias("w"))
+    deg = adj.select(F.explode("cs").alias("c")).groupBy("c").agg(
+        F.count(F.lit(1)).alias("d")
+    )
     cn = (
-        a.join(b, "s")
-        .filter(F.col("u") < F.col("w"))
+        adj.select(
+            F.posexplode("cs").alias("i", "u"),
+            F.col("cs"),
+        )
+        .select(
+            "u",
+            F.explode(
+                F.slice("cs", F.col("i") + 2, F.greatest(F.size("cs"), F.lit(1)))
+            ).alias("w"),
+        )
         .groupBy("u", "w")
         .agg(F.count(F.lit(1)).alias("common"))
     )
