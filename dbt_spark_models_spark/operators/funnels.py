@@ -570,11 +570,22 @@ def funnel_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``models/spark/b2b_mart/ss/ss_events_by_session.sql:95-134`` ordering
     events inside sessions) are this shape with sessions for windows.
 
-    Plan: the purchase⨝touch join is keyed on user_id (equi) with the
-    time window as a residual predicate — per-user event lists are short,
-    so the join output is bounded; both rank windows and the count window
-    share ONE partition key (p_id) and sort spec reuse. No global window,
-    no cross join."""
+    Plan (r11, guide §2.3 "aggregate before you shuffle"): the
+    purchase⨝touch join is keyed on user_id (equi) with the time window
+    as a residual predicate — per-user event lists are short, so the
+    join output is bounded. The former per-purchase windows (two
+    ROW_NUMBER sorts + a COUNT frame over an exchange keyed p_id) are
+    now ONE ordinary aggregate keyed p_id: MIN_BY/MAX_BY over
+    (t_ts, t_id) pick the first/last touch (identical tie-breaks to the
+    ROW_NUMBER orderings), and the per-type counts are conditional sums.
+    Every touch row of a purchase shares the purchase's user, so the
+    join output already co-locates each p_id inside one task and the
+    partial (map-side) aggregation collapses the exchange to ONE ROW PER
+    PURCHASE — the windows shipped and sorted every touch row. linear
+    credit per type becomes cnt_type·(1/n) per purchase instead of
+    1/n summed cnt_type times — a ~1e-16 float-association difference,
+    the same class of cross-engine summation-order drift the ROUND(.,4)
+    oracle contract already absorbs. No global window, no cross join."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
@@ -593,27 +604,48 @@ def funnel_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("t_ts") < F.col("p_ts"))
         & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
     )
-    w_n = Window.partitionBy("p_id")
-    w_first = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
-    w_last = Window.partitionBy("p_id").orderBy(
-        F.col("t_ts").desc(), F.col("t_id").desc()
-    )
-    sized = joined.select(
-        "p_id",
-        "touch_type",
-        F.count(F.lit(1)).over(w_n).alias("n_touches"),
-        F.row_number().over(w_first).alias("rk_first"),
-        F.row_number().over(w_last).alias("rk_last"),
-    )
-    return sized.groupBy("touch_type").agg(
-        F.count(F.lit(1)).alias("n_touches"),
-        F.sum(F.when(F.col("rk_first") == 1, 1).otherwise(0)).alias(
-            "first_touch_wins"
+    order_key = F.struct(F.col("t_ts"), F.col("t_id"))
+    per_p = joined.groupBy("p_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("touch_type") == "view", 1).otherwise(0)).alias(
+            "n_view"
         ),
-        F.sum(F.when(F.col("rk_last") == 1, 1).otherwise(0)).alias(
-            "last_touch_wins"
-        ),
-        F.round(F.sum(1.0 / F.col("n_touches")), 4).alias("linear_credit"),
+        F.min_by("touch_type", order_key).alias("first_type"),
+        F.max_by("touch_type", order_key).alias("last_type"),
+    )
+    # unpivot the two touch types (a type contributes rows to the oracle's
+    # GROUP BY touch_type only where it has >= 1 touch for the purchase)
+    stacked = per_p.select(
+        "n",
+        "first_type",
+        "last_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("t"), F.col("n_view").alias("cnt")
+                ),
+                F.struct(
+                    F.lit("click").alias("t"),
+                    (F.col("n") - F.col("n_view")).alias("cnt"),
+                ),
+            )
+        ).alias("x"),
+    ).select("n", "first_type", "last_type", "x.t", "x.cnt")
+    return (
+        stacked.filter(F.col("cnt") > 0)
+        .groupBy(F.col("t").alias("touch_type"))
+        .agg(
+            F.sum("cnt").alias("n_touches"),
+            F.sum(
+                F.when(F.col("first_type") == F.col("t"), 1).otherwise(0)
+            ).alias("first_touch_wins"),
+            F.sum(
+                F.when(F.col("last_type") == F.col("t"), 1).otherwise(0)
+            ).alias("last_touch_wins"),
+            F.round(F.sum(F.col("cnt") / F.col("n")), 4).alias(
+                "linear_credit"
+            ),
+        )
     )
 
 

@@ -48,10 +48,11 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared quantized quality score (same feature math as
     ``text_quality_linear_score`` / ``eval_classifier_auc``).
 
-    r11: the three token counts come from the Arrow kernel
-    (``token_count_stats``, guide §4.2) instead of interpreted per-token
-    HOF lambdas; the score arithmetic stays in the JVM over those exact
-    integer counts, so the quantized value is bit-identical."""
+    r11: the three token counts come from the shared
+    ``token_count_stats`` helper (JVM expressions — see its measurement
+    note; an Arrow-kernel variant was tried and measured slower on these
+    short token arrays); the score arithmetic runs over exact integer
+    counts, so the quantized value is bit-identical either way."""
     from dbt_spark_models_spark.operators.text import token_count_stats
 
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])

@@ -42,11 +42,11 @@ _W = {"bias": -2.0, "len": 0.5, "stop": 2.5, "dist": 1.5, "cpt": -0.1, "dig": -3
 
 def _token_stats(d: DataFrame, *keep: str) -> DataFrame:
     """(keep..., n_tok, n_distinct, n_digit) for non-empty-token docs —
-    the shared corpus pass behind every quality-score query, computed by
-    the Arrow kernel (``text.token_count_stats``, guide §4.2) instead of
-    interpreted per-token HOF lambdas. The counts are exact integers, so
-    every downstream JVM score expression is bit-identical to the
-    pre-r11 form."""
+    the shared corpus pass behind every quality-score query
+    (``text.token_count_stats``: JVM expressions that fuse into the scan;
+    see its r11 measurement note — an Arrow-kernel variant measured
+    slower on these short arrays). The counts are exact integers, so
+    every downstream JVM score expression is bit-identical."""
     from dbt_spark_models_spark.operators.text import token_count_stats
 
     return token_count_stats(
@@ -109,9 +109,9 @@ def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark_models_spark.operators.text import token_count_stats
 
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    # token counts via the Arrow kernel (guide §4.2) — exact integers, so
-    # the JVM feature arithmetic is bit-identical to the former
-    # interpreted per-token HOF form
+    # token counts via the shared JVM-expression helper (see
+    # token_count_stats's r11 measurement note) — exact integers, so the
+    # feature arithmetic is bit-identical across implementations
     n_tok = F.col("n_tok")
     feats = (
         token_count_stats(
@@ -434,9 +434,9 @@ def train_logreg_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark_models_spark.operators.text import token_count_stats
 
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    # token counts via the Arrow kernel (guide §4.2) — exact integers, so
-    # the JVM feature arithmetic below is bit-identical to the former
-    # interpreted per-token HOF form
+    # token counts via the shared JVM-expression helper (see
+    # token_count_stats's r11 measurement note) — exact integers, so the
+    # feature arithmetic below is bit-identical across implementations
     n_tok = F.col("n_tok")
     feats = (
         token_count_stats(d.select("lang", _tokens().alias("tokens")))
