@@ -491,10 +491,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rounded 6th decimal — the float drift between engines is only
     summation order, ~1e-15 per round.
 
-    Scale (Pregel-in-DataFrames): per iteration exactly ONE shuffle — the
-    contribution aggregate keyed by dst (map-side combined); edges and the
-    node frame partition once on the join key and are reused every round
-    from cache. The rank chain stays LAZY between lineage cuts: forcing a
+    Scale (Pregel-in-DataFrames): on the broadcast path the augmented
+    edge table partitions by dst ONCE and every round's contribution
+    aggregate reuses that layout — zero per-round shuffles, one rank
+    broadcast per round (r11, guide §2.4); on the co-partitioned
+    fallback, per iteration exactly ONE edge-free shuffle pair (rank
+    join key + dst aggregate) with edges laid out once on src. The rank chain stays LAZY between lineage cuts: forcing a
     materialization every round (the connected-components device) costs 3×
     here — a fixed 6-round plan is shallow enough for Catalyst to evaluate
     in one job, so ``localCheckpoint`` fires only every ``_PR_CKPT_EVERY``
@@ -521,12 +523,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ~1e-15 class the oracle's ROUND(.., 6) contract already absorbs.
     sup = F.col("l_suppkey").cast("long") * 2
     cus = F.col("o_custkey").cast("long") * 2 + 1
-    # Edges are cached in whatever layout the distinct left them in — on
-    # the broadcast path edge partitioning is IRRELEVANT to the join, so
-    # pre-partitioning on src would be a wasted full shuffle of the big
-    # side. When the node-count probe selects the co-partitioned fallback,
-    # _pagerank_loop re-shuffles edges onto src ONCE and reuses that
-    # layout every round.
+    # Edges are cached in whatever layout the distinct left them in;
+    # _pagerank_loop lays them out ONCE for the whole loop — by dst on
+    # the broadcast path (so every round's dst aggregate reuses the
+    # partitioning with zero per-round exchanges), by src on the
+    # co-partitioned fallback (so the rank join never re-shuffles the
+    # edge side).
     parts = max(8, spark.sparkContext.defaultParallelism // 2)
     # symmetrize in ONE pass over e (a unionAll of two selects would run
     # the join+distinct subtree twice)
@@ -551,8 +553,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale where the co-partitioned fallback is supposed to kick in.)
     n_nodes = deg.count()  # 1-row probe — also the strategy selector
     # nodes is a zero-cost projection over the CACHED deg — a second
-    # persist layer here costs a full cache-write pass for no reuse win
-    nodes = deg.withColumn("n", F.lit(float(n_nodes)))
+    # persist layer here costs a full cache-write pass for no reuse win.
+    # n is NOT carried as a per-row column (r11, guide §2.3 "shuffle
+    # fewer bytes"): it is a driver constant, stamped as a literal inside
+    # the loop, so every per-round exchange/broadcast row is (node, d, r)
+    # instead of (node, d, n, r) — 8 fewer bytes per row per round and
+    # one less aggregate column.
+    nodes = deg
     # AUTO-SELECT broadcast vs co-partitioned (VERDICT r8 #4): one 1-row
     # scalar probe (same budget class as the BPE/k-means trainers)
     # decides the join strategy for the whole loop.
@@ -560,7 +567,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.get(_PR_MODE_CONF, str(_PR_BROADCAST_MAX_NODES))
     )
     ranks = _pagerank_loop(
-        edges, nodes, parts, broadcast_ranks=n_nodes <= max_bc
+        edges, nodes, float(n_nodes), parts, broadcast_ranks=n_nodes <= max_bc
     )
     # edges MUST stay persisted past this return: the 6-round rank chain
     # is LAZY (checkpoint is a no-op below _PR_CKPT_EVERY rounds), so the
@@ -581,15 +588,34 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_loop(
-    edges, nodes, parts: int, broadcast_ranks: bool, iters: int = _PR_ITERS
+    edges,
+    nodes,
+    n_nodes: float,
+    parts: int,
+    broadcast_ranks: bool,
+    iters: int = _PR_ITERS,
 ):
     """The Pregel-in-DataFrames rank loop, strategy-parametrized.
 
+    Precondition (both paths): every ``dst`` also appears as a ``src``
+    — i.e. no pure-sink nodes. The production caller symmetrizes the
+    graph, which guarantees it; a sink node would silently drop from the
+    broadcast path's rank vector (and surface with a NULL degree on the
+    fallback path), so don't feed directed graphs here without seeding
+    sinks into the node frame.
+
     ``broadcast_ranks=True`` (node count fits an executor): the rank
-    vector is NODE-sized (16 bytes/node) while edges are the big side —
-    broadcast ranks into the edge join; the union-seed aggregate below
-    folds the node attributes back in, leaving exactly ONE broadcast and
-    ONE exchange per round. Edge partitioning is irrelevant on this path.
+    vector is NODE-sized (16 bytes/node) while edges are the big side.
+    r11 (guide §2.4 "remove shuffles outright"): an AUGMENTED edge table
+    — real edges joined once with the dst's degree, plus one zero-weight
+    self-row per node (the dangling/coverage seed) — is hash-partitioned
+    by dst ONCE and cached. Each round then broadcast-joins the (node,
+    r/d) rank vector into it and aggregates by dst WITHOUT any exchange:
+    the broadcast hash join preserves the cached dst partitioning, which
+    already satisfies the aggregate's required distribution. Per-round
+    cost drops from one broadcast + one EDGE-SCALE exchange to one
+    broadcast only — for ``iters`` rounds the edge set crosses the
+    network once (the pre-pass) instead of ``iters`` times.
 
     ``broadcast_ranks=False`` (rank vector too big to broadcast): the
     co-partitioned path — edges re-shuffle ONCE onto src and stay cached
@@ -600,31 +626,87 @@ def _pagerank_loop(
     executor memory. Both paths compute rank sums whose float ordering
     may differ at ~1e-15 — which is why the gate rounds to 1e-6, the
     oracle contract."""
-    if not broadcast_ranks:
-        edges = edges.repartition(parts, "src").persist()
+    # n (node count) is a driver constant — stamped as F.lit everywhere,
+    # never a per-row column (r11): each round's exchange/broadcast rows
+    # narrow to (node, d, r).
+    inv_n = F.lit(1.0) / F.lit(n_nodes)
     ranks = nodes.select(
-        F.col("src").alias("node"), "d", "n", (F.lit(1.0) / F.col("n")).alias("r")
+        F.col("src").alias("node"), "d", inv_n.alias("r")
     )
-    # Each node contributes one zero-weight seed row carrying its (d, n):
-    # unioned under the edge contributions, ONE dst-keyed aggregate then
-    # yields sum(w) AND the node attributes (max over {value, null}) —
-    # replacing the former contribs→nodes LEFT JOIN. Per round that is
-    # one broadcast + one exchange instead of two broadcasts + one
-    # exchange (broadcast build latency was half the query's wall time at
-    # bench scale), and dangling-node handling (no inbound edges) falls
-    # out of the seed row instead of a null-coalescing outer join.
+    if broadcast_ranks:
+        # Augmented edges: (src, dst, dd=out-degree of dst, m) — m=1 for
+        # real edges, m=0 for the per-node self seed row (keeps every
+        # node in the rank vector and contributes exactly 0.0 to its
+        # sum, bit-neutral to the former union-seed form). ONE edge-scale
+        # exchange here buys zero exchanges inside the loop. deg is
+        # node-scale, safely broadcast on this path by definition.
+        deg_dst = nodes.select(
+            F.col("src").alias("dst"), F.col("d").alias("dd")
+        )
+        aug = (
+            edges.join(F.broadcast(deg_dst), "dst")
+            .select("src", "dst", "dd", F.lit(1.0).alias("m"))
+            .unionByName(
+                nodes.select(
+                    "src",
+                    F.col("src").alias("dst"),
+                    F.col("d").alias("dd"),
+                    F.lit(0.0).alias("m"),
+                )
+            )
+            .repartition(parts, "dst")
+            .persist()
+        )
+        # Materialize the cache NOW (1-row count, same budget class as
+        # the node-count probe): an UNMATERIALIZED cached plan reports
+        # unknown output partitioning under AQE, so every round's
+        # aggregate would re-plan an ENSURE_REQUIREMENTS exchange —
+        # measured: planning against the finalized cache is what makes
+        # the per-round exchange count ZERO.
+        aug.count()
+        for i in range(iters):
+            # w = r/d computed once per NODE inside the broadcast (the
+            # former per-edge-row projection computed the same IEEE
+            # division per edge); broadcast rows narrow to (node, w).
+            w = F.broadcast(
+                ranks.select("node", (F.col("r") / F.col("d")).alias("w"))
+            )
+            ranks = (
+                aug.join(w, aug.src == w.node)
+                .groupBy("dst")
+                .agg(
+                    F.sum(aug.m * w.w).alias("s"),
+                    F.max("dd").alias("d"),
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    "d",
+                    (
+                        F.lit(1 - _PR_D) / F.lit(n_nodes)
+                        + F.lit(_PR_D) * F.col("s")
+                    ).alias("r"),
+                )
+            )
+            if (i + 1) % _PR_CKPT_EVERY == 0:
+                ranks = ranks.localCheckpoint()
+        return ranks
+    edges = edges.repartition(parts, "src").persist()
+    # Fallback (co-partitioned) shape: each node contributes one
+    # zero-weight seed row carrying its d; unioned under the edge
+    # contributions, ONE dst-keyed aggregate then yields sum(w) AND the
+    # node attribute (max over {value, null}) — replacing the former
+    # contribs→nodes LEFT JOIN, and dangling-node handling (no inbound
+    # edges) falls out of the seed row instead of a null-coalescing
+    # outer join.
     seed = nodes.select(
-        F.col("src").alias("dst"), F.lit(0.0).alias("w"), "d", "n"
+        F.col("src").alias("dst"), F.lit(0.0).alias("w"), "d"
     )
     for i in range(iters):
-        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks.repartition(
-            parts, "node"
-        )
+        rank_side = ranks.repartition(parts, "node")
         contribs = edges.join(rank_side, edges.src == rank_side.node).select(
             edges.dst.alias("dst"),
             (rank_side.r / rank_side.d).alias("w"),
             F.lit(None).cast("bigint").alias("d"),
-            F.lit(None).cast("double").alias("n"),
         )
         ranks = (
             contribs.unionByName(seed)
@@ -632,14 +714,12 @@ def _pagerank_loop(
             .agg(
                 F.sum("w").alias("s"),
                 F.max("d").alias("d"),
-                F.max("n").alias("n"),
             )
             .select(
                 F.col("dst").alias("node"),
                 "d",
-                "n",
                 (
-                    F.lit(1 - _PR_D) / F.col("n")
+                    F.lit(1 - _PR_D) / F.lit(n_nodes)
                     + F.lit(_PR_D) * F.col("s")
                 ).alias("r"),
             )

@@ -1331,7 +1331,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # seed codebooks: the K smallest vec_ids' sub-vectors (bounded probe)
-    seed_rows = sub.filter(F.col("vec_id") < _PQ_K).collect()  # ≤ S*K rows
+    seed_rows = sub.filter(F.col("vec_id") < _PQ_K).collect()  # bounded: S*K rows
     codebooks: dict = {}
     for r in seed_rows:
         codebooks.setdefault(r["s"], []).append(

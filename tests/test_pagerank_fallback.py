@@ -24,16 +24,15 @@ def _graph(spark):
         "src string, dst string",
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nw = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-        F.col("src").isNotNull()
-    )
-    nodes = deg.withColumn("n", F.count(F.lit(1)).over(nw).cast("double"))
-    return edges, nodes
+    n_nodes = float(deg.count())  # the 1-row probe graph_pagerank performs
+    return edges, deg, n_nodes
 
 
 def _ranks(spark, broadcast_ranks):
-    edges, nodes = _graph(spark)
-    out = _pagerank_loop(edges, nodes, 4, broadcast_ranks=broadcast_ranks)
+    edges, nodes, n_nodes = _graph(spark)
+    out = _pagerank_loop(
+        edges, nodes, n_nodes, 4, broadcast_ranks=broadcast_ranks
+    )
     return out.select("node", F.round("r", 6).alias("r"))
 
 
