@@ -236,7 +236,7 @@ def array_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     for embedding math (no Python UDF). Both engines compute in float64 on
     exactly the same float32 inputs, so results match bit-for-bit before
     rounding."""
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
     sq_sum = F.aggregate(
         "embedding",
         F.lit(0.0),

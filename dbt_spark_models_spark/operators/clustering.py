@@ -64,7 +64,7 @@ def _edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (id(spark), sf_dir)
     if key not in _EDGE_CACHE:
-        d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+        d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
         _EDGE_CACHE[key] = (
             jaccard_prefix_join(d, 9, 10)
             .select("doc_a", "doc_b")
@@ -402,7 +402,7 @@ def pipeline_fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFram
     single-partition."""
     from dbt_spark_models_spark.sources.testdata import spread
 
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     # the pair join arrives already materialized (localCheckpoint) from
     # the session-shared edge cache: the star rounds reference their
     # input several times per round (symmetrize union + neighborhood

@@ -107,7 +107,7 @@ def text_contamination_ngram_overlap(
     its distinct-shingle table is broadcast — the candidate side streams
     through a BroadcastHashJoin with no shuffle of the 100 TB side; the only
     wide exchange is the per-doc groupBy, keyed on doc_id (uniform)."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     shingled = (
         d.select("doc_id", "source", _tokens().alias("tokens"))
         .filter(F.size("tokens") >= _N)
@@ -166,7 +166,7 @@ def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the vocabulary is bounded (<< corpus), so pass 2 is a broadcast
     join; pass 1 is one map-side-combined groupBy on the token — the same
     plan shape at 100 TB."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     # tokenization feeds both the vocabulary build and the scoring pass —
     # persist the tokenized frame so the regex split runs once; vocab
     # additionally feeds its own broadcast AND the total, so the (small)
@@ -334,7 +334,7 @@ def pipeline_pretraining_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one hash-partitioned window; packing windows per lang."""
     from pyspark.sql import Window
 
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     # the tokenization feeds FOUR plan branches (repetition gate counts,
     # the gated row set itself, eval n-grams, candidate shingles); Spark
     # evaluates each branch from scratch, re-running the regex split over
@@ -499,7 +499,7 @@ def text_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     law); both count passes are map-side-combined keyed aggs and the
     re-joins broadcast the vocab tables — the same 100 TB plan shape as
     the unigram scorer."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     toks = d.select("doc_id", _tokens().alias("tokens")).filter(
         F.size("tokens") >= 2
     )
@@ -616,7 +616,7 @@ def contamination_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval side is scanned ONCE (the k hash positions come from one
     row-local array, not k unioned scans).
     """
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     shingled = (
         d.select("doc_id", "source", _tokens().alias("tokens"))
         .filter(F.size("tokens") >= _N)
@@ -884,7 +884,7 @@ def pipeline_concat_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key — no global sort); the doc→chunk fan-out is a
     SEQUENCE explode bounded by ceil(doc_tokens/N)+1 rows per doc; the
     final rollup is a map-side-combined groupBy on (lang, chunk)."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     est = d.select(
         "doc_id",
         "lang",
@@ -974,7 +974,7 @@ def pipeline_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: one row-local bucket expression + one map-side-combined
     groupBy on ≤ 8 bucket keys; no window, no shuffle beyond the tiny
     final agg."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     est = d.select(
         F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens")
     ).where(F.col("est_tokens") >= 1)

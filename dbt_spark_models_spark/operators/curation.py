@@ -325,7 +325,7 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document answers)."""
     from dbt_spark_models_spark.sources.testdata import spread
 
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: F.length(x) > 0
     )
@@ -862,7 +862,7 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dbt_spark_models_spark.sources.testdata import spread
 
-    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     toks = docs.select(
         "doc_id",
         "source",
@@ -1292,7 +1292,7 @@ def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark_models_spark.operators.text import _tokens
     from dbt_spark_models_spark.sources.testdata import spread
 
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     n_tok = F.size("tokens")
     scored = (
         d.withColumn("tokens", _tokens())

@@ -150,7 +150,7 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the driver verifies losslessness at this threshold too. (The
     historical demo-slice posting join this replaces lives on as the
     reference implementation inside tests/test_property_differential.py.)"""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     return jaccard_prefix_join(d, 3, 5)
 
 
@@ -222,7 +222,7 @@ def dedup_minhash_lsh(
     No all-pairs stage exists anywhere: candidate generation is a shuffle
     on band signatures, verification joins only surviving candidate pairs.
     """
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     tok = d.select("doc_id", _tokens().alias("tokens")).filter(
         F.size("tokens") >= 3
     )
@@ -350,7 +350,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PPJoin family) at threshold 0.9 — see ``jaccard_prefix_join``. The
     oracle is the unfiltered ground truth, so the driver verifies the
     losslessness claim itself, not a replica of the pruning."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     return jaccard_prefix_join(d, 9, 10)
 
 
@@ -513,7 +513,7 @@ SELECT doc_id, simhash16 FROM sigs
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit here; 64-bit in production) — bitwise majority vote
     over token hashes. Equal/near fingerprints cluster near-duplicates."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     return simhash_fingerprints(d)
 
 
@@ -553,7 +553,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     production uses 64-bit fingerprints with 4×16-bit bands, and the
     bucket join shuffles only (band, bval) — the same bounded-candidates
     design as ``dedup_minhash_lsh_pairs``."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     sigs = simhash_fingerprints(d)
     banded = sigs.select(
         "doc_id",
@@ -637,7 +637,7 @@ def dedup_chunk_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     hash-partitioned on the same key. No pairwise stage — cross-doc
     overlap is detected through the inverted chunk index, so cost is
     linear in corpus size at any scale."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     tok = d.select("doc_id", _tokens().alias("tokens")).filter(
         F.size("tokens") >= _CHUNK
     )
@@ -723,7 +723,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     span); reassembly is ONE shuffle back on doc_id building a bounded
     per-document array. No pairwise comparisons, cost linear in corpus
     size — the plan at 100 TB is the same two exchanges."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     tok = d.select("doc_id", _tokens().alias("tokens")).filter(
         F.size("tokens") > 0
     )
@@ -793,7 +793,7 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNFILTERED cross-set ground truth, so the driver verifies the index
     loses nothing."""
     t_num, t_den = 3, 5
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     base = (
         d.select(
             "doc_id",
@@ -907,7 +907,7 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``levenshtein`` JVM-side (codegen, no Python); at 100 TB, tighten the
     band width / add a second blocking token to keep blocks bounded.
     """
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select(
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id").select(
         "doc_id",
         "text",
         "lang",
@@ -977,7 +977,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the UNFILTERED directional ground truth, so the driver verifies
     losslessness itself.
     """
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     base = (
         d.select("doc_id", F.array_distinct(_tokens()).alias("toks"))
         .withColumn("sz", F.size("toks").cast("long"))
@@ -1261,7 +1261,7 @@ def dedup_url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source distinct count is a keyed two-level agg; survivors (not
     materialized here) are min(doc_id) per canonical group, the same
     keep-first rule as ``dedup_keep_first_survivors``."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     did = F.col("doc_id")
     url = F.concat(
         F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),

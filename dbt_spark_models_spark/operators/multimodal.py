@@ -88,7 +88,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     text — documents are ASCII so byte stats equal char stats, which is what
     lets the DuckDB oracle verify the Pandas-UDF plumbing end-to-end), then
     extract features via ``mapInPandas``."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     with_payload = d.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
@@ -119,7 +119,7 @@ def multimodal_metadata_partition_plan(spark: SparkSession, sf_dir: str) -> Data
     + a broadcast of per-partition offsets (see ``exact_ntile``)."""
     from dbt_spark_models_spark.operators.windows import exact_ntile
 
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     meta = d.select(
         "doc_id",
         F.struct(
@@ -206,7 +206,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: row-expanding Pandas UDFs keep Arrow batches bounded (the output
     is built per input batch); the payload never leaves the executor."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     with_payload = d.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
@@ -280,7 +280,7 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from byte lengths (no image libs in this
     container), which is what lets the oracle verify the Pandas-UDF
     arithmetic end-to-end. Row-local: zero shuffles at any scale."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     meta = d.select(
         "doc_id",
         F.greatest(

