@@ -37,10 +37,9 @@ def _run_bench(tmp_path):
 @pytest.mark.slow
 def test_bench_no_regressions_vs_round_baseline(tmp_path):
     sys.path.insert(0, REPO)
-    from tools.benchgate import BASELINE_PATH, compare, load_bench_json
+    from tools.benchgate import compare, load_baseline, load_bench_json
 
-    with open(BASELINE_PATH) as f:
-        baseline = load_bench_json(f.read())
+    baseline = load_baseline()
     # looser thresholds than the standalone benchgate CLI (1.5x/0.3s):
     # inside the suite the bench subprocess shares the machine with the
     # suite's own live Spark JVM, which adds scheduler-contention jitter

@@ -89,6 +89,7 @@ def test_no_collect_in_operators():
             assert src.count(".collect()") <= 2 and "# 1-row probe" in src, (
                 f"{name} allowlisted for a documented 1-row probe only"
             )
+            assert ".toPandas()" not in src, f"{name} pulls to driver"
             continue
         if name in BOUNDED_COLLECT_ALLOWED:
             lines = [
@@ -97,6 +98,10 @@ def test_no_collect_in_operators():
             assert lines and len(lines) <= 2 and all(
                 "# bounded:" in ln for ln in lines
             ), f"{name}: every collect must carry a '# bounded:' annotation"
+            # the bounded-collect allowance does NOT extend to toPandas —
+            # a corpus-scale pull would otherwise slip past the audit
+            # (r11 ADVICE #3)
+            assert ".toPandas()" not in src, f"{name} pulls to driver"
             continue
         assert ".collect()" not in src, f"{name} collects to driver"
         assert ".toPandas()" not in src, f"{name} pulls to driver"
