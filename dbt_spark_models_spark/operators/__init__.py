@@ -60,6 +60,31 @@ def query(name: str, oracle: str | None = None):
 # signal (graph=clustering, multimodal, tokenizer, retrieval), then agg
 # sketches / train+eval (quality) / streaming / funnels / text — breadth
 # of family over count.
+# Queries whose IMPLEMENTATION was rewritten by an optimization round
+# AFTER their latest driver grade (r11 VERDICT "what's wrong" #4 / next
+# round #3): their staleness number under-states their risk — the grade
+# on file predates the code that now runs.  They sort ahead of every
+# merely-stale graded query so the driver's 50-slot sample re-grades them
+# first.  Names drop off this list once a CORRECTNESS_r*.json newer than
+# the rewrite grades them green (graded_state recomputes live, so the
+# list is only a priority hint — it can never mask a red grade).
+_REGRADE_FIRST = {
+    # r11 rewrites, last driver-graded pre-rewrite:
+    "curation_bradley_terry_strengths",  # graded r7, rewritten r11
+    "dedup_minhash_lsh_pairs",  # graded r8, rewritten r11
+    "graph_jaccard_link_prediction",  # graded r6, rewritten r11
+    "funnel_attribution_models",  # graded r6, rewritten r11
+    "eval_corpus_bleu2",  # graded r7, rewritten r11
+    "dedup_chunk_substring_overlap",  # graded r9, rewritten r11
+    "nested_status_history_traversal",  # graded r10, rewritten r11
+    "similarity_kmeans_ivf_train",  # graded r10, rewritten r11
+    "sample_negative_pairs",  # graded r6, rewritten r11
+    "gold_orders_wide",  # graded r9, rewritten r11
+    "retrieval_bm25_topk",  # graded r5, rewritten r11
+    "contamination_bloom_probe",  # graded r7, rewritten r11
+    "dedup_simhash_fingerprints",  # graded r8, rewritten r11
+}
+
 _ROTATION_FRONT = [
     "cdf_incremental_gate",
     "delta_mart_gate",
@@ -150,10 +175,12 @@ def load_all() -> dict[str, Query]:
         mod = q.fn.__module__.rsplit(".", 1)[-1]
         graded = name in rounds
         # ungraded first; within ungraded, _ROTATION_FRONT modules in listed
-        # order, then the rest.  Within graded, oldest grading round first
+        # order, then the rest.  Within graded, rewritten-since-last-grade
+        # names (_REGRADE_FIRST) first, then oldest grading round first
         # (staleness rotation).  Registration order breaks ties (stable sort).
         return (
             graded,
+            name not in _REGRADE_FIRST if graded else False,
             rounds.get(name, 0) if graded else mod_rank.get(mod, len(_ROTATION_FRONT)),
         )
 
