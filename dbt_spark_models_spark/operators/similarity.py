@@ -1288,11 +1288,265 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64, so train + encode + search all hash-match the unrolled SQL
     oracle.
 
-    Scale: codebooks are 128 tiny rows (broadcast); encoding is one pass;
-    the ADC scan reads ONLY the 8-byte code column joined to a broadcast
-    distance table — the plan shape that makes 1e11-vector search fit in
-    RAM. The HAVING/count guard keeps semantics identical when a codebook
-    cell empties (both engines drop it)."""
+    r12 FUSED form (guide §2.3/§2.4/§4.2 + §8 "decide with small rows"):
+    the r11 Arrow conversion kept the r10 plan skeleton — a persisted
+    8-rows-per-vector ``sub`` table, two assignment passes that shipped
+    (vec_id, s, sub, cid, d2) back across the Python boundary, a JVM
+    re-aggregation of the update sums, a broadcast-join ADC and a
+    corpus-scale top-k window — and quiet-measured SLOWER than the JVM
+    form it replaced (r11 VERDICT #1). This round fuses each phase into
+    the kernel that already holds the data: pass 1 quantizes, assigns to
+    the seed codebooks AND reduces the centroid update to per-task
+    (s, cid, n, Σsub) partials (≤S·K rows per task; a tiny groupBy makes
+    the driver collect ≤S·K rows at ANY corpus size); pass 2 re-quantizes,
+    assigns to the trained codebooks and scores ADC against the
+    driver-computed per-query distance tables, emitting only each task's
+    top-3 per query (≤3·|Q| rows per task). Seeds AND the 5 query vectors
+    come from ONE predicate-pushdown collect (vec_id < K covers both).
+    Quiet interleaved A/B (load <0.1, 7 alternating rounds each, min/med):
+    old JVM 2.55/2.85 s, r11 Arrow 3.43/3.60 s, fused 1.53/1.85 s — the
+    fused form wins both, and is the 100 TB shape outright: two scans of
+    the narrow (vec_id, embedding) projection, zero persisted corpus
+    state, zero corpus-scale exchanges (partials and top-k candidates are
+    the only rows that move). All arithmetic is the same IEEE float64
+    ops on integer-valued codes (driver numpy replicates the kernel's
+    quantization expression exactly), so results stay hash-identical to
+    the unrolled SQL oracle — verified at sf0.1/sf0.01/sf0.001.
+
+    The HAVING/count guard of the oracle holds by construction here:
+    every assignment cid comes from the trained codebook, whose every
+    cell appears in every query's distance table, so each candidate
+    always sums exactly S lookups (an empty trained cell exists in
+    neither engine)."""
+    import numpy as np
+
+    e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
+    narrow = e.select("vec_id", "embedding")
+
+    def _quantize(arr: "np.ndarray") -> "np.ndarray":
+        # identical IEEE ops to the pre-r12 in-kernel quantization (and to
+        # the oracle's ROUND-half-away-from-zero over x * 127/absmax)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            amax = np.abs(arr).max(axis=1)
+            y = arr * (127.0 / amax)[:, None]
+        return np.where(y >= 0.0, np.floor(y + 0.5), np.ceil(y - 0.5))
+
+    # seeds + queries in ONE predicate-pushdown collect: vec_id < K is
+    # the seed set and contains the vec_id < 5 query set
+    seed_rows = narrow.filter(
+        F.col("vec_id") < _PQ_K
+    ).collect()  # bounded: K = 16 rows (seeds; queries are the vec_id<5 subset)
+    seed_ids = np.asarray([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    order = np.argsort(seed_ids)
+    seed_ids = seed_ids[order]
+    seed_arr = np.asarray(
+        [[float(x) for x in seed_rows[i]["embedding"]] for i in order],
+        dtype=np.float64,
+    )
+    seed_codes = _quantize(seed_arr).reshape(len(seed_ids), _PQ_S, _PQ_D)
+    cb0 = {s: (seed_ids, seed_codes[:, s, :]) for s in range(_PQ_S)}
+
+    def partials_arrow(cb: dict) -> DataFrame:
+        """Pass 1: quantize + nearest-seed assignment + in-task centroid
+        partial sums. argmin's first-minimum tie-break over cid-sorted
+        entries IS the oracle's (d2, cid) order; counts and Σsub are
+        integer-exact in float64 at any accumulation order."""
+
+        def batches(it):
+            import pyarrow as pa
+
+            Cs = {
+                s: (cids, C, (C * C).sum(axis=1)) for s, (cids, C) in cb.items()
+            }
+            cnt = {s: np.zeros(len(cids)) for s, (cids, _) in cb.items()}
+            sums = {
+                s: np.zeros((len(cids), _PQ_D)) for s, (cids, _) in cb.items()
+            }
+            seen = False
+            for b in it:
+                n = b.num_rows
+                if n == 0:
+                    continue
+                seen = True
+                arr = np.asarray(
+                    b.column(1).flatten(), dtype=np.float64
+                ).reshape(n, -1)
+                subs = _quantize(arr).reshape(n, _PQ_S, _PQ_D)
+                for s, (cids, C, cc) in Cs.items():
+                    x = subs[:, s, :]
+                    d2 = (
+                        (x * x).sum(axis=1)[:, None]
+                        + cc[None, :]
+                        - 2.0 * (x @ C.T)
+                    )
+                    best = d2.argmin(axis=1)
+                    onehot = np.zeros((n, len(cids)))
+                    onehot[np.arange(n), best] = 1.0
+                    cnt[s] += onehot.sum(axis=0)
+                    sums[s] += onehot.T @ x
+            if not seen:
+                return
+            out_s, out_cid, out_n, out_sums = [], [], [], []
+            for s, (cids, _, _) in Cs.items():
+                nz = cnt[s] > 0
+                out_s.append(np.full(int(nz.sum()), s, dtype=np.int32))
+                out_cid.append(cids[nz])
+                out_n.append(cnt[s][nz])
+                out_sums.append(sums[s][nz])
+            s_a = np.concatenate(out_s)
+            m = len(s_a)
+            if m == 0:
+                return
+            arrays = [
+                pa.array(s_a),
+                pa.array(np.concatenate(out_cid)),
+                pa.array(np.concatenate(out_n)),
+            ]
+            sum_a = np.concatenate(out_sums)
+            arrays += [pa.array(sum_a[:, i]) for i in range(_PQ_D)]
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                names=["s", "cid", "n"] + [f"s{i}" for i in range(_PQ_D)],
+            )
+
+        schema = "s int, cid bigint, n double, " + ", ".join(
+            f"s{i} double" for i in range(_PQ_D)
+        )
+        return narrow.mapInArrow(batches, schema)
+
+    # one tiny (s, cid)-keyed agg caps the collect at S*K rows no matter
+    # how many tasks contributed partials
+    sums = (
+        partials_arrow(cb0)
+        .groupBy("s", "cid")
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"s{i}").alias(f"s{i}") for i in range(_PQ_D)],
+        )
+        .collect()  # bounded: S*K = 128 rows of update sums
+    )
+    cb1: dict = {}
+    for r in sums:
+        # FLOOR(sum/count) on integer-exact doubles — identical to the
+        # oracle's floor-divided update
+        ce = np.floor(
+            np.asarray([r[f"s{i}"] for i in range(_PQ_D)], dtype=np.float64)
+            / r["n"]
+        )
+        cb1.setdefault(r["s"], []).append((int(r["cid"]), ce))
+    cb1 = {
+        s: (
+            np.asarray(
+                [cid for cid, _ in sorted(ents, key=lambda t: t[0])],
+                dtype=np.int64,
+            ),
+            np.stack([ce for _, ce in sorted(ents, key=lambda t: t[0])]),
+        )
+        for s, ents in cb1.items()
+    }
+
+    # per-query ADC distance tables, computed AT THE DRIVER from the
+    # already-collected query codes and the trained codebooks: integer
+    # values throughout, so float64 order never matters
+    qmask = seed_ids < 5
+    q_ids = seed_ids[qmask]
+    q_codes = seed_codes[qmask]
+    qd2 = {}
+    for s, (cids, C) in cb1.items():
+        cc = (C * C).sum(axis=1)
+        x = q_codes[:, s, :]
+        qd2[s] = (x * x).sum(axis=1)[:, None] + cc[None, :] - 2.0 * (x @ C.T)
+
+    def adc_topk_arrow(cb: dict, qd2: dict, q_ids: "np.ndarray") -> DataFrame:
+        """Pass 2: quantize + nearest-codebook assignment + ADC scoring
+        against the driver-held distance tables; emits each task's top-3
+        candidates per query (exact: the global top-3 by (adc_dist,
+        neighbor_id) is contained in the union of per-task top-3s)."""
+        qi = np.asarray(q_ids, dtype=np.int64)
+
+        def batches(it):
+            import pyarrow as pa
+
+            Cs = {
+                s: (cids, C, (C * C).sum(axis=1)) for s, (cids, C) in cb.items()
+            }
+            nq = len(qi)
+            if nq == 0:
+                return
+            cand_v = [[] for _ in range(nq)]
+            cand_d = [[] for _ in range(nq)]
+            for b in it:
+                n = b.num_rows
+                if n == 0:
+                    continue
+                vid = np.asarray(b.column(0), dtype=np.int64)
+                arr = np.asarray(
+                    b.column(1).flatten(), dtype=np.float64
+                ).reshape(n, -1)
+                subs = _quantize(arr).reshape(n, _PQ_S, _PQ_D)
+                dist = np.zeros((n, nq))
+                for s, (cids, C, cc) in Cs.items():
+                    x = subs[:, s, :]
+                    d2 = (
+                        (x * x).sum(axis=1)[:, None]
+                        + cc[None, :]
+                        - 2.0 * (x @ C.T)
+                    )
+                    best = d2.argmin(axis=1)
+                    dist += qd2[s][:, best].T
+                for j in range(nq):
+                    mask = vid != qi[j]
+                    v = vid[mask]
+                    d = dist[mask, j]
+                    if len(v) == 0:
+                        continue
+                    idx = np.lexsort((v, d))[:3]
+                    cand_v[j].append(v[idx])
+                    cand_d[j].append(d[idx])
+            outq, outn, outd = [], [], []
+            for j in range(nq):
+                if not cand_v[j]:
+                    continue
+                v = np.concatenate(cand_v[j])
+                d = np.concatenate(cand_d[j])
+                idx = np.lexsort((v, d))[:3]
+                outq.append(np.full(len(idx), qi[j], dtype=np.int64))
+                outn.append(v[idx])
+                outd.append(d[idx])
+            if not outq:
+                return
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(outq)),
+                    pa.array(np.concatenate(outn)),
+                    pa.array(np.concatenate(outd)),
+                ],
+                names=["q_id", "neighbor_id", "adc_f"],
+            )
+
+        return narrow.mapInArrow(
+            batches, "q_id bigint, neighbor_id bigint, adc_f double"
+        )
+
+    cand = adc_topk_arrow(cb1, qd2, q_ids)
+    w_topk = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        cand.select(
+            "q_id",
+            "neighbor_id",
+            F.col("adc_f").cast("long").alias("adc_dist"),
+        )
+        .withColumn("rnk", F.row_number().over(w_topk))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
+def _pq_adc_topk_r11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The superseded r11 Arrow form, kept (unregistered) for the
+    equivalence test.  Structure: persisted 8-rows-per-vector sub table,
+    two full-row Arrow assignment passes, JVM update agg, broadcast-join
+    ADC + corpus-scale top-k window."""
     e = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"], "vec_id")
 
     # (vec_id, s, sub, vv): quantize + split into the S subspaces in ONE
