@@ -495,8 +495,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge table partitions by dst ONCE and every round's contribution
     aggregate reuses that layout — zero per-round shuffles, one rank
     broadcast per round (r11, guide §2.4); on the co-partitioned
-    fallback, per iteration exactly ONE edge-free shuffle pair (rank
-    join key + dst aggregate) with edges laid out once on src. The rank chain stays LAZY between lineage cuts: forcing a
+    fallback, per iteration exactly ONE edge-free shuffle (the dst
+    aggregate's own partial-combined exchange, whose output layout IS
+    the next round's join distribution — r12) with edges laid out once
+    on src. The rank chain stays LAZY between lineage cuts: forcing a
     materialization every round (the connected-components device) costs 3×
     here — a fixed 6-round plan is shallow enough for Catalyst to evaluate
     in one job, so ``localCheckpoint`` fires only every ``_PR_CKPT_EVERY``
@@ -618,12 +620,13 @@ def _pagerank_loop(
     network once (the pre-pass) instead of ``iters`` times.
 
     ``broadcast_ranks=False`` (rank vector too big to broadcast): the
-    co-partitioned path — edges re-shuffle ONCE onto src and stay cached
-    in that layout; each round's rank vector repartitions onto the same
-    key so the edge side of the join never exchanges again. Two rank-
-    sized exchanges per round (join key + dst aggregate), zero edge-sized
-    ones — the shape that survives graphs whose node set alone outgrows
-    executor memory. Both paths compute rank sums whose float ordering
+    co-partitioned path — edges re-shuffle ONCE onto src (on the
+    session's shuffle partition count) and stay cached in that layout;
+    each round's rank vector leaves the dst aggregate already hash-
+    partitioned on the SAME key and count, so neither join side ever
+    exchanges again (r12). ONE rank-sized exchange per round (the dst
+    aggregate's own), zero edge-sized ones — the shape that survives
+    graphs whose node set alone outgrows executor memory. Both paths compute rank sums whose float ordering
     may differ at ~1e-15 — which is why the gate rounds to 1e-6, the
     oracle contract."""
     # n (node count) is a driver constant — stamped as F.lit everywhere,
@@ -690,7 +693,23 @@ def _pagerank_loop(
             if (i + 1) % _PR_CKPT_EVERY == 0:
                 ranks = ranks.localCheckpoint()
         return ranks
-    edges = edges.repartition(parts, "src").persist()
+    # r12 (guide §2.4, VERDICT r11 next-round #4): the rank vector leaves
+    # every round's dst aggregate ALREADY hash-partitioned on dst=node by
+    # the aggregate's own exchange.  Laying the edges out on the SAME
+    # partition count — the session's shuffle.partitions, which is what
+    # the aggregate exchange uses — makes each round's join co-partitioned
+    # by construction, so the former per-round
+    # ``ranks.repartition(parts, "node")`` exchange disappears.  (AQE
+    # cannot coalesce the aggregate's shuffle read out from under the
+    # join: the edge side is a cached non-shuffle leaf, which disables
+    # partition coalescing for that stage — the same mechanism the
+    # broadcast path's materialized aug layout relies on.)  Per-round
+    # exchanges drop from two rank-sized to ONE (the dst aggregate's own
+    # partial-combined shuffle); the edge set still never re-exchanges.
+    # The count stays scale-adaptive: it derives from the session conf,
+    # not the local core count.
+    p = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.repartition(p, "src").persist()
     # Fallback (co-partitioned) shape: each node contributes one
     # zero-weight seed row carrying its d; unioned under the edge
     # contributions, ONE dst-keyed aggregate then yields sum(w) AND the
@@ -701,11 +720,13 @@ def _pagerank_loop(
     seed = nodes.select(
         F.col("src").alias("dst"), F.lit(0.0).alias("w"), "d"
     )
+    # the ONLY rank-side exchange of the whole loop: the initial vector
+    # (round outputs inherit hash(node, p) from the aggregate itself)
+    ranks = ranks.repartition(p, "node")
     for i in range(iters):
-        rank_side = ranks.repartition(parts, "node")
-        contribs = edges.join(rank_side, edges.src == rank_side.node).select(
+        contribs = edges.join(ranks, edges.src == ranks.node).select(
             edges.dst.alias("dst"),
-            (rank_side.r / rank_side.d).alias("w"),
+            (ranks.r / ranks.d).alias("w"),
             F.lit(None).cast("bigint").alias("d"),
         )
         ranks = (
@@ -725,7 +746,9 @@ def _pagerank_loop(
             )
         )
         if (i + 1) % _PR_CKPT_EVERY == 0:
-            ranks = ranks.repartition(parts, "node").localCheckpoint()
+            # localCheckpoint preserves the physical hash(node, p) layout
+            # in its LogicalRDD, so the lineage cut costs no re-shuffle
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
