@@ -177,6 +177,18 @@ SMOKE = [
     "engine_campaign_funnels_rollup",
     "eval_rouge2_f1",
     "preference_best_of_n",
+    # streaming operators (r12, VERDICT r11 #6): first bench
+    # characterization — micro-batch trigger/plumbing latency dominates
+    # these, so they are smoke-tier (characterized once per round), not
+    # headline plan-bound representatives
+    "streaming_daily_type_counts",
+    "streaming_session_counts",
+    "streaming_dedup_events",
+    "streaming_sliding_window_counts",
+    "streaming_stateful_user_gaps",
+    "streaming_stream_static_join",
+    "streaming_stream_stream_join",
+    "streaming_deltalite_exactly_once",
 ]
 
 

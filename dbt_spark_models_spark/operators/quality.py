@@ -431,6 +431,11 @@ def train_logreg_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     it back as a 1-row BNLJ build, paying a broadcast-build job per
     round) and is stamped into the next round's expressions as literals:
     the same IEEE doubles, so the trained weights are bit-identical.
+    r12 quiet interleaved A/B (load <2, 7 alternating rounds, noop sink)
+    vs the restored pre-r11 chained form settled the r11 "+0.22 s"
+    flag: driver-held min 1.215 s / med 1.334 s beats chained min
+    1.319 s / med 1.402 s with identical output rows — the r11 ambient
+    inflation, not a regression; kept.
     Features persist once across rounds; 100 TB cost = 5 scans of a
     cached narrow projection, or 1 scan with the rounds fused via
     treeAggregate-style partial batching if the cache doesn't fit."""

@@ -79,8 +79,14 @@ def main() -> None:
         dst = os.path.join(args.out, f"{name}.parquet")
         table = pq.read_table(src)
         big = replicate(table, keys, factors[group], name)
-        # bounded row groups so Spark's parquet splits parallelize the scan
-        pq.write_table(big, dst, row_group_size=200_000)
+        # bounded row groups so Spark's parquet splits parallelize the
+        # scan: target ~128 row groups per table (row groups are the
+        # minimum split granularity — a single 100k-row group would give
+        # the documents scan exactly ONE task and serialize every
+        # tokenization-heavy query, which is a generator artifact, not an
+        # engine property)
+        rg = max(big.num_rows // 128, 1_000)
+        pq.write_table(big, dst, row_group_size=rg)
         print(f"{name}: {table.num_rows} x {factors[group]} -> {big.num_rows}")
 
 
