@@ -16,6 +16,13 @@ Two layers:
 
 from __future__ import annotations
 
+import pytest
+
+# thread/process isolation arenas: multi-minute by design — slow tier (r11 VERDICT #2);
+# the default `pytest tests/` deselects it so the driver-visible
+# suite completes in minutes.  Full sweep: pytest tests/ -m ''
+pytestmark = pytest.mark.slow
+
 import os
 import shutil
 import subprocess

@@ -23,6 +23,13 @@ run used 100+).
 
 from __future__ import annotations
 
+import pytest
+
+# multi-writer torture fuzz arena: multi-minute by design — slow tier (r11 VERDICT #2);
+# the default `pytest tests/` deselects it so the driver-visible
+# suite completes in minutes.  Full sweep: pytest tests/ -m ''
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import random

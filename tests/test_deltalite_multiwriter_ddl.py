@@ -19,6 +19,13 @@ fuzz (proof runs use 20+ per arena).
 
 from __future__ import annotations
 
+import pytest
+
+# DDL fuzz arena: multi-minute by design — slow tier (r11 VERDICT #2);
+# the default `pytest tests/` deselects it so the driver-visible
+# suite completes in minutes.  Full sweep: pytest tests/ -m ''
+pytestmark = pytest.mark.slow
+
 import os
 import random
 import sys

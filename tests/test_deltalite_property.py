@@ -18,6 +18,11 @@ import os
 import tempfile
 
 import pytest
+
+# hypothesis DML property fuzz: multi-minute by design — slow tier (r11 VERDICT #2);
+# the default `pytest tests/` deselects it so the driver-visible
+# suite completes in minutes.  Full sweep: pytest tests/ -m ''
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
