@@ -40,10 +40,23 @@ def test_registry_rotation_ungraded_first_then_stalest():
     assert all(graded_flags[first_graded:]), (
         "ungraded query found behind a graded one — rotation broken"
     )
-    # Property 3: graded block is non-decreasing in grading round.
-    graded_seq = [rounds[n] for n in names[first_graded:]]
-    assert graded_seq == sorted(graded_seq), (
-        "graded queries not in oldest-grade-first order"
+    # Property 3 (r12): rewritten-since-last-grade queries lead the
+    # graded block (their grade on file predates the code that now runs,
+    # so their staleness number under-states their risk — r11 VERDICT
+    # next-round #3); after them, the block is non-decreasing in grading
+    # round (staleness rotation).
+    from dbt_spark_models_spark.operators import _REGRADE_FIRST
+
+    graded_names = names[first_graded:]
+    n_regrade = sum(1 for n in graded_names if n in _REGRADE_FIRST)
+    head, tail = graded_names[:n_regrade], graded_names[n_regrade:]
+    assert all(n in _REGRADE_FIRST for n in head), (
+        "a merely-stale graded query sorted ahead of a rewritten one"
+    )
+    tail_seq = [rounds[n] for n in tail]
+    assert tail_seq == sorted(tail_seq), (
+        "graded queries not in oldest-grade-first order after the "
+        "regrade-first block"
     )
 
 
