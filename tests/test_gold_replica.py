@@ -11,6 +11,12 @@ full-refresh twin, and physical non-rewrite of the preserved partition.
 
 from __future__ import annotations
 
+import pytest
+# gold-replica end-to-end builds (162s measured in the r12 full-sweep duration run): slow tier
+# (r11 VERDICT #2) so the driver-visible default `pytest tests/`
+# completes in minutes.  Full sweep: pytest tests/ -m ''
+pytestmark = pytest.mark.slow
+
 import os
 import shutil
 

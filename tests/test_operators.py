@@ -8,6 +8,12 @@ values so pytest stays fast and catches regressions without duckdb.
 from __future__ import annotations
 
 import pytest
+# every-registered-query smoke (the driver's own oracle gate covers this) (442s measured in the r12 full-sweep duration run): slow tier
+# (r11 VERDICT #2) so the driver-visible default `pytest tests/`
+# completes in minutes.  Full sweep: pytest tests/ -m ''
+pytestmark = pytest.mark.slow
+
+import pytest
 
 from dbt_spark_models_spark.operators import load_all
 

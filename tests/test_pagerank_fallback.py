@@ -6,6 +6,7 @@ must pick the fallback past the configured threshold.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_spark_models_spark.operators.clustering import (
@@ -51,6 +52,7 @@ def test_fallback_plan_has_no_broadcast(spark):
     assert "BroadcastExchange" in bc_plan
 
 
+@pytest.mark.slow  # 38s: two full real-data pagerank runs — slow tier (r12)
 def test_threshold_conf_selects_fallback(spark, sf_dir):
     """With the threshold forced to 0 the gate query must still produce
     the same result it produces on the broadcast path (hash-equal)."""

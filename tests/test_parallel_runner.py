@@ -10,6 +10,13 @@ serial build (the driver-graded twin is ``engine_parallel_dag_build``).
 
 from __future__ import annotations
 
+import pytest
+
+# multi-process runner arenas (46s measured in the r12 full-sweep duration run): slow tier
+# (r11 VERDICT #2) so the driver-visible default `pytest tests/`
+# completes in minutes.  Full sweep: pytest tests/ -m ''
+pytestmark = pytest.mark.slow
+
 import shutil
 import threading
 import time

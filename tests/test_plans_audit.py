@@ -320,6 +320,8 @@ BNLJ_ALLOWED = {
 }
 
 
+import pytest
+@pytest.mark.slow  # 181s: builds all 302 plans — slow tier (r12), full sweep -m ''
 def test_registry_wide_no_cartesian_no_unexpected_bnlj(spark):
     """EVERY registry query: no CartesianProduct ever; BNLJ only where a
     tiny broadcast build side makes nested-loop the correct plan

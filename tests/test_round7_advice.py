@@ -17,6 +17,12 @@
 
 from __future__ import annotations
 
+import pytest
+# lifecycle/backfill end-to-end scenarios (200s measured in the r12 full-sweep duration run): slow tier
+# (r11 VERDICT #2) so the driver-visible default `pytest tests/`
+# completes in minutes.  Full sweep: pytest tests/ -m ''
+pytestmark = pytest.mark.slow
+
 import os
 import tempfile
 
